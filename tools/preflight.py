@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 check (SURVEY.md §5.3).
+
+Usage: preflight.py <sfDir> <outDir> [query ...]
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), registers the
+ten parquet tables as DuckDB views over <sfDir>, runs every oracle SQL,
+and compares against the Spark-written parquet in <outDir>/<name>.
+Columns are sorted by name before compare (mirrors the driver).
+Exact value equality is required; floats are compared bitwise first and
+approximately second so the report distinguishes "hash-fatal" from
+"formatting" drift.
+"""
+import json, math, sys, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        spark_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output at {spark_dir}")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        want = want[sorted(want.columns)]
+        got_cols = sorted(got.columns)
+        if sorted(want.columns) != got_cols:
+            print(f"FAIL {name}: columns differ spark={got_cols} oracle={sorted(want.columns)}")
+            n_fail += 1
+            continue
+        got = got[got_cols]
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows differ spark={len(got)} oracle={len(want)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in got_cols:
+            gv, wv = list(got[c]), list(want[c])
+            for i, (g, w) in enumerate(zip(gv, wv)):
+                g, w = norm(g), norm(w)
+                eq = (g == w) or (g is None and w is None)
+                try:
+                    if not eq and isinstance(g, float) and isinstance(w, float):
+                        eq = g == w  # bitwise-ish
+                except Exception:
+                    pass
+                if not eq:
+                    bad.append((c, i, g, w))
+                    if len(bad) >= 3:
+                        break
+            if len(bad) >= 3:
+                break
+        if bad:
+            print(f"FAIL {name}: value mismatches (col, row, spark, oracle): {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== preflight: {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
