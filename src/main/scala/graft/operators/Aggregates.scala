@@ -14,7 +14,7 @@ import graft.core.{Num, Tables}
   * cardinality (≤ a few thousand here) bounds shuffle volume no matter
   * how large the fact table gets.
   */
-object Aggregates {
+object Aggregates extends QueryGroup {
 
   /** Flagship: TPC-H-Q1-shaped pricing summary over lineitem
     * (SURVEY.md §7.1). Scan → filter (pushed to parquet) → hash agg →

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Scans, sources, sinks (SURVEY.md §2.A).
+  *
+  * Cassandra's read paths map onto parquet scans: a partition-key
+  * point read becomes a pushed-down equality filter (parquet row-group
+  * + page pruning stand in for the partitioner's hash lookup), a
+  * clustering-range read becomes a pushed range filter + sort, and the
+  * token-range scan that the wide-column store uses to parallelize
+  * full scans becomes a deterministic hash-bucket filter.
+  *
+  * Scale: every filter here reaches the parquet reader as a
+  * PushedFilter (verified via explain in ScanSpec), so a 100 TB scan
+  * touches only matching row groups; no operator collects to the
+  * driver.
+  */
+object Scans extends QueryGroup {
+
+  /** Full-table scan, the CQL `SELECT *` / connector token sweep. */
+  def scanFull(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber")
+
+  /** Partition-key point read — THE Cassandra read path. */
+  def scanPartitionLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") === 42L)
+      .orderBy("l_linenumber")
+
+  /** PK equality + clustering-column range, rows in clustering order. */
+  def scanClusteringRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") === 7L && col("l_linenumber") > 1)
+      .orderBy("l_linenumber")
+
+  /** Multi-partition `WHERE pk IN (…)` read. */
+  def scanPkIn(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey").isin(1L, 7L, 42L, 99L, 123L))
+      .orderBy("o_orderkey")
+
+  /** Token-range scan: how the wide-column store shards a full scan.
+    * xxhash64 stands in for Murmur3 (uniform bucketing, not token
+    * parity — SURVEY.md §2.A), so this is declared without an oracle.
+    */
+  def scanTokenRange(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(16)) === 3)
+      .orderBy("o_orderkey")
+
+  /** Parquet source/sink round-trip (the engine's storage layer). The
+    * sink half is exercised by Verify's own parquet write of this
+    * result. */
+  def sourceParquet(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).orderBy("s_suppkey")
+
+  /** Materialized-view maintenance: re-key orders by customer (the MV
+    * partition key) and sort within partitions by date — the
+    * wide-column MV contract. At scale this is one shuffle, writer-side
+    * partitioned; the global orderBy exists only for the oracle hash.
+    */
+  def sinkMv(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .repartition(col("o_custkey"))
+      .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_full" -> (scanFull _),
+    "scan_partition_lookup" -> (scanPartitionLookup _),
+    "scan_clustering_range" -> (scanClusteringRange _),
+    "scan_pk_in" -> (scanPkIn _),
+    "scan_token_range" -> (scanTokenRange _),
+    "source_parquet" -> (sourceParquet _),
+    "sink_mv" -> (sinkMv _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_full" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_partition_lookup" ->
+      "SELECT * FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber",
+    "scan_clustering_range" ->
+      "SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber > 1 ORDER BY l_linenumber",
+    "scan_pk_in" ->
+      "SELECT * FROM orders WHERE o_orderkey IN (1, 7, 42, 99, 123) ORDER BY o_orderkey",
+    "source_parquet" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+    "sink_mv" ->
+      "SELECT * FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"
+    // scan_token_range: no oracle (xxhash64 bucketing is engine-defined)
+  )
+}
