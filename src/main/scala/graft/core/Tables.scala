@@ -44,8 +44,30 @@ object Tables {
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
 
-  def events(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "events")("event_id", "ts", "user_id", "event_type", "value", "props")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    * as a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Verify/Bench/test sessions). Convert to µs TimestampType here —
+    * truncation matches DuckDB's ns→µs read of the same file. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, dir, "events")("event_id", "ts", "user_id", "event_type", "value", "props")
+    raw.schema("ts").dataType match {
+      // Cast to NTZ: every timestamp in the engine is timezone-naive
+      // (parquet isAdjustedToUTC=false ≡ DuckDB TIMESTAMP); session
+      // timezone is pinned UTC so the cast is value-preserving.
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => raw
+    }
+  }
+
+  /** Epoch milliseconds of a naive (NTZ) timestamp interpreted as UTC
+    * — matches DuckDB `epoch_ms(ts)`. */
+  def epochMs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.unix_millis
+    unix_millis(c.cast("timestamp"))
+  }
 
   def documents(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")("doc_id", "text", "lang", "source", "n_chars")

@@ -2,17 +2,20 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoders
 import graft.core.{Num, Tables}
+import graft.functions.WeightedAvg
 
 /** Aggregation operators (SURVEY.md §2.D).
   *
   * CQL's native aggregates are COUNT/MIN/MAX/SUM/AVG plus GROUP BY on
   * a partition-key/clustering prefix; the engine supports arbitrary
-  * grouping columns as a superset. All aggregates here are hash
-  * aggregates with map-side partial aggregation — the shuffle carries
-  * one row per (group × partition), not per input row, so group-by
-  * cardinality (≤ a few thousand here) bounds shuffle volume no matter
-  * how large the fact table gets.
+  * grouping columns, rollup/cube/grouping-sets, and UDAs as supersets.
+  * All aggregates are hash aggregates with map-side partial
+  * aggregation — the shuffle carries one row per (group × partition),
+  * so group cardinality, not fact-table size, bounds shuffle volume.
+  * Counter-column semantics (commutative increments) are exactly a
+  * groupBy-sum merge at read time.
   */
 object Aggregates extends QueryGroup {
 
@@ -40,6 +43,87 @@ object Aggregates extends QueryGroup {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** CQL whole-table aggregates: COUNT/MIN/MAX/SUM/AVG (+ exact
+    * COUNT DISTINCT, an engine superset). */
+  def aggGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      Num.dsum(col("l_extendedprice")).as("sum_price"),
+      Num.davg(col("l_discount")).as("avg_disc"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  /** GROUP BY arbitrary column (CQL allows key prefixes only). */
+  def aggGroupBy(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        Num.dsum(col("c_acctbal")).as("sum_bal"),
+        Num.davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy("c_mktsegment")
+
+  /** SELECT DISTINCT on a column pair. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** HLL++ approximate distinct — the 100 TB path where exact
+    * countDistinct's shuffle is unaffordable. Deterministic for fixed
+    * input but engine-specific ⇒ no oracle (rows-only check). */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
+  /** Cassandra counter-column semantics: merge commutative increments
+    * into the current value at read time. */
+  def aggCounter(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_increments"),
+        Num.dsum(col("value")).as("counter_value"))
+      .orderBy("user_id")
+
+  /** ROLLUP over (returnflag, linestatus). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over (returnflag, linestatus). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Explicit GROUPING SETS ((flag), (status), ()). */
+  def aggGsets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CQL CREATE AGGREGATE equivalent: weighted avg via a typed
+    * Aggregator (graft.functions.WeightedAvg). */
+  def aggUdaf(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(WeightedAvg, Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
   val q1PricingSql: String = s"""
     SELECT l_returnflag, l_linestatus,
       ${Num.sqlDsum("l_quantity")} AS sum_qty,
@@ -61,9 +145,62 @@ object Aggregates extends QueryGroup {
     ORDER BY l_returnflag, l_linestatus"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> (q1Pricing _)
+    "q1_pricing" -> (q1Pricing _),
+    "agg_global" -> (aggGlobal _),
+    "agg_groupby" -> (aggGroupBy _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_counter" -> (aggCounter _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_gsets" -> (aggGsets _),
+    "agg_udaf" -> (aggUdaf _)
   )
+
   val oracles: Map[String, String] = Map(
-    "q1_pricing" -> q1PricingSql
+    "q1_pricing" -> q1PricingSql,
+    "agg_global" -> s"""
+      SELECT COUNT(*) AS n_rows,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        ${Num.sqlDsum("l_extendedprice")} AS sum_price,
+        ${Num.sqlDavg("l_discount")} AS avg_disc,
+        MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      FROM lineitem""",
+    "agg_groupby" -> s"""
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+        ${Num.sqlDsum("c_acctbal")} AS sum_bal,
+        ${Num.sqlDavg("c_acctbal")} AS avg_bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_distinct" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus, o_orderpriority""",
+    "agg_counter" -> s"""
+      SELECT user_id, COUNT(*) AS n_increments,
+        ${Num.sqlDsum("value")} AS counter_value
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_rollup" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${Num.sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_cube" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${Num.sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_gsets" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${Num.sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_udaf" -> """
+      SELECT l_returnflag,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6) AS wavg_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    // agg_approx_distinct: no oracle (HLL++ is engine-specific)
   )
 }

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Joins (SURVEY.md §2.C).
+  *
+  * CQL has no joins; in the reference's ecosystem joins are exactly
+  * what Spark-on-Cassandra adds (the connector's
+  * `joinWithCassandraTable` point-lookup join in particular). Strategy
+  * notes per operator:
+  *  - dims (nation 25, region 5, bounded key sets) are broadcast —
+  *    zero shuffle of the fact side;
+  *  - large-large joins shuffle on the join key (sort-merge), which
+  *    scales linearly with data per key and spills instead of OOM;
+  *  - the as-of join uses the union+window pattern, ONE shuffle of
+  *    (orders ∪ events) by key — never a per-pair blowup, which is the
+  *    100 TB-safe formulation.
+  */
+object Joins extends QueryGroup {
+
+  /** Large-large equi-join; Catalyst picks shuffled hash / sort-merge. */
+  def joinInnerHash(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Small-dim broadcast join: customer ⋈ nation ⋈ region with both
+    * dims broadcast — no shuffle of the probe side at any scale. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+
+  /** Explicit sort-merge (MERGE hint): the spill-safe large-large path. */
+  def joinSortMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).hint("MERGE")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Left outer: every customer, order key nullable. */
+  def joinLeft(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .select("c_custkey", "o_orderkey")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** Right outer (mirror of left; exercises the other build side). */
+  def joinRight(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right_outer")
+      .select("c_custkey", "o_orderkey")
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+
+  /** Full outer over two per-customer aggregates (F-order vs O-order
+    * counts) — exercises both-null sides deterministically. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk")).agg(count(lit(1)).as("f_cnt"))
+    val p = o.filter(col("o_orderstatus") === "P")
+      .groupBy(col("o_custkey").as("pk")).agg(count(lit(1)).as("p_cnt"))
+    f.join(p, col("fk") === col("pk"), "full_outer")
+      .select(
+        coalesce(col("fk"), col("pk")).as("custkey"),
+        col("f_cnt"), col("p_cnt"))
+      .orderBy("custkey")
+  }
+
+  /** Left semi — EXISTS shape (customers having a big order). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left anti — NOT EXISTS shape (customers with no pending order). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** `joinWithCassandraTable` equivalent: a bounded key set drives
+    * point reads — broadcast the keys, inner-join the big table. */
+  def joinLookup(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir)
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(20)
+      .select("c_custkey")
+    Tables.orders(s, dir)
+      .join(broadcast(keys), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Non-equi (theta) join: nation pairs within a region. Tiny inputs
+    * here; at scale a band/range join is bucketized first (see
+    * scaladoc on Similarity for the same pattern). */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("k1"), col("n_name").as("name1"), col("n_regionkey").as("r1"))
+    val n2 = Tables.nation(s, dir).select(
+      col("n_nationkey").as("k2"), col("n_name").as("name2"), col("n_regionkey").as("r2"))
+    n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+      .select("r1", "k1", "k2", "name1", "name2")
+      .orderBy("r1", "k1", "k2")
+  }
+
+  /** As-of join: each event matched to the newest order of the same
+    * customer with o_orderdate <= ts (tiebreak: max o_orderkey).
+    *
+    * Union+window formulation: tag orders pri=0 and events pri=1,
+    * union, ONE shuffle partitioned by customer key ordered by
+    * (t, pri, key), then `last(okey, ignoreNulls)` over the preceding
+    * frame. No per-pair join blowup — at 100 TB this is a single
+    * sort-shuffle of both inputs, the canonical time-series layout.
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("pri"), col("o_orderkey").as("okey"),
+      lit(null).cast("long").as("event_id"))
+    val e = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("pri"), lit(null).cast("long").as("okey"),
+      col("event_id"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("pri").asc, col("okey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_orderkey", last("okey", ignoreNulls = true).over(w))
+      .filter(col("pri") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> (joinInnerHash _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_sortmerge" -> (joinSortMerge _),
+    "join_left" -> (joinLeft _),
+    "join_right" -> (joinRight _),
+    "join_full" -> (joinFull _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_lookup" -> (joinLookup _),
+    "join_theta" -> (joinTheta _),
+    "join_asof" -> (joinAsof _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_hash" -> """
+      SELECT o_orderkey, o_custkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
+    "join_broadcast" -> """
+      SELECT c_custkey, n_name, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      ORDER BY c_custkey""",
+    "join_sortmerge" -> """
+      SELECT l_orderkey, l_linenumber, o_custkey, o_orderdate, l_quantity
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY l_orderkey, l_linenumber""",
+    "join_left" -> """
+      SELECT c_custkey, o_orderkey
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "join_right" -> """
+      SELECT c_custkey, o_orderkey
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "join_full" -> """
+      SELECT COALESCE(f.fk, p.pk) AS custkey, f.f_cnt, p.p_cnt
+      FROM (SELECT o_custkey AS fk, COUNT(*) AS f_cnt FROM orders
+            WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+      FULL JOIN (SELECT o_custkey AS pk, COUNT(*) AS p_cnt FROM orders
+            WHERE o_orderstatus = 'P' GROUP BY o_custkey) p
+      ON f.fk = p.pk
+      ORDER BY custkey""",
+    "join_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      ORDER BY c_custkey""",
+    "join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+    "join_lookup" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders JOIN (SELECT c_custkey FROM customer
+                        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20) k
+      ON o_custkey = k.c_custkey
+      ORDER BY o_orderkey""",
+    "join_theta" -> """
+      SELECT n1.n_regionkey AS r1, n1.n_nationkey AS k1, n2.n_nationkey AS k2,
+             n1.n_name AS name1, n2.n_name AS name2
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      ORDER BY r1, k1, k2""",
+    "join_asof" -> """
+      SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+      ORDER BY e.event_id"""
+  )
+}

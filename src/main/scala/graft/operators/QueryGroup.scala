@@ -10,7 +10,8 @@ trait QueryGroup {
 }
 
 object Registry {
-  def groups: Seq[QueryGroup] = Seq(Aggregates, Scans, Filters, SortLimit, SetOps)
+  def groups: Seq[QueryGroup] =
+    Seq(Aggregates, Scans, Filters, SortLimit, SetOps, Joins, Windows, ScalarFns)
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.flatMap(_.queries).toMap
   def oracles: Map[String, String] = groups.flatMap(_.oracles).toMap

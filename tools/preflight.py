@@ -20,6 +20,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if hasattr(v, "tolist") and not hasattr(v, "hex"):  # numpy array
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 def main():
