@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text kernels for the LLM-pipeline operators (SURVEY.md §2.K):
+  * tokenization, shingling, MinHash, SimHash, fingerprints. All pure
+  * Column expressions built from codegen'd higher-order functions —
+  * no UDFs — so they distribute trivially and stay in-row (no
+  * shuffle) until the caller aggregates or joins.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: word runs or single non-space symbols. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** k-gram word shingles of a token array (empty if too short). */
+  def shingles(w: Column, k: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j + 1))): _*)
+    when(size(w) >= k, transform(sequence(lit(0), size(w) - k), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the shingle set. Plays the role of the
+    * k independent permutations of classic MinHash; P(collision of one
+    * coordinate) ≈ Jaccard similarity of the shingle sets. */
+  def minhash(shingleCol: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
+      array_min(transform(shingleCol, x => xxhash64(x, lit(j)))).as(s"mh$j")
+    }
+
+  /** LSH band keys over a minhash signature: `bands` groups of
+    * `rowsPerBand` coordinates hashed together. Docs sharing any band
+    * key are candidate near-duplicates; at scale the self-join runs
+    * per band key, never all-pairs. */
+  def bandKeys(mh: Seq[Column], bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      xxhash64((mh.slice(b * rowsPerBand, (b + 1) * rowsPerBand) :+ lit(b)): _*).as(s"band$b")
+    }
+
+  /** 64-bit SimHash over a token array: per bit position, sum +1/-1
+    * according to each token-hash's bit, keep the sign bit. Tokens
+    * with small edit distance ⇒ Hamming-close simhashes. */
+  def simhash64(w: Column): Column = {
+    val hashes = transform(w, x => xxhash64(x))
+    val bits = (0 until 64).map { j =>
+      val contrib = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Rolling-hash document fingerprint: the minimum over 3-gram
+    * shingle MD5s (single-window winnowing). */
+  def fingerprint(w: Column): Column =
+    array_min(transform(shingles(w, 3), x => md5(x)))
+
+  /** Exact token Jaccard similarity of two distinct-token arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

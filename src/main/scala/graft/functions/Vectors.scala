@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector kernels for similarity search (SURVEY.md §2.K).
+  *
+  * Embeddings are ArrayType(FloatType), dim 64, L2-normalized
+  * (FIXTURES.md) ⇒ cosine ≡ dot product. The dot product is a
+  * zip_with+aggregate higher-order expression — codegen'd, in-row,
+  * deterministic (left-to-right double accumulation). If Bench ever
+  * shows it hot, the §4.3 upgrade path is a fused Catalyst Expression
+  * with doGenCode; the call sites below wouldn't change.
+  */
+object Vectors {
+
+  /** Dot product of two float vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  /** Deterministic Gaussian hyperplanes for sign-random-projection
+    * LSH: `nbits` planes of dimension `dim`, fixed seed. */
+  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: one sign bit per hyperplane. Vectors at small
+    * angle collide with high probability; bucket-equality joins
+    * replace the all-pairs crossJoin at scale. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Near-duplicate detection over `documents` (SURVEY.md §2.K):
+  * MinHash+LSH, SimHash banding, and exact n-gram Jaccard.
+  *
+  * The fixture corpus has zero near-dups (FIXTURES.md), so the LSH
+  * operators plant mutated copies (doc_id+100000, first word dropped)
+  * and must rediscover exactly those pairs. At 100 TB the only
+  * shuffles are groupBy/join on band keys — candidate generation is
+  * never all-pairs; the exact-Jaccard verify runs only on candidates.
+  */
+object Dedup extends QueryGroup {
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 rows per band
+
+  /** Corpus + planted near-duplicate mutations. */
+  private def withPlanted(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val mutated = d.filter(col("doc_id") < 20)
+      .select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    d.unionByName(mutated)
+  }
+
+  /** MinHash + LSH banding + exact-Jaccard verify. */
+  def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = withPlanted(s, dir)
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("sh", Text.shingles(col("w"), 3))
+      .select(Seq(col("doc_id"), col("w"), col("sh")) ++
+        Text.minhash(col("sh"), NumHashes): _*)
+    val mh = (0 until NumHashes).map(j => col(s"mh$j"))
+    val banded = docs
+      .withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
+      .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = banded.select(
+      col("doc_id").as("id_a"), col("sh").as("sha"), col("band_idx"), col("band_val"))
+    val b = banded.select(
+      col("doc_id").as("id_b"), col("sh").as("shb"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sha", "shb").distinct()
+      .withColumn("jaccard",
+        round(Text.jaccard(array_distinct(col("sha")), array_distinct(col("shb"))), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints over 3-gram shingles
+    * (word-level hashes collide on a shared vocabulary), candidates
+    * share one of four 16-bit chunks, verified by Hamming <= 6. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = withPlanted(s, dir)
+      .withColumn("sim", Text.simhash64(Text.shingles(Text.words(col("text")), 3)))
+    val chunked = docs.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.chunk_idx"), col("ck.chunk_val"))
+    val a = chunked.select(
+      col("doc_id").as("id_a"), col("sim").as("sim_a"), col("chunk_idx"), col("chunk_val"))
+    val b = chunked.select(
+      col("doc_id").as("id_b"), col("sim").as("sim_b"), col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact 3-gram Jaccard, all pairs within a bounded id range —
+    * the oracle-checkable ground-truth kernel the LSH ops approximate.
+    * Counts-only arithmetic (|A∩B| / (|A|+|B|-|A∩B|)) so Spark and
+    * DuckDB produce identical doubles. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .withColumn("sh", array_distinct(Text.shingles(Text.words(col("text")), 3)))
+    val a = base.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") > 0.01)
+      .select("id_a", "id_b", "inter", "uni", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_near" -> (dedupNear _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_jaccard" -> (dedupJaccard _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_jaccard" -> """
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         FOR i IN range(1, len(w)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE doc_id < 60))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS uni,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.01
+      ORDER BY id_a, id_b"""
+    // dedup_near, dedup_simhash: no oracle (LSH candidate generation is
+    // engine-defined; planted-pair recovery asserted in DedupSpec)
+  )
+}

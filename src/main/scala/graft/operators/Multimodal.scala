@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.{MediaCodec, MediaRecord}
+
+/** Multimodal columns (SURVEY.md §2.K).
+  *
+  * Binary payloads + typed metadata survive the pipeline as
+  * struct/binary columns; the decode stage runs as a typed
+  * mapPartitions (per-partition batches — where a real codec would
+  * amortize library init), with a stubbed codec (see
+  * graft.multimodal.MediaCodec). Both queries are oracle-checked:
+  * the oracle recomputes the stub's byte statistics with SQL string
+  * functions.
+  */
+object Multimodal extends QueryGroup {
+
+  /** Nested struct/binary round-trip: pack payload + metadata, then
+    * re-flatten and measure. */
+  def multimodalCols(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        struct(
+          col("text").cast("binary").as("payload"),
+          struct(col("lang"), col("n_chars")).as("meta")).as("media"))
+      .select(
+        col("doc_id"),
+        octet_length(col("media.payload")).as("n_bytes"),
+        col("media.meta.lang").as("lang"),
+        col("media.meta.n_chars").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Decode pipeline: binary payload → per-partition batched decode
+    * (stub codec) → fixed-width feature columns. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("lang"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(MediaCodec.decode))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_cols" -> (multimodalCols _),
+    "multimodal_decode" -> (multimodalDecode _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_cols" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        lang, n_chars
+      FROM documents ORDER BY doc_id""",
+    "multimodal_decode" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER) AS n_a,
+        CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_space,
+        ascii(substring(text, 1, 1)) AS first_byte
+      FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Num, Tables}
+
+/** CDC/stream operators in batch form (SURVEY.md §2.I).
+  *
+  * Cassandra exposes CDC per table; the engine's stand-in is the
+  * `events` table. Each operator is declared here in batch form
+  * (oracle-checkable); graft.streaming.StreamOps runs the *same
+  * transformations* under Structured Streaming (readStream +
+  * watermark), covered by StreamingSpec rather than the oracle —
+  * windowed aggregation semantics are identical by construction.
+  *
+  * Scale: windowed groupBys shuffle one row per (window × key ×
+  * partition) thanks to partial aggregation; session windows shuffle
+  * per user key once. Nothing here widens with raw event volume
+  * except the initial scan.
+  */
+object StreamingBatch extends QueryGroup {
+
+  /** Tumbling 1-day windows per event type. */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .select(
+        col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Sliding windows: 1 day long, every 6 hours (each event lands in
+    * exactly 4 windows). */
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
+  /** Session windows per user, 30-minute gap. Spark's session_window
+    * runs in batch too; the oracle reproduces it with lag+cumsum
+    * island detection (end = last event + gap). */
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"), col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  /** Late-data watermark declared on the same tumbling aggregation.
+    * In batch the watermark is a no-op by definition (all data has
+    * arrived); the drop behavior is asserted in StreamingSpec. */
+  def streamWatermark(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("n"))
+      .orderBy("win_start")
+
+  /** Exactly-once by event_id: duplicates planted by self-union, then
+    * dropDuplicates (streaming: dropDuplicates within watermark). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.unionByName(e.filter(col("event_id") % 10 === 0))
+      .dropDuplicates("event_id")
+      .orderBy("event_id")
+  }
+
+  /** Running per-user/type counters — the CQL counter-CDC analog; the
+    * streaming form is mapGroupsWithState (StreamOps.statefulCounts). */
+  def streamStateful(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (streamTumbling _),
+    "stream_sliding" -> (streamSliding _),
+    "stream_session" -> (streamSession _),
+    "stream_watermark" -> (streamWatermark _),
+    "stream_dedup" -> (streamDedup _),
+    "stream_stateful" -> (streamStateful _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" -> s"""
+      SELECT date_trunc('day', ts) AS win_start,
+        date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+        event_type, COUNT(*) AS n, ${Num.sqlDsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type""",
+    "stream_sliding" -> """
+      SELECT win_start, event_type, COUNT(*) AS n FROM (
+        SELECT make_timestamp((CAST(floor(epoch(ts)/21600) AS BIGINT)*21600
+                               - k.k*21600)*1000000) AS win_start, event_type
+        FROM events, (SELECT unnest([0,1,2,3]) AS k) k)
+      GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "stream_session" -> s"""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      )
+      SELECT user_id, MIN(ts) AS sess_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+        COUNT(*) AS n_events, ${Num.sqlDsum("value")} AS sum_value
+      FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""",
+    "stream_watermark" -> """
+      SELECT date_trunc('day', ts) AS win_start, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY win_start""",
+    "stream_dedup" ->
+      "SELECT * FROM events ORDER BY event_id",
+    "stream_stateful" -> s"""
+      SELECT user_id, event_type, COUNT(*) AS n, ${Num.sqlDsum("value")} AS sum_value
+      FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Num, Tables}
+import graft.functions.Text
+
+/** Text-analysis + dedup operators over `documents`
+  * (SURVEY.md §2.K and the LLM-pipeline mandate).
+  *
+  * Everything row-local (tokenize, score, fingerprint) is a pure
+  * Column expression; only the final statistics/dedup steps shuffle,
+  * and then only on doc hashes or group keys — the 100 TB-safe shape.
+  */
+object TextOps extends QueryGroup {
+
+  /** Exact dedup: duplicates planted by self-union (the fixture is
+    * dup-free — FIXTURES.md), removed again by content hash. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(d.filter(col("doc_id") < 50))
+      .dropDuplicates("text")
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus statistics (quality-gate inputs). */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"), size(Text.words(col("text"))).as("n_words"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy("lang")
+
+  /** Language whitelist + length-window filter chain. */
+  def textLangFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("lang").isin("en", "de") && col("n_chars").between(100, 400))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(Text.words(col("text"))).as("ws_tokens"),
+        size(Text.regexTokens(col("text"))).as("re_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, average word length, stopword ratio,
+    * and a composite keep-score. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = Text.words(col("text"))
+    val nWords = size(w)
+    val stopCount = size(filter(w, x => x.isin("the", "a", "of")))
+    val charSum = length(regexp_replace(col("text"), " ", ""))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(charSum.cast("double") / nWords, 6).as("avg_word_len"),
+        round(stopCount.cast("double") / nWords, 6).as("stop_ratio"),
+        round(
+          least(lit(1.0), nWords.cast("double") / 100.0) *
+            (lit(1.0) - stopCount.cast("double") / nWords), 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash fingerprint per document (min 3-gram MD5). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.fingerprint(Text.words(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Language ID via learned character-bigram profiles: top-30 bigrams
+    * per language from the corpus itself, then classify each doc by
+    * profile overlap (tiebreak: lang asc). Self-contained n-gram
+    * langid mechanism; no oracle (multi-stage pipeline, declared
+    * rows-only). At scale: profiles are tiny (5×30 rows, broadcast);
+    * the classify join never shuffles the corpus more than once. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+      .withColumn("bigrams",
+        expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
+    val profile = docs
+      .select(col("lang"), explode(col("bigrams")).as("bg"))
+      .groupBy("lang", "bg").count()
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy(col("count").desc, col("bg").asc)))
+      .filter(col("rk") <= 30)
+      .select(col("lang").as("cand_lang"), col("bg"))
+    val scored = docs
+      .select(col("doc_id"), col("lang"), explode(array_distinct(col("bigrams"))).as("bg"))
+      .join(broadcast(profile), "bg")
+      .groupBy("doc_id", "lang", "cand_lang").count()
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("count").desc, col("cand_lang").asc)))
+      .filter(col("rk") === 1)
+    scored
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "text_stats" -> (textStats _),
+    "text_lang_filter" -> (textLangFilter _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_langid" -> (textLangId _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT doc_id, sha256(text) AS text_sha, n_chars
+      FROM documents ORDER BY doc_id""",
+    "text_stats" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        SUM(n_chars) AS sum_chars,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_words,
+        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
+    "text_lang_filter" -> """
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400
+      ORDER BY doc_id""",
+    "text_tokens" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS re_tokens,
+        n_chars
+      FROM documents ORDER BY doc_id""",
+    "text_quality" -> """
+      SELECT doc_id,
+        CAST(len(w) AS INTEGER) AS n_words,
+        ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(w), 6) AS avg_word_len,
+        ROUND(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(w), 6)
+          AS stop_ratio,
+        ROUND(least(1.0, CAST(len(w) AS DOUBLE) / 100.0) *
+              (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(w)), 6)
+          AS quality_score
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      ORDER BY doc_id""",
+    "text_fingerprint" -> """
+      SELECT doc_id,
+        list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  FOR i IN range(1, len(w)-1)]) AS fp
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ORDER BY doc_id"""
+    // text_langid: no oracle (multi-stage learned pipeline)
+  )
+}
