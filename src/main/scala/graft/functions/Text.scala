@@ -62,6 +62,37 @@ object Text {
   def fingerprint(w: Column): Column =
     array_min(transform(shingles(w, 3), x => md5(x)))
 
+  import org.apache.spark.sql.DataFrame
+
+  /** MinHash signature via explode + codegen'd hash aggregate: one
+    * row per (doc, shingle), `k` seeded xxhash64 columns, min-reduced
+    * per doc. One shuffle on the doc id; everything else is Tungsten
+    * codegen — orders of magnitude faster than per-row interpreted
+    * array lambdas, and the shape that scales (shuffle volume = docs ×
+    * k longs, independent of document length). */
+  def minhashSignature(docs: DataFrame, idCol: String, shCol: String, k: Int): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(col(shCol)).as("_shingle"))
+    val aggs = (0 until k).map(j => min(xxhash64(col("_shingle"), lit(j))).as(s"mh$j"))
+    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 64-bit SimHash via explode + codegen'd hash aggregate: per bit,
+    * sum of ±1 according to the shingle hash's bit, sign-bit assembled
+    * after the aggregate. Same scale shape as [[minhashSignature]]. */
+  def simhashSignature(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(col(shCol)).as("_s"))
+      .select(col(idCol), xxhash64(col("_s")).as("_h"))
+    val aggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("_h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val counts = exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    counts.select(col(idCol), sim.as("sim"))
+  }
+
   /** Exact token Jaccard similarity of two distinct-token arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -19,8 +19,9 @@ object Dedup extends QueryGroup {
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
 
-  /** Corpus + planted near-duplicate mutations. */
-  private def withPlanted(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus + planted near-duplicate mutations (public: tests
+    * recompute ground truth from the same input). */
+  def withPlanted(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val mutated = d.filter(col("doc_id") < 20)
       .select(
@@ -29,26 +30,33 @@ object Dedup extends QueryGroup {
     d.unionByName(mutated)
   }
 
-  /** MinHash + LSH banding + exact-Jaccard verify. */
+  /** MinHash + LSH banding + exact-Jaccard verify.
+    *
+    * Shape: signatures via explode + codegen hash-agg (one shuffle),
+    * band keys from the signature only, candidate PAIRS of bare ids
+    * from the per-band self-join, and shingle arrays joined back in
+    * only for the (few) candidates — arrays never ride through the
+    * band shuffle. */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
-    val docs = withPlanted(s, dir)
-      .withColumn("w", Text.words(col("text")))
-      .withColumn("sh", Text.shingles(col("w"), 3))
-      .select(Seq(col("doc_id"), col("w"), col("sh")) ++
-        Text.minhash(col("sh"), NumHashes): _*)
+    val base = withPlanted(s, dir)
+      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+      .select("doc_id", "sh")
+    val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes)
     val mh = (0 until NumHashes).map(j => col(s"mh$j"))
-    val banded = docs
+    val banded = sig
       .withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
-      .select(col("doc_id"), col("sh"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val a = banded.select(
-      col("doc_id").as("id_a"), col("sh").as("sha"), col("band_idx"), col("band_val"))
-    val b = banded.select(
-      col("doc_id").as("id_b"), col("sh").as("shb"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sha", "shb").distinct()
-      .withColumn("jaccard",
-        round(Text.jaccard(array_distinct(col("sha")), array_distinct(col("shb"))), 6))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sh = base.withColumn("shd", array_distinct(col("sh"))).select("doc_id", "shd")
+    candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("shd").as("sha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shd").as("shb")), "id_b")
+      .withColumn("jaccard", round(Text.jaccard(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= 0.6)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -56,15 +64,20 @@ object Dedup extends QueryGroup {
 
   /** SimHash near-dup: 64-bit fingerprints over 3-gram shingles
     * (word-level hashes collide on a shared vocabulary), candidates
-    * share one of four 16-bit chunks, verified by Hamming <= 6. */
+    * share one of EIGHT 8-bit chunks — by pigeonhole, any pair within
+    * Hamming distance 7 shares at least one clean chunk, so recall at
+    * the Hamming <= 6 verify threshold is guaranteed, not
+    * probabilistic. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = withPlanted(s, dir)
-      .withColumn("sim", Text.simhash64(Text.shingles(Text.words(col("text")), 3)))
+    val base = withPlanted(s, dir)
+      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+      .select("doc_id", "sh")
+    val docs = Text.simhashSignature(base, "doc_id", "sh")
     val chunked = docs.select(
       col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until 8).map(c =>
         struct(lit(c).as("chunk_idx"),
-          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*))
+          shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL)).as("chunk_val"))): _*))
         .as("ck"))
       .select(col("doc_id"), col("sim"), col("ck.chunk_idx"), col("ck.chunk_val"))
     val a = chunked.select(

@@ -32,14 +32,11 @@ object Windows extends QueryGroup {
   /** Last-write-wins read repair: newest version per key — THE core
     * Cassandra read semantic (SURVEY.md §1.1). Key = user_id,
     * writetime = ts, tiebreak = event_id. */
-  def winLww(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def winLww(s: SparkSession, dir: String): DataFrame =
+    graft.core.Lww.latest(
+      Tables.events(s, dir), Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
       .select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
-  }
 
   /** lag/lead analytics: per-user session deltas over events. */
   def winAnalytic(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bulk read/write of a live Cassandra cluster (SURVEY.md §2.A
+  * `source_cassandra`) — the Spark-Cassandra-Connector code path.
+  *
+  * This zero-egress image has neither the connector jar nor a cluster,
+  * so the connector branch cannot be exercised here; it is kept behind
+  * a config flag with the parquet substrate as the tested default.
+  * The connector's own pushdown (partition-key equality/IN, clustering
+  * ranges, column pruning) mirrors what the parquet path already gets
+  * from Catalyst, so every operator in this engine runs unchanged on
+  * either source.
+  *
+  * Config:
+  *   graft.cassandra.enabled=true      switch to the connector
+  *   graft.cassandra.keyspace=<ks>     keyspace for all ten tables
+  */
+object CassandraSource {
+  val FormatName = "org.apache.spark.sql.cassandra"
+
+  def enabled(s: SparkSession): Boolean =
+    s.conf.getOption("graft.cassandra.enabled").contains("true")
+
+  /** Read `table` from Cassandra when enabled, else from the parquet
+    * substrate directory. */
+  def read(s: SparkSession, dir: String, table: String): DataFrame =
+    if (enabled(s)) {
+      s.read.format(FormatName)
+        .option("keyspace", s.conf.get("graft.cassandra.keyspace", "graft"))
+        .option("table", table)
+        .load()
+    } else {
+      s.read.parquet(s"$dir/$table.parquet")
+    }
+
+  /** Write `df` to Cassandra when enabled, else parquet. Cassandra
+    * writes are idempotent upserts keyed by the table's partition key;
+    * the parquet path models that as an overwrite of the re-keyed
+    * table (see Scans.sinkMv). */
+  def write(s: SparkSession, df: DataFrame, dir: String, table: String): Unit =
+    if (enabled(s)) {
+      df.write.format(FormatName)
+        .option("keyspace", s.conf.get("graft.cassandra.keyspace", "graft"))
+        .option("table", table)
+        .mode("append")
+        .save()
+    } else {
+      df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.Num
+
+/** Structured-Streaming forms of the §2.I operators (CDC-equivalent).
+  *
+  * Each takes an *already streaming* DataFrame (readStream /
+  * MemoryStream) with the events schema and applies the same
+  * transformation as the batch-declared StreamingBatch op, plus the
+  * watermark that only matters under streaming. StreamingSpec drives
+  * them with MemoryStream; the driver's oracle covers the batch twins.
+  *
+  * State-scale note: all aggregations key on (window × type) or
+  * user_id — state size tracks key cardinality, not event volume, and
+  * watermarks bound retained windows.
+  */
+object StreamOps {
+
+  /** Tumbling 1-day counts with a 1-hour watermark (late drop). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
+
+  /** Exactly-once by event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
+  final case class UserCount(user_id: Long, n: Long, sum_value: Double)
+
+  /** Running per-user counters via explicit state — the CQL
+    * counter-CDC analog with custom state (SURVEY.md §2.I
+    * stream_stateful). Emits the updated counter on every batch. */
+  def statefulCounts(events: Dataset[EventRow]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserCount, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(user, 0L, 0.0))
+          var n = prev.n
+          var sum = prev.sum_value
+          rows.foreach { r => n += 1; sum += r.value }
+          val next = UserCount(user, n, sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output-mode helper used by tests: run a streaming query over a
+    * memory sink until all source data is processed. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

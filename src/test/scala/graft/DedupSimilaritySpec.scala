@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-pair recovery for the no-oracle LSH operators and sanity
+  * bounds for similarity search (SURVEY.md §2.K, §5.3). */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("dedup_near finds every planted near-duplicate pair") {
+    val pairs = SparkEntry.queries("dedup_near")(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing: ${planted -- pairs}")
+  }
+
+  test("dedup_simhash equals brute-force Hamming<=6 pairs (no LSH misses)") {
+    import graft.functions.Text
+    import graft.operators.Dedup
+    val base = Dedup.withPlanted(spark, sf001)
+      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+      .select("doc_id", "sh")
+    val sig = Text.simhashSignature(base, "doc_id", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ida, sa) <- sig; (idb, sb) <- sig
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ida, idb)).toSet
+    val got = SparkEntry.queries("dedup_simhash")(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missed: ${expected -- got}, spurious: ${got -- expected}")
+    // the single-word mutation usually stays within Hamming 6
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert((planted & got).size >= 14)
+  }
+
+  test("dedup_exact is idempotent and returns the dup-free corpus") {
+    val once = SparkEntry.queries("dedup_exact")(spark, sf001)
+    val n = graft.core.Tables.documents(spark, sf001).count()
+    assert(once.count() == n)
+    assert(once.dropDuplicates("text_sha").count() == n)
+  }
+
+  test("dedup_embed finds exactly the planted copies") {
+    val pairs = SparkEntry.queries("dedup_embed")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == planted)
+    assert(pairs.forall(_._3 > 0.999))
+  }
+
+  test("sim_topk: 10 neighbors per query, scores in [-1, 1], self excluded") {
+    val rows = SparkEntry.queries("sim_topk")(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    assert(rows.forall(r => r.getLong(1) != r.getLong(0)))
+  }
+
+  test("sim_topk_lsh candidates agree with brute force on shared pairs") {
+    val brute = SparkEntry.queries("sim_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("sim_topk_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = brute.keySet & lsh.keySet
+    assert(shared.nonEmpty, "LSH found no brute-force neighbor at all")
+    assert(shared.forall(k => brute(k) == lsh(k)), "scores differ between paths")
+  }
+}

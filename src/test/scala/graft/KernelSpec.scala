@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import graft.core.Lww
+import graft.functions.{Text, Vectors}
+
+/** Unit + property tests for the shared kernels (SURVEY.md §5.3). */
+class KernelSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def strDf(rows: Seq[String]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("text")
+  }
+
+  test("shingles: k-grams in order, empty when too short") {
+    val got = strDf(Seq("a b c d", "a b"))
+      .select(Text.shingles(Text.words(col("text")), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b c", "b c d"), Nil))
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("x", "y")
+      .select(Text.jaccard(
+        array_distinct(Text.words(col("x"))), array_distinct(Text.words(col("y")))).as("j"))
+    assert(df.collect().map(_.getDouble(0)).toList == List(1.0, 0.0))
+  }
+
+  test("dot product: self-similarity of normalized embeddings ≈ 1") {
+    val emb = graft.core.Tables.embeddings(spark, sf001).limit(20)
+    val sims = emb.select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(d => math.abs(d - 1.0) < 1e-4), sims.mkString(","))
+  }
+
+  test("simhash signatures: identical docs collide, signature is stable") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now ok then"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+    val sig = Text.simhashSignature(docs, "doc_id", "sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("minhash signature: identical shingle sets have identical signatures") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "x y z w v"), (2L, "x y z w v"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+    val sig = Text.minhashSignature(docs, "doc_id", "sh", 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toList).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("LWW: max-writetime wins, insensitive to input order (property)") {
+    val s = spark; import s.implicits._
+    val versions = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 100L)))
+      .map(_.zipWithIndex.map { case ((k, wt), i) => (k, wt, i.toLong) })
+    check(Prop.forAll(versions) { rows =>
+      rows.nonEmpty ==> {
+        val df1 = rows.toDF("k", "wt", "uid")
+        val df2 = scala.util.Random.shuffle(rows).toDF("k", "wt", "uid")
+        def res(df: org.apache.spark.sql.DataFrame) =
+          Lww.latest(df, Seq("k"), Seq(col("wt").desc, col("uid").desc))
+            .orderBy("k").collect().map(_.toString).toList
+        val r1 = res(df1)
+        // newest (wt, uid) per key, idempotent, order-insensitive
+        val expect = rows.groupBy(_._1).map { case (k, vs) =>
+          val (wt, uid) = vs.map(v => (v._2, v._3)).max
+          s"[$k,$wt,$uid]"
+        }.toList.sorted
+        r1 == res(df2) && r1 == expect &&
+          res(Lww.latest(df1, Seq("k"), Seq(col("wt").desc, col("uid").desc))) == r1
+      }
+    })
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan assertions (SURVEY.md §4): the declared queries must
+  * not just be correct — they must compile to the plans the 100 TB
+  * design depends on (pushdown, broadcast, window group limits). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("scan_partition_lookup pushes the PK equality into the parquet scan") {
+    val p = plan("scan_partition_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_orderkey,42)"), p.take(800))
+  }
+
+  test("project prunes unused columns at the scan") {
+    val p = plan("project")
+    assert(!p.contains("l_tax") && !p.contains("l_returnflag"), p.take(800))
+  }
+
+  test("join_broadcast uses BroadcastHashJoin for both dims") {
+    val p = plan("join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("join_sortmerge honors the MERGE hint") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("join_lookup broadcasts the key set (point-read join)") {
+    assert(plan("join_lookup").contains("BroadcastHashJoin"))
+  }
+
+  test("win_pplimit gets the WindowGroupLimit rewrite (top-k per group)") {
+    assert(plan("win_pplimit").contains("WindowGroupLimit"))
+  }
+
+  test("win_lww gets the WindowGroupLimit rewrite too (rn = 1)") {
+    assert(plan("win_lww").contains("WindowGroupLimit"))
+  }
+
+  test("topk compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 aggregates partially before the shuffle (partial hash agg)") {
+    val p = plan("q1_pricing")
+    assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))
+  }
+
+  test("filter_pred reaches the scan as pushed filters (incl. the OR)") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters") && p.contains("Or(EqualTo(o_orderstatus,F)"),
+      p.take(800))
+  }
+}

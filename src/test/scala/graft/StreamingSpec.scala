@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** Structured-Streaming behavior that the batch oracle cannot check
+  * (SURVEY.md §2.I, §5.3): windowed aggregation under a real stream,
+  * watermark late-drop, dedup, and explicit state. */
+case class SEvent(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def t(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("tumbling window counts under streaming match the batch result") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      SEvent(1, t(1, 1), 1, "click", 1.0), SEvent(2, t(1, 2), 1, "click", 2.0),
+      SEvent(3, t(2, 1), 2, "view", 3.0), SEvent(4, t(3, 1), 2, "view", 4.0))
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(rows: _*)
+    StreamOps.runToMemory(
+      StreamOps.tumblingCounts(mem.toDF()), "tumbling_out", OutputMode.Complete())
+    val streamed = s.table("tumbling_out")
+      .select("win_start", "event_type", "n").collect()
+      .map(_.toString).sorted.toList
+    val batch = rows.toDF()
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("win_start"), $"event_type", $"n")
+      .collect().map(_.toString).sorted.toList
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("watermark drops events later than 1 hour behind the max ts") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SEvent]
+    // batch 1 advances the watermark to day20 - 1h
+    mem.addData(SEvent(1, t(1), 1, "click", 1.0), SEvent(2, t(20), 1, "click", 1.0))
+    val q = StreamOps.tumblingCounts(mem.toDF())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("wm_out").start()
+    q.processAllAvailable()
+    // batch 2: a day-1 event, far behind the watermark → dropped
+    mem.addData(SEvent(3, t(1, 1), 1, "click", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val day1 = s.table("wm_out").filter($"win_start" === t(1)).collect()
+    // day-1 window emitted once with only the pre-watermark event
+    assert(day1.length == 1 && day1.head.getAs[Long]("n") == 1L)
+  }
+
+  test("streaming dedup keeps first occurrence per event_id") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(
+      SEvent(1, t(1), 1, "click", 1.0), SEvent(1, t(1), 1, "click", 1.0),
+      SEvent(2, t(1), 2, "view", 2.0))
+    StreamOps.runToMemory(StreamOps.dedup(mem.toDF()), "dedup_out", OutputMode.Append())
+    assert(s.table("dedup_out").count() == 2)
+  }
+
+  test("mapGroupsWithState accumulates running per-user counters") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[StreamOps.EventRow]
+    val q = StreamOps.statefulCounts(mem.toDS())
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName("state_out").start()
+    mem.addData(StreamOps.EventRow(1, 7, "click", 1.0), StreamOps.EventRow(2, 7, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.EventRow(3, 7, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // state persists across batches: final update for user 7 is n=3, sum=7
+    val last = s.table("state_out").collect().map(_.toString)
+    assert(last.contains("[7,3,7.0]"), last.mkString(","))
+  }
+}
