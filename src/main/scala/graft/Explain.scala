@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: print the executed plan (and optionally time) of one
+  * declared query. Usage: runMain graft.Explain <name> [sfDir] [time]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    if (args.length > 2 && args(2) == "time") {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(s"run $i: ${(System.nanoTime() - t0) / 1e9}%s s, $n rows")
+      }
+    }
+    spark.stop()
+  }
+}

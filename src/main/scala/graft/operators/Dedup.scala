@@ -38,10 +38,16 @@ object Dedup extends QueryGroup {
     * only for the (few) candidates — arrays never ride through the
     * band shuffle. */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    // Materialize the shingle arrays once: three downstream branches
+    // (signature, both sides of the verify join) would otherwise each
+    // recompute the tokenize+shingle projection. At cluster scale this
+    // is the "write signatures to a table, then band-join" pattern.
     val base = withPlanted(s, dir)
-      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "sh")
-    val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes)
+      .localCheckpoint()
+    val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes).localCheckpoint()
     val mh = (0 until NumHashes).map(j => col(s"mh$j"))
     val banded = sig
       .withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
@@ -70,9 +76,10 @@ object Dedup extends QueryGroup {
     * probabilistic. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val base = withPlanted(s, dir)
-      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "sh")
-    val docs = Text.simhashSignature(base, "doc_id", "sh")
+    val docs = Text.simhashSignature(base, "doc_id", "sh").localCheckpoint()
     val chunked = docs.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 8).map(c =>
@@ -99,7 +106,8 @@ object Dedup extends QueryGroup {
     * DuckDB produce identical doubles. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") < 60)
-      .withColumn("sh", array_distinct(Text.shingles(Text.words(col("text")), 3)))
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("sh", array_distinct(Text.shingles(col("w"), 3)))
     val a = base.select(col("doc_id").as("id_a"), col("sh").as("sha"))
     val b = base.select(col("doc_id").as("id_b"), col("sh").as("shb"))
     a.crossJoin(b)

@@ -88,19 +88,29 @@ object TextOps extends QueryGroup {
     * rows-only). At scale: profiles are tiny (5×30 rows, broadcast);
     * the classify join never shuffles the corpus more than once. */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+    // Features: bigrams of the first 200 chars (caps per-doc work, the
+    // standard langid trick). The exploded bigram relation feeds both
+    // the profile build and classification — materialize it once.
+    // Materialize the prepared text before the per-element transform:
+    // CollapseProject would otherwise inline lower(substring(...))
+    // into every bigram element (see Text.shingles scaladoc).
+    val prepared = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        lower(substring(col("text"), 1, 200)).as("t"))
+      .localCheckpoint()
+    val exploded = prepared
       .withColumn("bigrams",
         expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
-    val profile = docs
-      .select(col("lang"), explode(col("bigrams")).as("bg"))
+      .select(col("doc_id"), col("lang"), explode(col("bigrams")).as("bg"))
+      .localCheckpoint()
+    val profile = exploded
       .groupBy("lang", "bg").count()
       .withColumn("rk",
         row_number().over(Window.partitionBy("lang").orderBy(col("count").desc, col("bg").asc)))
       .filter(col("rk") <= 30)
       .select(col("lang").as("cand_lang"), col("bg"))
-    val scored = docs
-      .select(col("doc_id"), col("lang"), explode(array_distinct(col("bigrams"))).as("bg"))
+    val scored = exploded
+      .select(col("doc_id"), col("lang"), col("bg")).distinct()
       .join(broadcast(profile), "bg")
       .groupBy("doc_id", "lang", "cand_lang").count()
       .withColumn("rk",

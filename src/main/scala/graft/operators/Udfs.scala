@@ -32,8 +32,9 @@ object Udfs extends QueryGroup {
   def udtfShingle(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
+      .withColumn("w", Text.words(col("text")))
       .select(col("doc_id"),
-        posexplode(Text.shingles(Text.words(col("text")), 3)).as(Seq("pos", "shingle")))
+        posexplode(Text.shingles(col("w"), 3)).as(Seq("pos", "shingle")))
       .orderBy("doc_id", "pos")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
