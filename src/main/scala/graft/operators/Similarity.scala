@@ -95,10 +95,52 @@ object Similarity extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF top-k: coarse-quantize the corpus with k-means (16 cells,
+    * fixed seed), probe the 4 cells nearest each query, exact rerank
+    * inside the probed cells. The 100 TB shape: centroids are tiny and
+    * broadcast; the corpus is scanned once to assign cells (a write-
+    * once index in practice), and each query touches nprobe/k of the
+    * data. Centroid training is floating-point ⇒ declared no-oracle
+    * and excluded from the determinism suite. */
+  def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    val cents = s.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cent_cell", "cent")
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cent_sim").desc, col("cent_cell").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", Vectors.dot(col("qvec"), col("cent")))
+      .withColumn("cell_rk", row_number().over(wCell))
+      .filter(col("cell_rk") <= 4)
+      .select(col("query_id"), col("qvec"), col("cent_cell").as("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    assigned.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(Vectors.dot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_threshold" -> (simThreshold _),
     "sim_topk_lsh" -> (simTopkLsh _),
+    "sim_topk_ivf" -> (simTopkIvf _),
     "dedup_embed" -> (dedupEmbed _)
   )
 

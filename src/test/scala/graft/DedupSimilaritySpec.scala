@@ -59,6 +59,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) != r.getLong(0)))
   }
 
+  test("sim_topk_ivf: 10 neighbors per query with brute-force overlap") {
+    val brute = SparkEntry.queries("sim_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_topk_ivf")(spark, sf001).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    val overlap = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet & brute
+    assert(overlap.nonEmpty, "IVF shares no neighbor with brute force")
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
