@@ -14,22 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product of two float vectors, accumulated in double. */
+  /** Dot product of two numeric arrays (any element type),
+    * accumulated left-to-right in double — the generic interpreted
+    * fallback. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
 
+  /** Dot product of two FLOAT arrays via the fused codegen expression
+    * (graft.plans.DotProductExpr) — bit-identical to [[dot]] on float
+    * inputs, but runs inside whole-stage codegen. Use on hot paths. */
+  def fdot(a: Column, b: Column): Column = graft.plans.DotProductExpr.dot(a, b)
+
   /** Deterministic Gaussian hyperplanes for sign-random-projection
-    * LSH: `nbits` planes of dimension `dim`, fixed seed. */
-  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    * LSH: `nbits` planes of dimension `dim`, fixed seed. Float so the
+    * bucket computation stays on the codegen [[fdot]] path. */
+  def hyperplanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new java.util.Random(seed)
-    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
   /** LSH bucket id: one sign bit per hyperplane. Vectors at small
     * angle collide with high probability; bucket-equality joins
     * replace the all-pairs crossJoin at scale. */
-  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+  def lshBucket(v: Column, planes: Seq[Seq[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(fdot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
 }

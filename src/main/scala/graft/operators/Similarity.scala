@@ -34,7 +34,7 @@ object Similarity extends QueryGroup {
       .orderBy(col("score").desc, col("vec_id").asc)
     emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(Vectors.dot(col("embedding"), col("qvec")), 6))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "score", "rk")
@@ -49,7 +49,7 @@ object Similarity extends QueryGroup {
       .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(Vectors.dot(col("va"), col("vb")), 6))
+      .withColumn("score", round(Vectors.fdot(col("va"), col("vb")), 6))
       .filter(col("score") > 0.35)
       .select("id_a", "id_b", "score")
       .orderBy("id_a", "id_b")
@@ -68,7 +68,7 @@ object Similarity extends QueryGroup {
       .orderBy(col("score").desc, col("vec_id").asc)
     emb.join(broadcast(q), col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(Vectors.dot(col("embedding"), col("qvec")), 6))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "score", "rk")
@@ -89,7 +89,7 @@ object Similarity extends QueryGroup {
     val b = all.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("bucket"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(Vectors.dot(col("va"), col("vb")), 6))
+      .withColumn("score", round(Vectors.fdot(col("va"), col("vb")), 6))
       .filter(col("score") > 0.9)
       .select("id_a", "id_b", "score")
       .orderBy("id_a", "id_b")
@@ -129,7 +129,7 @@ object Similarity extends QueryGroup {
       .orderBy(col("score").desc, col("vec_id").asc)
     assigned.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(Vectors.dot(col("embedding"), col("qvec")), 6))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "score", "rk")

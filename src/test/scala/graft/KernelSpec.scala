@@ -34,6 +34,19 @@ class KernelSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toList == List(1.0, 0.0))
   }
 
+  test("codegen DotProductExpr is bit-identical to the HOF dot product") {
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va")).filter(col("ia") < 30)
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb")).filter(col("ib") < 30)
+    val both = a.crossJoin(b)
+      .select(
+        Vectors.dot(col("va"), col("vb")).as("hof"),
+        Vectors.fdot(col("va"), col("vb")).as("gen"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("dot product: self-similarity of normalized embeddings ≈ 1") {
     val emb = graft.core.Tables.embeddings(spark, sf001).limit(20)
     val sims = emb.select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
