@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY.md §4.3): the engine
+  * deliberately ships ZERO custom optimizer rules or strategies —
+  * every operator compiles to stock Catalyst plans — so the only
+  * injection is SQL registration of the native expressions.
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or spark.sql.extensions=graft.plans.GraftExtensions, after which
+  *   SELECT dot_product(a.embedding, b.embedding) ... works in SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dotProduct)
+  }
+}
+
+object GraftExtensions {
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+    (children: Seq[Expression]) => DotProductExpr(children(0), children(1))
+  )
+
+  /** Register on an existing session (tests / notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = dotProduct
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -7,7 +7,9 @@ class DeterminismSpec extends SparkSpec {
 
   private val names = Seq(
     "q1_pricing", "join_asof", "win_lww", "stream_session",
-    "dedup_near", "agg_udaf", "win_frame", "sim_topk")
+    "dedup_near", "agg_udaf", "win_frame", "sim_topk",
+    "set_except", "stream_sliding", "text_fingerprint", "dedup_jaccard",
+    "multimodal_decode", "topk", "agg_gsets", "fn_json")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -47,6 +47,15 @@ class KernelSpec extends SparkSpec {
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("dot_product is SQL-registerable via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
+    graft.core.Tables.embeddings(spark, sf001).limit(5).createOrReplaceTempView("emb_tmp")
+    val sims = spark.sql(
+      "SELECT dot_product(embedding, embedding) AS d FROM emb_tmp")
+      .collect().map(_.getDouble(0))
+    assert(sims.length == 5 && sims.forall(d => math.abs(d - 1.0) < 1e-4))
+  }
+
   test("dot product: self-similarity of normalized embeddings ≈ 1") {
     val emb = graft.core.Tables.embeddings(spark, sf001).limit(20)
     val sims = emb.select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
