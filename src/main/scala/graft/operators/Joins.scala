@@ -145,7 +145,51 @@ object Joins extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Skew-mitigated join via key salting: the fact side gets a salt
+    * from a row-unique hash, the dim side is replicated once per salt
+    * value, and the join key becomes (key, salt) — a hot key's rows
+    * spread over `Salt` reducers instead of one. Result ≡ the plain
+    * join (oracle-checked). At 100 TB this (or AQE skew-split, which
+    * handles the same problem adaptively) is mandatory for power-law
+    * keys. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val salt = 8
+    val fact = Tables.events(s, dir)
+      .withColumn("salt_f", pmod(xxhash64(col("event_id")), lit(salt)).cast("int"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("salt_d", explode(sequence(lit(0), lit(salt - 1))))
+    fact.join(dim,
+        col("user_id") === col("c_custkey") && col("salt_f") === col("salt_d"))
+      .select("event_id", "user_id", "c_name")
+      .orderBy("event_id")
+  }
+
+  /** Co-located join via bucketing: both sides written bucketed by the
+    * join key (8 buckets), then joined bucket-to-bucket — no shuffle
+    * of either side at read time (asserted in PlanSpec). This is the
+    * materialized-partitioning pattern: pay one shuffle at write time,
+    * join shuffle-free forever after. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_bucketed"
+    Tables.orders(s, dir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders").mode("overwrite")
+      .saveAsTable("graft_orders_bucketed")
+    Tables.customer(s, dir).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer").mode("overwrite")
+      .saveAsTable("graft_customer_bucketed")
+    s.table("graft_orders_bucketed").hint("MERGE")
+      .join(s.table("graft_customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> (joinSalted _),
+    "join_bucketed" -> (joinBucketed _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast" -> (joinBroadcast _),
     "join_sortmerge" -> (joinSortMerge _),
@@ -160,6 +204,14 @@ object Joins extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted" -> """
+      SELECT event_id, user_id, c_name
+      FROM events JOIN customer ON user_id = c_custkey
+      ORDER BY event_id""",
+    "join_bucketed" -> """
+      SELECT o_orderkey, o_custkey, c_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
     "join_inner_hash" -> """
       SELECT o_orderkey, o_custkey, c_name, o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey

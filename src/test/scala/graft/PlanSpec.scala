@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))
   }
 
+  test("join_bucketed reads both sides shuffle-free (bucket join)") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    // the only Exchange below the join output is the final orderBy's
+    // range partitioning, which sits ABOVE SortMergeJoin in the plan
+    // string — below it, bucketed scans need no shuffle
+    assert(!joinPart.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
   test("filter_pred reaches the scan as pushed filters (incl. the OR)") {
     val p = plan("filter_pred")
     assert(p.contains("PushedFilters") && p.contains("Or(EqualTo(o_orderstatus,F)"),
