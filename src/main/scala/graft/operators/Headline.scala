@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Num, Tables}
+
+/** Headline multi-join analytics (TPC-H Q3/Q5 shapes) — the
+  * compound plans a user of the engine actually runs: broadcast dims,
+  * sort-merge facts, decimal-exact revenue aggregation, ordered top-k.
+  *
+  * Plan shape at 100 TB: nation/region broadcast (zero fact shuffle),
+  * lineitem⋈orders shuffles once on orderkey, the groupBy reuses the
+  * aggregation key's partial aggregation, and the top-k is
+  * TakeOrderedAndProject — no global sort.
+  */
+object Headline extends QueryGroup {
+
+  /** Q3-shaped: unshipped-revenue top-10 by order. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Num.dsumExact(
+        Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5-shaped: revenue by nation for one region/date window. */
+  def q5Supplier(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(Num.dsumExact(
+        Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping" -> (q3Shipping _),
+    "q5_supplier" -> (q5Supplier _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+          AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10""",
+    "q5_supplier" -> """
+      SELECT n_name,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+          AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name ASC"""
+  )
+}

@@ -12,7 +12,7 @@ trait QueryGroup {
 object Registry {
   def groups: Seq[QueryGroup] =
     Seq(Aggregates, Scans, Filters, SortLimit, SetOps, Joins, Windows, ScalarFns,
-      StreamingBatch, TextOps, Dedup, Similarity, Udfs, Multimodal)
+      StreamingBatch, TextOps, Dedup, Similarity, Udfs, Multimodal, Headline)
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.flatMap(_.queries).toMap
   def oracles: Map[String, String] = groups.flatMap(_.oracles).toMap

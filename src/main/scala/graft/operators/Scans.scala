@@ -68,7 +68,22 @@ object Scans extends QueryGroup {
       .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
+  /** Partition pruning: write events hive-partitioned by event_type,
+    * read back one partition — the scan touches only that directory
+    * (PartitionFilters, asserted in PlanSpec). The storage-layout
+    * twin of Cassandra's partition-key routing, and the first lever
+    * for 100 TB scans (date/type partitioning). */
+  def scanPartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_partitioned/events_by_type"
+    Tables.events(s, dir).write.partitionBy("event_type").mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_partition_pruned" -> (scanPartitionPruned _),
     "scan_full" -> (scanFull _),
     "scan_partition_lookup" -> (scanPartitionLookup _),
     "scan_clustering_range" -> (scanClusteringRange _),
@@ -79,6 +94,9 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_partition_pruned" -> """
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_type = 'purchase' ORDER BY event_id""",
     "scan_full" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_partition_lookup" ->

@@ -48,6 +48,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial"), p.take(800))
   }
 
+  test("scan_partition_pruned scans only the matching partition") {
+    val p = plan("scan_partition_pruned")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"), p.take(1200))
+  }
+
+  test("q5_supplier broadcasts the dims") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q5_supplier")).size >= 2)
+  }
+
   test("join_bucketed reads both sides shuffle-free (bucket join)") {
     val df = SparkEntry.queries("join_bucketed")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
