@@ -68,6 +68,42 @@ class StreamingSpec extends SparkSpec {
     assert(s.table("dedup_out").count() == 2)
   }
 
+  test("file-source stream over the real events parquet matches batch") {
+    val s = spark; import s.implicits._
+    // Streaming watermarks require TIMESTAMP (not NTZ) event time —
+    // session is UTC so the cast is value-preserving on both sides.
+    val batchEvents = graft.core.Tables.events(s, sf001)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val expected = StreamOps.tumblingCounts(batchEvents)
+      .drop("sum_value") // Complete-mode compare on counts
+      .collect().map(_.toString).sorted.toList
+    // Stream the same parquet file through the file source: nanos ts
+    // arrives as long (nanosAsLong), converted exactly like Tables.
+    val raw = s.readStream
+      .schema(s.read.option("pathGlobFilter", "events.parquet").parquet(sf001).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf001)
+    val streamEvents = raw.withColumn(
+      "ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamOps.tumblingCounts(streamEvents).drop("sum_value")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("file_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = s.table("file_stream_out").collect().map(_.toString).sorted.toList
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("CassandraSource falls back to the parquet substrate and round-trips") {
+    val s = spark; import s.implicits._
+    assert(!graft.sources.CassandraSource.enabled(s))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    graft.sources.CassandraSource.write(s, df, dir, "t1")
+    val back = graft.sources.CassandraSource.read(s, dir, "t1")
+      .orderBy("k").collect().map(_.toString).toList
+    assert(back == List("[1,x]", "[2,y]"))
+  }
+
   test("mapGroupsWithState accumulates running per-user counters") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
