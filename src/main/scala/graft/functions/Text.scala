@@ -34,15 +34,6 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. Plays the role of the
-    * k independent permutations of classic MinHash; P(collision of one
-    * coordinate) ≈ Jaccard similarity of the shingle sets. */
-  def minhash(shingleCol: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { j =>
-      array_min(transform(shingleCol, x => xxhash64(x, lit(j)))).as(s"mh$j")
-    }
-
   /** LSH band keys over a minhash signature: `bands` groups of
     * `rowsPerBand` coordinates hashed together. Docs sharing any band
     * key are candidate near-duplicates; at scale the self-join runs
@@ -51,19 +42,6 @@ object Text {
     (0 until bands).map { b =>
       xxhash64((mh.slice(b * rowsPerBand, (b + 1) * rowsPerBand) :+ lit(b)): _*).as(s"band$b")
     }
-
-  /** 64-bit SimHash over a token array: per bit position, sum +1/-1
-    * according to each token-hash's bit, keep the sign bit. Tokens
-    * with small edit distance ⇒ Hamming-close simhashes. */
-  def simhash64(w: Column): Column = {
-    val hashes = transform(w, x => xxhash64(x))
-    val bits = (0 until 64).map { j =>
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(contrib > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
 
   /** Rolling-hash document fingerprint: the minimum over 3-gram
     * shingle MD5s (single-window winnowing). */
