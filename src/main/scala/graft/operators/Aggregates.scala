@@ -144,7 +144,32 @@ object Aggregates extends QueryGroup {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** Exact continuous quantiles (median / p90) — both engines use
+    * linear interpolation over the sorted values, so the doubles agree
+    * after round(6). The scale path is approx_percentile (see
+    * aggApproxDistinct for the same exact-vs-sketch tradeoff). */
+  def aggQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Nested-result aggregation: per-group sorted value lists
+    * (collect_set/sort_array ↔ DuckDB list + list_sort). */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_quantile" -> (aggQuantile _),
+    "agg_collect" -> (aggCollect _),
     "q1_pricing" -> (q1Pricing _),
     "agg_global" -> (aggGlobal _),
     "agg_groupby" -> (aggGroupBy _),
@@ -158,6 +183,17 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_quantile" -> """
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_collect" -> """
+      SELECT o_orderpriority,
+        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q1_pricing" -> q1PricingSql,
     "agg_global" -> s"""
       SELECT COUNT(*) AS n_rows,

@@ -82,7 +82,25 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Secondary-index emulation (SURVEY.md §1.1): a precomputed
+    * inverted-index table (value → row keys) answers a point lookup on
+    * a non-key column, then joins back to fetch rows — the pattern a
+    * SASI/2i index uses inside the wide-column store. Result ≡ the
+    * plain filter (oracle-checked); at 100 TB the index table is built
+    * once and the probe side is a broadcast semi-join. */
+  def scanSecondaryIndex(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val index = events
+      .groupBy(col("event_type")).agg(collect_list(col("event_id")).as("keys"))
+    val keys = index.filter(col("event_type") === "signup")
+      .select(explode(col("keys")).as("event_id"))
+    events.join(broadcast(keys), "event_id")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_secondary_index" -> (scanSecondaryIndex _),
     "scan_partition_pruned" -> (scanPartitionPruned _),
     "scan_full" -> (scanFull _),
     "scan_partition_lookup" -> (scanPartitionLookup _),
@@ -94,6 +112,9 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_secondary_index" -> """
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_type = 'signup' ORDER BY event_id""",
     "scan_partition_pruned" -> """
       SELECT event_id, user_id, event_type, value FROM events
       WHERE event_type = 'purchase' ORDER BY event_id""",

@@ -77,7 +77,23 @@ object Windows extends QueryGroup {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Cassandra STATIC columns: one value per partition shared by all
+    * rows (SURVEY.md §1.1) — emulated as first-in-clustering-order
+    * broadcast over the partition window. */
+  def winStatic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderdate")).over(w).as("first_order_date"),
+        first(col("o_orderpriority")).over(w).as("static_priority"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_static" -> (winStatic _),
     "win_rank" -> (winRank _),
     "win_lww" -> (winLww _),
     "win_analytic" -> (winAnalytic _),
@@ -86,6 +102,14 @@ object Windows extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_static" -> """
+      SELECT o_custkey, o_orderkey,
+        FIRST_VALUE(o_orderdate) OVER w AS first_order_date,
+        FIRST_VALUE(o_orderpriority) OVER w AS static_priority
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
     "win_rank" -> """
       SELECT o_custkey, o_orderkey,
         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
