@@ -9,7 +9,12 @@ class DeterminismSpec extends SparkSpec {
     "q1_pricing", "join_asof", "win_lww", "stream_session",
     "dedup_near", "agg_udaf", "win_frame", "sim_topk",
     "set_except", "stream_sliding", "text_fingerprint", "dedup_jaccard",
-    "multimodal_decode", "topk", "agg_gsets", "fn_json")
+    "multimodal_decode", "topk", "agg_gsets", "fn_json",
+    // rows-only queries must be stable too (the driver still compares
+    // row counts; and flapping outputs would be a real bug):
+    "dedup_simhash", "dedup_embed", "sim_topk_lsh", "scan_token_range",
+    "fn_token", "text_langid", "agg_approx_distinct", "agg_collect",
+    "win_static", "scan_secondary_index", "q3_shipping", "q5_supplier")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -87,6 +87,19 @@ class KernelSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("Num.dsum: decimal-exact, equal to rational arithmetic (property)") {
+    val s = spark; import s.implicits._
+    val cents = Gen.listOfN(40, Gen.choose(-1000000L, 1000000L))
+    check(Prop.forAll(cents) { cs =>
+      cs.nonEmpty ==> {
+        val doubles = cs.map(_ / 100.0)
+        val got = doubles.toDF("x").agg(graft.core.Num.dsum(col("x"))).first().getDouble(0)
+        val expect = cs.sum / 100.0 // exact integer cents, one rounding
+        got == expect
+      }
+    })
+  }
+
   test("LWW: max-writetime wins, insensitive to input order (property)") {
     val s = spark; import s.implicits._
     val versions = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 100L)))
