@@ -122,7 +122,32 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Normalization stage: lowercase, strip non-alphanumerics,
+    * collapse whitespace, trim — the standard pre-dedup cleanup. */
+  def textClean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("clean_text"),
+        length(col("text")).as("raw_len"))
+      .withColumn("clean_len", length(col("clean_text")))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val split by CONTENT hash (not row position):
+    * stable under re-shards, re-orders and re-runs — the property a
+    * training pipeline needs. Bucket = first 16 bits of md5(text);
+    * ~6% val at the 4096 threshold. */
+  def textSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int"))
+      .withColumn("split", when(col("bucket") < 4096, "val").otherwise("train"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_clean" -> (textClean _),
+    "text_split" -> (textSplit _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),
     "text_lang_filter" -> (textLangFilter _),
@@ -133,6 +158,20 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_clean" -> """
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')) AS clean_text,
+        CAST(length(text) AS INTEGER) AS raw_len,
+        CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS INTEGER) AS clean_len
+      FROM documents ORDER BY doc_id""",
+    "text_split" -> """
+      SELECT doc_id,
+        CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) AS bucket,
+        CASE WHEN CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) < 4096
+             THEN 'val' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id""",
     "dedup_exact" -> """
       SELECT doc_id, sha256(text) AS text_sha, n_chars
       FROM documents ORDER BY doc_id""",
