@@ -17,7 +17,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Release checkpoint/cache blocks a query may have pinned so
       // later queries aren't measured under accumulated memory load.

@@ -23,7 +23,7 @@ object Explain {
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val n = df.count()
-        println(s"run $i: ${(System.nanoTime() - t0) / 1e9}%s s, $n rows")
+        println(s"run $i: ${(System.nanoTime() - t0) / 1e9} s, $n rows")
       }
     }
     spark.stop()

@@ -13,7 +13,7 @@ package graft.multimodal
 final case class MediaRecord(doc_id: Long, payload: Array[Byte], lang: String)
 
 final case class MediaFeatures(
-    doc_id: Long, n_bytes: Int, n_a: Int, n_space: Int, first_byte: Int)
+    doc_id: Long, n_bytes: Int, n_a: Int, n_space: Int, head_codepoint: Int)
 
 object MediaCodec {
   /** STUB decode: a real implementation would decode the image/audio
@@ -31,7 +31,11 @@ object MediaCodec {
       if (bytes(i) == ' '.toByte) nSpace += 1
       i += 1
     }
+    // Head "feature" is the first Unicode code point of the decoded
+    // payload (not the raw signed byte — that would diverge from any
+    // text-level recomputation on non-ASCII data), -1 when empty.
     MediaFeatures(r.doc_id, bytes.length, nA, nSpace,
-      if (bytes.isEmpty) -1 else bytes(0).toInt)
+      if (bytes.isEmpty) -1
+      else new String(bytes, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0))
   }
 }

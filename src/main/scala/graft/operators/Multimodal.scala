@@ -61,7 +61,8 @@ object Multimodal extends QueryGroup {
         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         CAST(length(text) - length(replace(text, 'a', '')) AS INTEGER) AS n_a,
         CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_space,
-        ascii(substring(text, 1, 1)) AS first_byte
+        CASE WHEN length(text) = 0 THEN -1
+             ELSE ascii(substring(text, 1, 1)) END AS head_codepoint
       FROM documents ORDER BY doc_id"""
   )
 }

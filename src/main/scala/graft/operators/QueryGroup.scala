@@ -13,7 +13,16 @@ object Registry {
   def groups: Seq[QueryGroup] =
     Seq(Aggregates, Scans, Filters, SortLimit, SetOps, Joins, Windows, ScalarFns,
       StreamingBatch, TextOps, Dedup, Similarity, Udfs, Multimodal, Headline)
+
+  private def merged[V](maps: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val keys = maps.flatMap(_.keys)
+    val dups = keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate $what ids across groups (one would silently win): ${dups.mkString(", ")}")
+    maps.flatten.toMap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.flatMap(_.queries).toMap
-  def oracles: Map[String, String] = groups.flatMap(_.oracles).toMap
+    merged(groups.map(_.queries), "query")
+  def oracles: Map[String, String] = merged(groups.map(_.oracles), "oracle")
 }

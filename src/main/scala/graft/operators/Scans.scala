@@ -83,17 +83,18 @@ object Scans extends QueryGroup {
   }
 
   /** Secondary-index emulation (SURVEY.md §1.1): a precomputed
-    * inverted-index table (value → row keys) answers a point lookup on
-    * a non-key column, then joins back to fetch rows — the pattern a
-    * SASI/2i index uses inside the wide-column store. Result ≡ the
-    * plain filter (oracle-checked); at 100 TB the index table is built
-    * once and the probe side is a broadcast semi-join. */
+    * inverted-index table — (indexed_value, row_key) ROWS, never a
+    * per-value array, so no aggregation buffer grows with the number
+    * of matching rows — answers a point lookup on a non-key column,
+    * then joins back to fetch rows, the pattern a SASI/2i index plays
+    * inside the wide-column store. Result ≡ the plain filter
+    * (oracle-checked). At 100 TB: the index is written once
+    * partitioned by value; the probe is a pruned scan of one value
+    * partition + a join back on the row key. */
   def scanSecondaryIndex(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
-    val index = events
-      .groupBy(col("event_type")).agg(collect_list(col("event_id")).as("keys"))
-    val keys = index.filter(col("event_type") === "signup")
-      .select(explode(col("keys")).as("event_id"))
+    val index = events.select(col("event_type"), col("event_id"))
+    val keys = index.filter(col("event_type") === "signup").select("event_id")
     events.join(broadcast(keys), "event_id")
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")

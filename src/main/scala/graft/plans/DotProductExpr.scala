@@ -24,6 +24,10 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Mismatched lengths / null elements produce null even when both
+  // children are non-nullable — never inherit nullable=false, or the
+  // generated '${ev.isNull} = true' writes to the literal 'false'.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

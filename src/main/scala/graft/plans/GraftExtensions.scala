@@ -24,7 +24,11 @@ object GraftExtensions {
   val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
     new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-    (children: Seq[Expression]) => DotProductExpr(children(0), children(1))
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"dot_product expects exactly 2 arguments, got ${children.length}")
+      DotProductExpr(children(0), children(1))
+    }
   )
 
   /** Register on an existing session (tests / notebooks). */

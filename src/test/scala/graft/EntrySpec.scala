@@ -13,6 +13,12 @@ class EntrySpec extends SparkSpec {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("registry carries every group's queries (no silent id collisions)") {
+    val expected = graft.operators.Registry.groups.map(_.queries.size).sum
+    assert(SparkEntry.queries.size == expected,
+      s"${SparkEntry.queries.size} merged vs $expected declared")
+  }
+
   test("every declared query executes on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf001).count(); None }

@@ -64,25 +64,28 @@ def main():
             print(f"FAIL {name}: rows differ spark={len(got)} oracle={len(want)}")
             n_fail += 1
             continue
-        bad = []
+        bad, drift = [], []
         for c in got_cols:
             gv, wv = list(got[c]), list(want[c])
             for i, (g, w) in enumerate(zip(gv, wv)):
                 g, w = norm(g), norm(w)
                 eq = (g == w) or (g is None and w is None)
-                try:
-                    if not eq and isinstance(g, float) and isinstance(w, float):
-                        eq = g == w  # bitwise-ish
-                except Exception:
-                    pass
+                if not eq and isinstance(g, float) and isinstance(w, float):
+                    # distinguish last-ulp "formatting" drift (still a
+                    # FAIL — the driver hashes exact values — but a
+                    # rounding-discipline problem, not a logic bug)
+                    if w != 0 and abs(g - w) / abs(w) < 1e-9:
+                        drift.append((c, i, g, w))
+                        continue
                 if not eq:
                     bad.append((c, i, g, w))
                     if len(bad) >= 3:
                         break
             if len(bad) >= 3:
                 break
-        if bad:
-            print(f"FAIL {name}: value mismatches (col, row, spark, oracle): {bad}")
+        if bad or drift:
+            kind = "value mismatches" if bad else "float last-ulp drift"
+            print(f"FAIL {name}: {kind} (col, row, spark, oracle): {(bad or drift)[:3]}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
