@@ -15,7 +15,43 @@ final case class MediaRecord(doc_id: Long, payload: Array[Byte], lang: String)
 final case class MediaFeatures(
     doc_id: Long, n_bytes: Int, n_a: Int, n_space: Int, head_codepoint: Int)
 
+/** One sampled "frame" of a media payload (video frame-sampling
+  * stand-in): the payload split into fixed chunk rows. */
+final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_len: Int, frame_md5: String)
+
 object MediaCodec {
+  /** STUB frame sampler: a real implementation would decode the video
+    * container and emit every k-th frame; the fake splits the decoded
+    * payload into `n` contiguous chunks. The 1→N flatMap shape (one
+    * input row, n frame rows, executed per partition batch) is the
+    * real contract. */
+  def sampleFrames(r: MediaRecord, n: Int): Seq[MediaFrame] = {
+    val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val len = text.length
+    (0 until n).map { i =>
+      val from = i * len / n
+      val until = (i + 1) * len / n
+      val chunk = text.substring(from, until)
+      MediaFrame(r.doc_id, i, chunk.length,
+        md5Hex(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** STUB resize: a real implementation would bilinear-resample the
+    * decoded image; the fake takes `k` evenly spaced code points —
+    * same fixed-width-output contract. */
+  def resize(r: MediaRecord, k: Int): (Long, Seq[Int]) = {
+    val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val n = text.length
+    val pts =
+      if (n == 0) Seq.fill(k)(-1)
+      else (0 until k).map(i => text.charAt(i * (n - 1) / (k - 1)).toInt)
+    (r.doc_id, pts)
+  }
   /** STUB decode: a real implementation would decode the image/audio
     * payload and emit model features. The fake is deterministic and
     * cheap: byte statistics standing in for decoded features. The

@@ -45,9 +45,39 @@ object Multimodal extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: 1 payload → 4 frame rows via a typed flatMap
+    * (stub codec chunks the payload; a real one decodes a container).
+    * Character-based chunking on both sides keeps the oracle exact on
+    * this ASCII corpus. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("lang"))
+      .as[MediaRecord]
+      .flatMap(MediaCodec.sampleFrames(_, 4))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Resize: fixed-width resample (8 evenly spaced code points) —
+    * the fixed-output-shape contract of an image resize. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("lang"))
+      .as[MediaRecord]
+      .map(MediaCodec.resize(_, 8))
+      .toDF("doc_id", "resized")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_cols" -> (multimodalCols _),
-    "multimodal_decode" -> (multimodalDecode _)
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,6 +93,18 @@ object Multimodal extends QueryGroup {
         CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_space,
         CASE WHEN length(text) = 0 THEN -1
              ELSE ascii(substring(text, 1, 1)) END AS head_codepoint
+      FROM documents ORDER BY doc_id""",
+    "multimodal_frames" -> """
+      SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        CAST(((i+1)*length(text))//4 - (i*length(text))//4 AS INTEGER) AS frame_len,
+        md5(substring(text, (i*length(text))//4 + 1,
+                      ((i+1)*length(text))//4 - (i*length(text))//4)) AS frame_md5
+      FROM documents, (SELECT unnest(range(0, 4)) AS i) f
+      ORDER BY doc_id, frame_idx""",
+    "multimodal_resize" -> """
+      SELECT doc_id,
+        [ascii(substring(text, (i*(length(text)-1))//7 + 1, 1))
+         FOR i IN range(0, 8)] AS resized
       FROM documents ORDER BY doc_id"""
   )
 }
