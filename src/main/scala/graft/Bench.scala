@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at the
+  * `SPARK_GRAFT_SF_DIR` scale factor and emits the metric JSON the
+  * round driver records.
+  *
+  * Output protocol (VERDICT r1 "What's wrong" #3): the full per-query
+  * map goes out first on its own line, then a SHORT final
+  * `{"metric":"total",...}` line so any last-line or regex parser
+  * finds the metric even when a build tool (sbt) appends trailing
+  * lines. The full JSON is also written to `target/bench_last.json`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,13 +20,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NTZ casts in Tables.events are value-preserving only under a
+      // UTC session zone — set it in code, not just in run scripts.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/IO once so the first timed query isn't charged
     // for session initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional CLI args name specific queries to time (iteration aid);
+    // no args = the full suite the driver records.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -27,10 +46,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val brief =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(full)
+    println(brief)
     spark.stop()
   }
 }

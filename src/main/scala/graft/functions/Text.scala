@@ -62,20 +62,40 @@ object Text {
     exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** 64-bit SimHash via explode + codegen'd hash aggregate: per bit,
-    * sum of ±1 according to the shingle hash's bit, sign-bit assembled
-    * after the aggregate. Same scale shape as [[minhashSignature]]. */
+  /** 64-bit SimHash via explode + codegen'd hash aggregate.
+    *
+    * The naive form (64 `sum(when(bit_j, 1, -1))` agg columns) was the
+    * round-1 bench's single biggest cost (~25 s at sf0.1): the 64-long
+    * aggregation buffer blows past the codegen'd fast hash-map width.
+    * Instead, pack four 16-bit set-bit counters per long — 16 agg
+    * columns + one count — and reconstruct each bit's majority after
+    * the aggregate: sum of ±1 over n rows is `2*cnt_set - n`, so
+    * bit j is set iff `2*cnt_j > n`. 16-bit fields are overflow-safe
+    * to 65 535 shingles per doc (callers cap shingle counts well
+    * below that). Same scale shape as [[minhashSignature]]: one
+    * shuffle on the doc id, shuffle volume = docs × 17 longs. */
   def simhashSignature(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(col(shCol)).as("_s"))
       .select(col(idCol), xxhash64(col("_s")).as("_h"))
-    val aggs = (0 until 64).map { j =>
-      sum(when(shiftright(col("_h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
+    // p_g packs counters for bits 4g..4g+3 at 16-bit offsets.
+    val packed = (0 until 16).map { g =>
+      (0 until 4).map { i =>
+        val bit = g * 4 + i
+        shiftright(col("_h"), bit).bitwiseAND(lit(1L)) * lit(1L << (16 * i))
+      }.reduce(_ + _).as(s"p$g")
     }
-    val counts = exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-    val sim = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    val aggs = (0 until 16).map(g => sum(col(s"p$g")).as(s"p$g")) :+
+      count(lit(1)).as("_n")
+    val counts = exploded
+      .select(col(idCol) +: packed: _*)
+      .groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 64).map { j =>
+      val (g, i) = (j / 4, j % 4)
+      val cnt = shiftright(col(s"p$g"), 16 * i).bitwiseAND(lit(0xffffL))
+      when(cnt * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     counts.select(col(idCol), sim.as("sim"))
   }
 

@@ -45,6 +45,7 @@ object MediaCodec {
     * decoded image; the fake takes `k` evenly spaced code points —
     * same fixed-width-output contract. */
   def resize(r: MediaRecord, k: Int): (Long, Seq[Int]) = {
+    require(k >= 2, s"resize width must be >= 2 (got $k)")
     val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
     val n = text.length
     val pts =

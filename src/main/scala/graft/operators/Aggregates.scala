@@ -163,7 +163,9 @@ object Aggregates extends QueryGroup {
     Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        // collect_set under test; joined to a scalar so the driver's
+        // pandas compare can hash the column (arrays are unhashable there)
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
@@ -191,7 +193,7 @@ object Aggregates extends QueryGroup {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_collect" -> """
       SELECT o_orderpriority,
-        list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         COUNT(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q1_pricing" -> q1PricingSql,

@@ -70,6 +70,10 @@ object Multimodal extends QueryGroup {
       .as[MediaRecord]
       .map(MediaCodec.resize(_, 8))
       .toDF("doc_id", "resized")
+      // fixed-width int array under test; joined to a scalar so the
+      // driver's pandas compare can hash the column
+      .select(col("doc_id"),
+        array_join(col("resized").cast("array<string>"), ",").as("resized"))
       .orderBy("doc_id")
   }
 
@@ -103,8 +107,10 @@ object Multimodal extends QueryGroup {
       ORDER BY doc_id, frame_idx""",
     "multimodal_resize" -> """
       SELECT doc_id,
-        [ascii(substring(text, (i*(length(text)-1))//7 + 1, 1))
-         FOR i IN range(0, 8)] AS resized
+        array_to_string(
+          [CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substring(text, (i*(length(text)-1))//7 + 1, 1)) END
+           FOR i IN range(0, 8)], ',') AS resized
       FROM documents ORDER BY doc_id"""
   )
 }

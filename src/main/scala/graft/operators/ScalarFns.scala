@@ -109,7 +109,9 @@ object ScalarFns extends QueryGroup {
         size(words).as("n_words"),
         element_at(words, 1).as("first_word"),
         element_at(words, 3).as("third_word"),
-        array_sort(slice(words, 1, 4)).as("first4_sorted"))
+        // array logic under test; joined to a scalar so the driver's
+        // pandas compare can hash the column (arrays are unhashable there)
+        array_join(array_sort(slice(words, 1, 4)), ",").as("first4_sorted"))
       .orderBy("doc_id")
   }
 
@@ -121,7 +123,7 @@ object ScalarFns extends QueryGroup {
     Tables.events(s, dir)
       .select(
         col("event_id"),
-        map_keys(m).as("m_keys"),
+        array_join(map_keys(m), ",").as("m_keys"),
         element_at(m, "type").as("m_type"),
         element_at(m, "user").as("m_user"),
         size(m).as("m_size"))
@@ -204,11 +206,11 @@ object ScalarFns extends QueryGroup {
         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
         string_split(text, ' ')[1] AS first_word,
         string_split(text, ' ')[3] AS third_word,
-        list_sort(string_split(text, ' ')[1:4]) AS first4_sorted
+        array_to_string(list_sort(string_split(text, ' ')[1:4]), ',') AS first4_sorted
       FROM documents ORDER BY doc_id""",
     "fn_map" -> """
       SELECT event_id,
-        ['type', 'user'] AS m_keys,
+        'type,user' AS m_keys,
         event_type AS m_type,
         CAST(user_id AS VARCHAR) AS m_user,
         2 AS m_size

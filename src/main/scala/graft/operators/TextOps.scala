@@ -98,11 +98,17 @@ object TextOps extends QueryGroup {
       .select(col("doc_id"), col("lang"),
         lower(substring(col("text"), 1, 200)).as("t"))
       .localCheckpoint()
-    val exploded = prepared
-      .withColumn("bigrams",
-        expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
-      .select(col("doc_id"), col("lang"), explode(col("bigrams")).as("bg"))
-      .localCheckpoint()
+    // Per-doc DISTINCT bigrams computed row-locally (array_distinct
+    // before explode): the corpus-wide distinct shuffle the round-1
+    // version paid disappears entirely, and both aggregations below
+    // become plain counts with map-side partial aggregation. Profiles
+    // therefore rank by document frequency — the better-behaved langid
+    // statistic anyway. Re-derived (cheaply, from the checkpointed
+    // 200-char strings) by both consumers — one materialization total.
+    def exploded = prepared
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(
+          expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))).as("bg"))
     val profile = exploded
       .groupBy("lang", "bg").count()
       .withColumn("rk",
@@ -110,7 +116,6 @@ object TextOps extends QueryGroup {
       .filter(col("rk") <= 30)
       .select(col("lang").as("cand_lang"), col("bg"))
     val scored = exploded
-      .select(col("doc_id"), col("lang"), col("bg")).distinct()
       .join(broadcast(profile), "bg")
       .groupBy("doc_id", "lang", "cand_lang").count()
       .withColumn("rk",
@@ -177,9 +182,9 @@ object TextOps extends QueryGroup {
       FROM documents ORDER BY doc_id""",
     "text_stats" -> """
       SELECT lang, COUNT(*) AS n_docs,
-        SUM(n_chars) AS sum_chars,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-        SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_words,
+        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_words,
         ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
       FROM documents GROUP BY lang ORDER BY lang""",
     "text_lang_filter" -> """
