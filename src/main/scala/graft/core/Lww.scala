@@ -18,11 +18,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Lww {
   /** Newest row per key; `ordering` must totally order versions
-    * (e.g. writetime desc, then a unique tiebreak desc). */
+    * (e.g. writetime desc, then a unique tiebreak desc). The internal
+    * rank column name is collision-checked against the input schema so
+    * a caller column is never silently overwritten and dropped. */
   def latest(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val rn = Iterator.from(0).map(i => s"_lww_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("_lww_rn", row_number().over(w))
-      .filter(col("_lww_rn") === 1)
-      .drop("_lww_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
+
+  /** Newest-wins merge INCLUDING delete markers (tombstones): the
+    * newest version per key decides, and when it is a delete the key
+    * is absent from the result — so CQL DELETE hides every older
+    * upsert, and a later re-INSERT resurrects the key. `isDelete`
+    * must be evaluable on the surviving row. Same single-shuffle
+    * shape as [[latest]]; the tombstone filter is row-local. */
+  def mergeTombstones(
+      df: DataFrame, keys: Seq[String], ordering: Seq[Column], isDelete: Column): DataFrame =
+    latest(df, keys, ordering).filter(!isDelete)
 }

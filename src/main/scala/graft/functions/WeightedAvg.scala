@@ -15,6 +15,18 @@ case class WAvgBuf(cents: Long, qty: Long)
   * is commutative + associative — order-independent, hence
   * deterministic under any partitioning, and merge-safe for partial
   * (map-side) aggregation at 100 TB.
+  *
+  * PRECONDITIONS (enforced by the caller, asserted nowhere hot):
+  *  - the VALUE has at most 2 decimal places and the WEIGHT is
+  *    integral — both are then represented exactly and the per-row
+  *    `Math.round` is the identity. A fractional weight would be
+  *    rounded per ROW here but post-sum in a SQL mirror, and the two
+  *    disagree; use a decimal-typed aggregate for fractional weights.
+  *  - |Σ value_cents × weight| must fit a signed 64-bit long
+  *    (~9.2e18): at ~1e9 cent-units per row that allows ~1e9 rows per
+  *    GROUP before overflow — fine for real keyed groups; a single
+  *    global average over 100 TB should pre-aggregate per partition
+  *    key first (or switch the buffer to BigInt/decimal).
   */
 object WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
   override def zero: WAvgBuf = WAvgBuf(0L, 0L)

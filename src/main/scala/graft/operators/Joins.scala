@@ -171,17 +171,18 @@ object Joins extends QueryGroup {
     * materialized-partitioning pattern: pay one shuffle at write time,
     * join shuffle-free forever after. */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_bucketed"
+    val base = graft.core.RunId.scratch("bucketed")
+    val suffix = graft.core.RunId.id
     Tables.orders(s, dir).write
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", s"$base/orders").mode("overwrite")
-      .saveAsTable("graft_orders_bucketed")
+      .saveAsTable(s"graft_orders_bucketed_$suffix")
     Tables.customer(s, dir).write
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .option("path", s"$base/customer").mode("overwrite")
-      .saveAsTable("graft_customer_bucketed")
-    s.table("graft_orders_bucketed").hint("MERGE")
-      .join(s.table("graft_customer_bucketed"),
+      .saveAsTable(s"graft_customer_bucketed_$suffix")
+    s.table(s"graft_orders_bucketed_$suffix").hint("MERGE")
+      .join(s.table(s"graft_customer_bucketed_$suffix"),
         col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name")
       .orderBy("o_orderkey")

@@ -74,7 +74,7 @@ object Scans extends QueryGroup {
     * twin of Cassandra's partition-key routing, and the first lever
     * for 100 TB scans (date/type partitioning). */
   def scanPartitionPruned(s: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_partitioned/events_by_type"
+    val path = graft.core.RunId.scratch("partitioned/events_by_type")
     Tables.events(s, dir).write.partitionBy("event_type").mode("overwrite").parquet(path)
     s.read.parquet(path)
       .filter(col("event_type") === "purchase")

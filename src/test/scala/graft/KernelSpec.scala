@@ -100,6 +100,35 @@ class KernelSpec extends SparkSpec {
     })
   }
 
+  test("Lww.latest does not clobber a caller column named _lww_rn0") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 10L, "keep-me"), (1L, 20L, "winner")).toDF("k", "wt", "_lww_rn0")
+    val out = Lww.latest(df, Seq("k"), Seq(col("wt").desc)).collect()
+    assert(out.length == 1 && out.head.getString(2) == "winner")
+  }
+
+  test("tombstones: delete hides older versions, re-insert resurrects (property)") {
+    val s = spark; import s.implicits._
+    // rows: (key, writetime=index, isDelete); newest row per key decides
+    val histories = Gen.listOfN(10,
+      Gen.zip(Gen.choose(1L, 3L), Gen.oneOf(false, false, true)))
+      .map(_.zipWithIndex.map { case ((k, del), i) => (k, i.toLong, del) })
+    check(Prop.forAll(histories) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("k", "wt", "del")
+        val got = Lww.mergeTombstones(
+            df, Seq("k"), Seq(col("wt").desc), isDelete = col("del"))
+          .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+        // survivors = keys whose newest version is NOT a delete
+        val expect = rows.groupBy(_._1).toList.sortBy(_._1).flatMap { case (k, vs) =>
+          val newest = vs.maxBy(_._2)
+          if (newest._3) None else Some((k, newest._2))
+        }
+        got == expect
+      }
+    })
+  }
+
   test("LWW: max-writetime wins, insensitive to input order (property)") {
     val s = spark; import s.implicits._
     val versions = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 100L)))
