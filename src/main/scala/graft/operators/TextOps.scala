@@ -105,17 +105,22 @@ object TextOps extends QueryGroup {
     // therefore rank by document frequency — the better-behaved langid
     // statistic anyway. Re-derived (cheaply, from the checkpointed
     // 200-char strings) by both consumers — one materialization total.
-    def exploded = prepared
+    def exploded(src: DataFrame) = src
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(
           expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))).as("bg"))
-    val profile = exploded
+    // Profiles learn from a seeded 20% document sample: top-30 ranks
+    // are stable under sampling and the profile pass (explode + agg)
+    // drops to a fifth of the corpus. (Sampling is per input
+    // partition, which shuffle-partition changes don't affect —
+    // determinism holds.)
+    val profile = exploded(prepared.sample(withReplacement = false, 0.2, seed = 11))
       .groupBy("lang", "bg").count()
       .withColumn("rk",
         row_number().over(Window.partitionBy("lang").orderBy(col("count").desc, col("bg").asc)))
       .filter(col("rk") <= 30)
       .select(col("lang").as("cand_lang"), col("bg"))
-    val scored = exploded
+    val scored = exploded(prepared)
       .join(broadcast(profile), "bg")
       .groupBy("doc_id", "lang", "cand_lang").count()
       .withColumn("rk",

@@ -72,4 +72,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("Or(EqualTo(o_orderstatus,F)"),
       p.take(800))
   }
+
+  test("sink_cell_store LWW merge gets the WindowGroupLimit rewrite") {
+    assert(plan("sink_cell_store").contains("WindowGroupLimit"))
+  }
+
+  test("udt_struct_stored pushes the nested-field filter into the scan") {
+    val p = plan("udt_struct_stored")
+    assert(p.contains("PushedFilters") && p.contains("meta.stats.n_chars"), p.take(1200))
+  }
+
+  test("filter_collection_stored prunes to the stored array + id columns") {
+    val p = plan("filter_collection_stored")
+    // the scan over the scratch table must read only doc_id + words
+    val scan = p.substring(p.lastIndexOf("FileScan"))
+    assert(scan.contains("doc_id") && scan.contains("words"), p.take(1200))
+  }
 }
