@@ -79,7 +79,31 @@ object StreamingBatch extends QueryGroup {
       .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "event_type")
 
+  /** Stream-stream interval join in batch form: click→purchase
+    * attribution — every click by the same user within the hour
+    * before a purchase. The equality key (user_id) drives the
+    * shuffle; the time bound is a post-join filter, and in the
+    * streaming twin (StreamOps.attributionJoin) it also bounds the
+    * join state via the two watermarks. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(
+        col("purchase_id"), col("click_id"), col("user_id"),
+        Tables.epochMs(col("p_ts")).as("p_ms"),
+        Tables.epochMs(col("c_ts")).as("c_ms"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join" -> (streamJoin _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
@@ -89,6 +113,14 @@ object StreamingBatch extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join" -> """
+      SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+        epoch_ms(a.ts) AS p_ms, epoch_ms(b.ts) AS c_ms
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+        AND a.event_type = 'purchase' AND b.event_type = 'click'
+        AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+      ORDER BY purchase_id, click_id""",
     "stream_tumbling" -> s"""
       SELECT date_trunc('day', ts) AS win_start,
         date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,

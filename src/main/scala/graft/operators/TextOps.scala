@@ -155,7 +155,39 @@ object TextOps extends QueryGroup {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline — the composed LLM-training-data
+    * flow: normalize → language gate → quality gate → exact dedup on
+    * the CLEANED text (deterministic keep = lowest doc_id) →
+    * content-hash train/val split. Every stage is one of the
+    * already-verified operators; composing them costs one window
+    * shuffle (the dedup) on top of row-local work. */
+  def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
+    val ct = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val w = split(col("ct"), " ")
+    val nWords = size(w)
+    val stop = size(filter(w, x => x.isin("the", "a", "of")))
+    val quality = least(lit(1.0), nWords.cast("double") / 100.0) *
+      (lit(1.0) - stop.cast("double") / nWords)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), ct.as("ct"))
+      .select(col("doc_id"), col("lang"), col("ct"),
+        nWords.as("n_words"), quality.as("q"))
+      .filter(col("lang").isin("en", "de", "fr") &&
+        col("n_words") >= 20 && col("q") >= 0.4)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("ct").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("lang"), col("n_words"),
+        round(col("q"), 6).as("quality"),
+        when(conv(substring(md5(col("ct")), 1, 4), 16, 10).cast("int") < 4096, "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation" -> (pipelineCuration _),
     "text_clean" -> (textClean _),
     "text_split" -> (textSplit _),
     "dedup_exact" -> (dedupExact _),
@@ -168,6 +200,26 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curation" -> """
+      WITH c AS (
+        SELECT doc_id, lang,
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS ct
+        FROM documents),
+      q AS (
+        SELECT doc_id, lang, ct,
+          CAST(len(w) AS INTEGER) AS n_words,
+          least(1.0, CAST(len(w) AS DOUBLE) / 100.0) *
+            (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS DOUBLE)
+                   / len(w)) AS quality
+        FROM (SELECT doc_id, lang, ct, string_split(ct, ' ') AS w FROM c))
+      SELECT doc_id, lang, n_words, ROUND(quality, 6) AS quality,
+        CASE WHEN CAST(concat('0x', substring(md5(ct), 1, 4)) AS INTEGER) < 4096
+             THEN 'val' ELSE 'train' END AS split
+      FROM q
+      WHERE lang IN ('en', 'de', 'fr') AND n_words >= 20 AND quality >= 0.4
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id) = 1
+      ORDER BY doc_id""",
     "text_clean" -> """
       SELECT doc_id,
         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

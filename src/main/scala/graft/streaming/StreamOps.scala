@@ -39,6 +39,24 @@ object StreamOps {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Stream-stream interval join (click→purchase attribution): both
+    * sides watermarked so the join state for a user is dropped once
+    * the watermark passes the 1-hour interval — state is bounded by
+    * in-flight time range × user cardinality, not stream length. */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id", "user_id", "p_ts", "c_ts")
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long, sum_value: Double)
 

@@ -104,6 +104,22 @@ class StreamingSpec extends SparkSpec {
     assert(back == List("[1,x]", "[2,y]"))
   }
 
+  test("stream-stream interval join attributes clicks within the hour") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(
+      SEvent(1, Timestamp.valueOf("2024-01-01 09:00:00"), 1, "click", 0.0), // too old
+      SEvent(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "click", 0.0), // in window
+      SEvent(3, Timestamp.valueOf("2024-01-01 10:45:00"), 2, "click", 0.0), // other user
+      SEvent(4, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "purchase", 5.0))
+    StreamOps.runToMemory(
+      StreamOps.attributionJoin(mem.toDF()), "attr_out", OutputMode.Append())
+    val got = s.table("attr_out")
+      .select("purchase_id", "click_id").collect().map(_.toString).toList
+    assert(got == List("[4,2]"), got.mkString(","))
+  }
+
   test("mapGroupsWithState accumulates running per-user counters") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
