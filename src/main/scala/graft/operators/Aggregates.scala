@@ -169,7 +169,43 @@ object Aggregates extends QueryGroup {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Two-phase skew-safe aggregation: salt the hot grouping key
+    * (l_returnflag has 3 values — the classic skew shape), partially
+    * aggregate per (key, salt), then merge the partials. Decimal-exact
+    * sums are associative, so the result is bit-identical to the
+    * direct groupBy — which IS the oracle. At 100 TB this caps any
+    * single reducer's input at 1/16 of the hottest key. */
+  def aggSkewTwophase(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("_salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(Num.d2(col("l_quantity"))).as("pq"),
+        sum(Num.d2(col("l_extendedprice"))).as("pp"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("pn")).as("n"),
+        round(sum(col("pq")), 2).cast("double").as("sum_qty"),
+        round(sum(col("pp")), 2).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** Approximate percentiles (GK sketch) — the 100 TB path where the
+    * exact sort-based percentile is unaffordable. Deterministic for a
+    * fixed input but engine-specific ⇒ rows-only; tolerance vs the
+    * exact quantiles asserted in KernelSpec. */
+  def aggQuantileApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skew_twophase" -> (aggSkewTwophase _),
+    "agg_quantile_approx" -> (aggQuantileApprox _),
     "agg_quantile" -> (aggQuantile _),
     "agg_collect" -> (aggCollect _),
     "q1_pricing" -> (q1Pricing _),
@@ -185,6 +221,13 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // agg_quantile_approx: no oracle (GK sketch is engine-specific;
+    // tolerance vs exact asserted in KernelSpec)
+    "agg_skew_twophase" -> s"""
+      SELECT l_returnflag, COUNT(*) AS n,
+        ${Num.sqlDsum("l_quantity")} AS sum_qty,
+        ${Num.sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_quantile" -> """
       SELECT l_returnflag,
         ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,

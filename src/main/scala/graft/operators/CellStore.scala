@@ -152,7 +152,31 @@ object CellStore extends QueryGroup {
           .as("ts_plus_dur"))
       .orderBy("event_id")
 
+  /** CDC apply: merge a change batch onto a compacted snapshot.
+    * Base = LWW-compacted state up to a cutoff (delete markers KEPT as
+    * rows — compaction may not drop tombstones the change batch could
+    * still lose to); changes = everything after. Because LWW is
+    * associative, merging the compacted base with the raw batch equals
+    * one merge over the full history — which is exactly the oracle.
+    * This is the per-batch pattern of maintaining a 100 TB snapshot
+    * from a CDC feed: each apply touches only |keys-in-batch| state. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+    val e = Tables.events(s, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val base = Lww.latest(e.filter(col("ts") <= cutoff),
+      Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+    val changes = e.filter(col("ts") > cutoff)
+    Lww.mergeTombstones(
+        base.unionByName(changes), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc),
+        isDelete = col("event_type") === "error")
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_apply" -> (cdcApply _),
     "sink_cell_store" -> (sinkCellStore _),
     "tombstone_merge" -> (tombstoneMerge _),
     "fn_map_stored" -> (fnMapStored _),
@@ -162,6 +186,13 @@ object CellStore extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_apply" -> """
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
     "sink_cell_store" -> s"""
       SELECT user_id, event_type, value, _writetime FROM (
         SELECT user_id, event_type, value,

@@ -100,6 +100,20 @@ class KernelSpec extends SparkSpec {
     })
   }
 
+  test("approx quantiles track the exact percentiles within tolerance") {
+    val exact = SparkEntry.queries("agg_quantile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("agg_quantile_approx")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (p50, p90)) <- approx) {
+      // GK with accuracy 1000 → rank error <= n/1000; quantities are
+      // small integers, so values must land within a few units
+      assert(math.abs(p50 - exact(k)._1) <= 2.0, s"$k p50 $p50 vs ${exact(k)._1}")
+      assert(math.abs(p90 - exact(k)._2) <= 2.0, s"$k p90 $p90 vs ${exact(k)._2}")
+    }
+  }
+
   test("Lww.latest does not clobber a caller column named _lww_rn0") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10L, "keep-me"), (1L, 20L, "winner")).toDF("k", "wt", "_lww_rn0")
