@@ -34,7 +34,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // Optional CLI args name specific queries to time (iteration aid);
-    // no args = the full suite the driver records.
+    // no args = the full suite the driver records. Unknown names are
+    // fatal — silently dropping a typo would record total=0 as real.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
@@ -50,7 +57,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale would corrupt the JSON
+    val qs = results
+      .map { case (k, v) =>
+        s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =

@@ -71,12 +71,14 @@ object Text {
     * columns + one count — and reconstruct each bit's majority after
     * the aggregate: sum of ±1 over n rows is `2*cnt_set - n`, so
     * bit j is set iff `2*cnt_j > n`. 16-bit fields are overflow-safe
-    * to 65 535 shingles per doc (callers cap shingle counts well
-    * below that). Same scale shape as [[minhashSignature]]: one
-    * shuffle on the doc id, shuffle volume = docs × 17 longs. */
+    * to 65 535 shingles per doc, so the shingle array is capped (via
+    * slice) HERE — the first 65 535 shingles dominate any longer
+    * document's signature anyway. Same scale shape as
+    * [[minhashSignature]]: one shuffle on the doc id, shuffle volume =
+    * docs × 17 longs. */
   def simhashSignature(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
     val exploded = docs
-      .select(col(idCol), explode(col(shCol)).as("_s"))
+      .select(col(idCol), explode(slice(col(shCol), 1, 65535)).as("_s"))
       .select(col(idCol), xxhash64(col("_s")).as("_h"))
     // p_g packs counters for bits 4g..4g+3 at 16-bit offsets.
     val packed = (0 until 16).map { g =>

@@ -96,8 +96,10 @@ object CellStore extends QueryGroup {
     * filtered with collection predicates on the storage column. */
   def filterCollectionStored(s: SparkSession, dir: String): DataFrame = {
     val path = RunId.scratch("collections/doc_words")
+    // `source` is stored but never queried — PlanSpec asserts the
+    // read-side scan prunes it
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), split(col("text"), " ").as("words"), col("source"))
       .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
       .filter(array_contains(col("words"), "the") && size(col("words")) >= 40)

@@ -108,7 +108,7 @@ object Similarity extends QueryGroup {
   /** Coarse quantizer for [[simTopkIvf]], trained ONCE per (session,
     * corpus) and reused — the in-session stand-in for the offline
     * write-once index build a 100 TB deployment would run. Trains on a
-    * seeded 25% sample with 4 Lloyd iterations: centroid quality barely
+    * seeded 50% sample with 4 Lloyd iterations: centroid quality barely
     * moves after a few iterations on a sample, and the query path
     * reranks exactly inside the probed cells anyway. Sample fraction
     * and nprobe=5/16 are set so every query still fills top-10 on the

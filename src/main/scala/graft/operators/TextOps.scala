@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{Num, Tables}
@@ -14,6 +14,44 @@ import graft.functions.Text
   * and then only on doc hashes or group keys — the 100 TB-safe shape.
   */
 object TextOps extends QueryGroup {
+
+  // ---- shared stage kernels (Scala Column + DuckDB SQL mirrors) ----
+  // Single source of truth for the expressions that appear both in the
+  // standalone stage operators and in the composed pipelineCuration:
+  // a stage tweak (stop-word list, bucket width, regex) edits ONE
+  // Scala builder and ONE SQL mirror, and pipeline + stage + oracles
+  // stay in lockstep.
+
+  private val StopWords = Seq("the", "a", "of")
+
+  /** Normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace, trim. */
+  private def cleanCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+  private def sqlClean(x: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Stop-word count of a token array. */
+  private def stopCountCol(w: Column): Column =
+    size(filter(w, x => x.isin(StopWords.map(lit): _*)))
+  private def sqlStopCount(w: String): String =
+    s"len(list_filter($w, x -> x IN (${StopWords.map(s => s"'$s'").mkString(", ")})))"
+
+  /** Composite keep-score over a token array:
+    * saturating length factor × (1 − stop-word ratio). */
+  private def qualityCol(w: Column): Column =
+    least(lit(1.0), size(w).cast("double") / 100.0) *
+      (lit(1.0) - stopCountCol(w).cast("double") / size(w))
+  private def sqlQuality(w: String): String =
+    s"least(1.0, CAST(len($w) AS DOUBLE) / 100.0) * " +
+      s"(1.0 - CAST(${sqlStopCount(w)} AS DOUBLE) / len($w))"
+
+  /** Content-hash split bucket: first 16 bits of md5 — stable under
+    * re-shards, re-orders and re-runs. */
+  private def bucketCol(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+  private def sqlBucket(x: String): String =
+    s"CAST(concat('0x', substring(md5($x), 1, 4)) AS INTEGER)"
 
   /** Exact dedup: duplicates planted by self-union (the fixture is
     * dup-free — FIXTURES.md), removed again by content hash. */
@@ -61,17 +99,14 @@ object TextOps extends QueryGroup {
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val w = Text.words(col("text"))
     val nWords = size(w)
-    val stopCount = size(filter(w, x => x.isin("the", "a", "of")))
     val charSum = length(regexp_replace(col("text"), " ", ""))
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
         nWords.as("n_words"),
         round(charSum.cast("double") / nWords, 6).as("avg_word_len"),
-        round(stopCount.cast("double") / nWords, 6).as("stop_ratio"),
-        round(
-          least(lit(1.0), nWords.cast("double") / 100.0) *
-            (lit(1.0) - stopCount.cast("double") / nWords), 6).as("quality_score"))
+        round(stopCountCol(w).cast("double") / nWords, 6).as("stop_ratio"),
+        round(qualityCol(w), 6).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -109,12 +144,12 @@ object TextOps extends QueryGroup {
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(
           expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))).as("bg"))
-    // Profiles learn from a seeded 20% document sample: top-30 ranks
-    // are stable under sampling and the profile pass (explode + agg)
-    // drops to a fifth of the corpus. (Sampling is per input
-    // partition, which shuffle-partition changes don't affect —
-    // determinism holds.)
-    val profile = exploded(prepared.sample(withReplacement = false, 0.2, seed = 11))
+    // Profiles learn from a 20% document sample: top-30 ranks are
+    // stable under sampling and the profile pass (explode + agg)
+    // drops to a fifth of the corpus. Selection is a CONTENT hash of
+    // doc_id — unlike rdd-style sample(), identical on any partition
+    // layout / core count, so the output never flaps across machines.
+    val profile = exploded(prepared.filter(pmod(xxhash64(col("doc_id")), lit(5)) === 0))
       .groupBy("lang", "bg").count()
       .withColumn("rk",
         row_number().over(Window.partitionBy("lang").orderBy(col("count").desc, col("bg").asc)))
@@ -138,8 +173,7 @@ object TextOps extends QueryGroup {
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("clean_text"),
+        cleanCol(col("text")).as("clean_text"),
         length(col("text")).as("raw_len"))
       .withColumn("clean_len", length(col("clean_text")))
       .orderBy("doc_id")
@@ -150,7 +184,7 @@ object TextOps extends QueryGroup {
     * ~6% val at the 4096 threshold. */
   def textSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("bucket", conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int"))
+      .withColumn("bucket", bucketCol(col("text")))
       .withColumn("split", when(col("bucket") < 4096, "val").otherwise("train"))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
@@ -162,17 +196,11 @@ object TextOps extends QueryGroup {
     * already-verified operators; composing them costs one window
     * shuffle (the dedup) on top of row-local work. */
   def pipelineCuration(s: SparkSession, dir: String): DataFrame = {
-    val ct = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val w = split(col("ct"), " ")
-    val nWords = size(w)
-    val stop = size(filter(w, x => x.isin("the", "a", "of")))
-    val quality = least(lit(1.0), nWords.cast("double") / 100.0) *
-      (lit(1.0) - stop.cast("double") / nWords)
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), ct.as("ct"))
+      .select(col("doc_id"), col("lang"), cleanCol(col("text")).as("ct"))
       .select(col("doc_id"), col("lang"), col("ct"),
-        nWords.as("n_words"), quality.as("q"))
+        size(w).as("n_words"), qualityCol(w).as("q"))
       .filter(col("lang").isin("en", "de", "fr") &&
         col("n_words") >= 20 && col("q") >= 0.4)
       .withColumn("rn",
@@ -181,8 +209,7 @@ object TextOps extends QueryGroup {
       .select(
         col("doc_id"), col("lang"), col("n_words"),
         round(col("q"), 6).as("quality"),
-        when(conv(substring(md5(col("ct")), 1, 4), 16, 10).cast("int") < 4096, "val")
-          .otherwise("train").as("split"))
+        when(bucketCol(col("ct")) < 4096, "val").otherwise("train").as("split"))
       .orderBy("doc_id")
   }
 
@@ -200,38 +227,31 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
-    "pipeline_curation" -> """
+    "pipeline_curation" -> s"""
       WITH c AS (
-        SELECT doc_id, lang,
-          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-               ' +', ' ', 'g')) AS ct
+        SELECT doc_id, lang, ${sqlClean("text")} AS ct
         FROM documents),
       q AS (
         SELECT doc_id, lang, ct,
           CAST(len(w) AS INTEGER) AS n_words,
-          least(1.0, CAST(len(w) AS DOUBLE) / 100.0) *
-            (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS DOUBLE)
-                   / len(w)) AS quality
+          ${sqlQuality("w")} AS quality
         FROM (SELECT doc_id, lang, ct, string_split(ct, ' ') AS w FROM c))
       SELECT doc_id, lang, n_words, ROUND(quality, 6) AS quality,
-        CASE WHEN CAST(concat('0x', substring(md5(ct), 1, 4)) AS INTEGER) < 4096
-             THEN 'val' ELSE 'train' END AS split
+        CASE WHEN ${sqlBucket("ct")} < 4096 THEN 'val' ELSE 'train' END AS split
       FROM q
       WHERE lang IN ('en', 'de', 'fr') AND n_words >= 20 AND quality >= 0.4
       QUALIFY ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id) = 1
       ORDER BY doc_id""",
-    "text_clean" -> """
+    "text_clean" -> s"""
       SELECT doc_id,
-        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-             ' +', ' ', 'g')) AS clean_text,
+        ${sqlClean("text")} AS clean_text,
         CAST(length(text) AS INTEGER) AS raw_len,
-        CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-             ' +', ' ', 'g'))) AS INTEGER) AS clean_len
+        CAST(length(${sqlClean("text")}) AS INTEGER) AS clean_len
       FROM documents ORDER BY doc_id""",
-    "text_split" -> """
+    "text_split" -> s"""
       SELECT doc_id,
-        CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) AS bucket,
-        CASE WHEN CAST(concat('0x', substring(md5(text), 1, 4)) AS INTEGER) < 4096
+        ${sqlBucket("text")} AS bucket,
+        CASE WHEN ${sqlBucket("text")} < 4096
              THEN 'val' ELSE 'train' END AS split
       FROM documents ORDER BY doc_id""",
     "dedup_exact" -> """
@@ -254,15 +274,12 @@ object TextOps extends QueryGroup {
         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS re_tokens,
         n_chars
       FROM documents ORDER BY doc_id""",
-    "text_quality" -> """
+    "text_quality" -> s"""
       SELECT doc_id,
         CAST(len(w) AS INTEGER) AS n_words,
         ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(w), 6) AS avg_word_len,
-        ROUND(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(w), 6)
-          AS stop_ratio,
-        ROUND(least(1.0, CAST(len(w) AS DOUBLE) / 100.0) *
-              (1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(w)), 6)
-          AS quality_score
+        ROUND(CAST(${sqlStopCount("w")} AS DOUBLE) / len(w), 6) AS stop_ratio,
+        ROUND(${sqlQuality("w")}, 6) AS quality_score
       FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
       ORDER BY doc_id""",
     "text_fingerprint" -> """

@@ -14,7 +14,12 @@ class DeterminismSpec extends SparkSpec {
     // row counts; and flapping outputs would be a real bug):
     "dedup_simhash", "dedup_embed", "sim_topk_lsh", "scan_token_range",
     "fn_token", "text_langid", "agg_approx_distinct", "agg_collect",
-    "win_static", "scan_secondary_index", "q3_shipping", "q5_supplier")
+    "win_static", "scan_secondary_index", "q3_shipping", "q5_supplier",
+    // round-2 set: the salted two-phase agg merge, the window-dedup
+    // pipeline, and the storage-semantics merges are exactly the shapes
+    // partitioning could perturb
+    "agg_skew_twophase", "pipeline_curation", "stream_join",
+    "cdc_apply", "tombstone_merge", "fn_duration")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

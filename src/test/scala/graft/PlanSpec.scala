@@ -82,10 +82,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("meta.stats.n_chars"), p.take(1200))
   }
 
-  test("filter_collection_stored prunes to the stored array + id columns") {
+  test("filter_collection_stored prunes the unqueried stored column") {
     val p = plan("filter_collection_stored")
-    // the scan over the scratch table must read only doc_id + words
-    val scan = p.substring(p.lastIndexOf("FileScan"))
-    assert(scan.contains("doc_id") && scan.contains("words"), p.take(1200))
+    // the scratch table stores (doc_id, words, source); the query never
+    // touches `source`, so the scan over the scratch table must not
+    // read it
+    val idx = p.lastIndexOf("FileScan")
+    assert(idx >= 0, s"no FileScan in plan: ${p.take(400)}")
+    val scan = p.substring(idx)
+    assert(scan.contains("doc_id") && scan.contains("words") && !scan.contains("source"),
+      scan.take(800))
   }
 }
