@@ -51,6 +51,36 @@ object Scans extends QueryGroup {
       .filter(pmod(xxhash64(col("o_orderkey")), lit(16)) === 3)
       .orderBy("o_orderkey")
 
+  /** Keyset pagination — CQL's paging-state contract: each page is
+    * `WHERE pk > <last key of previous page> ORDER BY pk LIMIT n`.
+    * Never OFFSET: the filter is pushed to the scan and the limit
+    * compiles to TakeOrderedAndProject, so page N costs the same as
+    * page 1 at 100 TB. */
+  def scanPaging(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") > 400L) // paging state from the previous page
+      .orderBy("o_orderkey")
+      .limit(200)
+
+  /** Sparse-column schema evolution — CQL `ALTER TABLE ADD`: rows
+    * written before the column existed read back as null. Two file
+    * generations with different schemas are merged at read
+    * (mergeSchema), the columnar twin of Cassandra's per-cell sparse
+    * rows. */
+  def scanSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.RunId.scratch("evolution/orders")
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$path/v1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Parquet source/sink round-trip (the engine's storage layer). The
     * sink half is exercised by Verify's own parquet write of this
     * result. */
@@ -108,6 +138,8 @@ object Scans extends QueryGroup {
     "scan_clustering_range" -> (scanClusteringRange _),
     "scan_pk_in" -> (scanPkIn _),
     "scan_token_range" -> (scanTokenRange _),
+    "scan_paging" -> (scanPaging _),
+    "scan_schema_evolution" -> (scanSchemaEvolution _),
     "source_parquet" -> (sourceParquet _),
     "sink_mv" -> (sinkMv _)
   )
@@ -127,6 +159,12 @@ object Scans extends QueryGroup {
       "SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber > 1 ORDER BY l_linenumber",
     "scan_pk_in" ->
       "SELECT * FROM orders WHERE o_orderkey IN (1, 7, 42, 99, 123) ORDER BY o_orderkey",
+    "scan_paging" ->
+      "SELECT * FROM orders WHERE o_orderkey > 400 ORDER BY o_orderkey LIMIT 200",
+    "scan_schema_evolution" -> """
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE NULL END AS o_totalprice
+      FROM orders ORDER BY o_orderkey""",
     "source_parquet" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
     "sink_mv" ->

@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("scan_paging pushes the keyset filter and avoids a global sort") {
+    val p = plan("scan_paging")
+    assert(p.contains("TakeOrderedAndProject") &&
+      p.contains("GreaterThan(o_orderkey,400)"), p.take(800))
+  }
+
   test("sink_cell_store LWW merge gets the WindowGroupLimit rewrite") {
     assert(plan("sink_cell_store").contains("WindowGroupLimit"))
   }
