@@ -81,6 +81,37 @@ object Scans extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
+  /** CSV source/sink round-trip (the CQL COPY TO/FROM surface): write
+    * typed rows as CSV, read back under an explicit schema — never
+    * inferSchema, which would re-scan the data and guess. Doubles
+    * round-trip exactly (Spark writes shortest-round-trip decimal
+    * strings). */
+  def sourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.RunId.scratch("io/events_csv")
+    Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(path)
+      .orderBy("event_id")
+  }
+
+  /** JSON-lines source/sink round-trip; the stored `props` column is
+    * itself a JSON string, so the write escapes it and the read must
+    * recover it byte-identically for the oracle to hash-match. */
+  def sourceJson(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.RunId.scratch("io/events_json")
+    Tables.events(s, dir)
+      .select("event_id", "event_type", "props")
+      .write.mode("overwrite").json(path)
+    s.read
+      .schema("event_id BIGINT, event_type STRING, props STRING")
+      .json(path)
+      .withColumn("k_value", get_json_object(col("props"), "$.k").cast("int"))
+      .orderBy("event_id")
+  }
+
   /** Parquet source/sink round-trip (the engine's storage layer). The
     * sink half is exercised by Verify's own parquet write of this
     * result. */
@@ -141,6 +172,8 @@ object Scans extends QueryGroup {
     "scan_paging" -> (scanPaging _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "source_parquet" -> (sourceParquet _),
+    "source_csv" -> (sourceCsv _),
+    "source_json" -> (sourceJson _),
     "sink_mv" -> (sinkMv _)
   )
 
@@ -167,6 +200,13 @@ object Scans extends QueryGroup {
       FROM orders ORDER BY o_orderkey""",
     "source_parquet" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "source_csv" -> """
+      SELECT event_id, user_id, event_type, value
+      FROM events ORDER BY event_id""",
+    "source_json" -> """
+      SELECT event_id, event_type, props,
+        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_value
+      FROM events ORDER BY event_id""",
     "sink_mv" ->
       "SELECT * FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"
     // scan_token_range: no oracle (xxhash64 bucketing is engine-defined)
