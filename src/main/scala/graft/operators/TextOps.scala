@@ -203,8 +203,11 @@ object TextOps extends QueryGroup {
         size(w).as("n_words"), qualityCol(w).as("q"))
       .filter(col("lang").isin("en", "de", "fr") &&
         col("n_words") >= 20 && col("q") >= 0.4)
+      // dedup window keyed on md5(ct), not the raw cleaned text: the
+      // shuffle hashes/compares 16-byte keys instead of full document
+      // strings (same groups as PARTITION BY ct barring md5 collision)
       .withColumn("rn",
-        row_number().over(Window.partitionBy("ct").orderBy("doc_id")))
+        row_number().over(Window.partitionBy(md5(col("ct"))).orderBy("doc_id")))
       .filter(col("rn") === 1)
       .select(
         col("doc_id"), col("lang"), col("n_words"),
