@@ -69,29 +69,36 @@ object Dedup extends QueryGroup {
   }
 
   /** SimHash near-dup: 64-bit fingerprints over 3-gram shingles
-    * (word-level hashes collide on a shared vocabulary), candidates
-    * share one of EIGHT 8-bit chunks — by pigeonhole, any pair within
-    * Hamming distance 7 shares at least one clean chunk, so recall at
-    * the Hamming <= 6 verify threshold is guaranteed, not
-    * probabilistic. */
+    * (word-level hashes collide on a shared vocabulary). Banding is on
+    * PAIRS of 8-bit chunks (28 bands of 16 bits): a pair within
+    * Hamming distance 6 dirties at most 6 of the 8 chunks, leaving at
+    * least two clean — so at least one clean PAIR collides, and recall
+    * at the Hamming <= 6 verify threshold stays guaranteed, not
+    * probabilistic. The 16-bit keys are the scale lever: bucket
+    * occupancy is |corpus| / 2^16 per band (vs /2^8 for single
+    * chunks), so candidate pairs grow linearly with the corpus where
+    * single-chunk banding grew quadratically — measured 8.8 s → see
+    * BASELINE.md at the ×10 fixture. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val base = withPlanted(s, dir)
       .withColumn("w", Text.words(col("text")))
       .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "sh")
     val docs = Text.simhashSignature(base, "doc_id", "sh").localCheckpoint()
-    val chunked = docs.select(
+    def chunk(c: Int) = shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL))
+    val bands = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val banded = docs.select(
       col("doc_id"), col("sim"),
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("chunk_idx"),
-          shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL)).as("chunk_val"))): _*))
-        .as("ck"))
-      .select(col("doc_id"), col("sim"), col("ck.chunk_idx"), col("ck.chunk_val"))
-    val a = chunked.select(
-      col("doc_id").as("id_a"), col("sim").as("sim_a"), col("chunk_idx"), col("chunk_val"))
-    val b = chunked.select(
-      col("doc_id").as("id_b"), col("sim").as("sim_b"), col("chunk_idx"), col("chunk_val"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+      explode(array(bands.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(p).as("band_idx"),
+          (chunk(i) * lit(256L) + chunk(j)).as("band_val"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band_idx"), col("bk.band_val"))
+    val a = banded.select(
+      col("doc_id").as("id_a"), col("sim").as("sim_a"), col("band_idx"), col("band_val"))
+    val b = banded.select(
+      col("doc_id").as("id_b"), col("sim").as("sim_b"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sim_a", "sim_b").distinct()
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
