@@ -189,6 +189,52 @@ object TextOps extends QueryGroup {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: find corpus documents sharing any
+    * 8-word shingle with a benchmark set (here docs 0-19, plus planted
+    * contaminated copies that must be caught). The 100 TB shape: the
+    * benchmark side is tiny and BROADCAST after row-local distinct
+    * shingling; the corpus explodes once and the only shuffle is the
+    * final per-pair count. */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    // contaminated copies: benchmark text with the first word dropped
+    val planted = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = docs.unionByName(planted)
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(Text.shingles(Text.words(col("text")), 8))).as("g"))
+    val bench = grams(all.filter(col("doc_id") < 20))
+      .withColumnRenamed("doc_id", "bench_id")
+    grams(all.filter(col("doc_id") >= 20))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** PII scrub stage: redact emails and phone-shaped digit runs,
+    * reporting per-doc redaction counts. PII is planted
+    * deterministically (every 10th doc) so the scrub provably fires;
+    * row-local Column expressions only. */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{4}"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-0142")))
+          .otherwise(col("text")).as("raw"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation pipeline — the composed LLM-training-data
     * flow: normalize → language gate → quality gate → exact dedup on
     * the CLEANED text (deterministic keep = lowest doc_id) →
@@ -217,6 +263,8 @@ object TextOps extends QueryGroup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> (textContamination _),
+    "text_pii_scrub" -> (textPiiScrub _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_clean" -> (textClean _),
     "text_split" -> (textSplit _),
@@ -230,6 +278,38 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_contamination" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, substring(text, instr(text, ' ') + 1)
+        FROM documents WHERE doc_id < 20),
+      g AS (
+        SELECT doc_id, list_distinct([
+            w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||
+            w[i+5]||' '||w[i+6]||' '||w[i+7]
+            FOR i IN range(1, len(w) - 6)]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs))
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= 20) c
+      JOIN (SELECT doc_id AS bench_id, unnest(gs) AS g FROM g WHERE doc_id < 20) b
+        ON c.g = b.g
+      GROUP BY c.doc_id, b.bench_id
+      ORDER BY c.doc_id, b.bench_id""",
+    "text_pii_scrub" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+             AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+        md5(regexp_replace(
+          regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+      FROM (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0
+          THEN text || ' contact user' || doc_id || '@example.com or 555-0142'
+          ELSE text END AS raw
+        FROM documents)
+      ORDER BY doc_id""",
     "pipeline_curation" -> s"""
       WITH c AS (
         SELECT doc_id, lang, ${sqlClean("text")} AS ct
