@@ -203,7 +203,20 @@ object Aggregates extends QueryGroup {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Heavy hitters (one-pass frequent-items sketch): a SUPERSET of
+    * every value with frequency above the support threshold — the
+    * 100 TB alternative to an exact count-sort when only the hot keys
+    * matter. Result set is encounter-order dependent (sketch) ⇒
+    * rows-only; the superset guarantee is asserted in KernelSpec. */
+  def aggFreqItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).stat
+      .freqItems(Seq("l_returnflag", "l_linestatus"), 0.3)
+      .select(
+        array_join(array_sort(col("l_returnflag_freqItems")), ",").as("flag_heavy"),
+        array_join(array_sort(col("l_linestatus_freqItems")), ",").as("status_heavy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_quantile_approx" -> (aggQuantileApprox _),
     "agg_quantile" -> (aggQuantile _),

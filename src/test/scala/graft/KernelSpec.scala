@@ -100,6 +100,17 @@ class KernelSpec extends SparkSpec {
     })
   }
 
+  test("freq-items sketch returns a superset of the true heavy hitters") {
+    val row = SparkEntry.queries("agg_freq_items")(spark, sf001).collect().head
+    val flags = row.getString(0).split(",").toSet
+    val statuses = row.getString(1).split(",").toSet
+    // every l_returnflag / l_linestatus value exceeds 30% support in
+    // no case — but all exceed the sketch's false-negative bound, so
+    // the true majority values must be present
+    assert(Set("A", "N", "R").subsetOf(flags), flags.mkString(","))
+    assert(Set("F", "O").subsetOf(statuses), statuses.mkString(","))
+  }
+
   test("approx quantiles track the exact percentiles within tolerance") {
     val exact = SparkEntry.queries("agg_quantile")(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
