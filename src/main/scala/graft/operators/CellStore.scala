@@ -173,7 +173,9 @@ object CellStore extends QueryGroup {
         base.unionByName(changes), Seq("user_id"),
         Seq(col("ts").desc, col("event_id").desc),
         isDelete = col("event_type") === "error")
-      .select("user_id", "event_id", "event_type", "value")
+      // provenance: did the change batch overwrite this key's state?
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        (col("ts") > cutoff).as("from_change_batch"))
       .orderBy("user_id")
   }
 
@@ -189,7 +191,9 @@ object CellStore extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "cdc_apply" -> """
-      SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+        ts > TIMESTAMP '2024-01-14 00:00:00' AS from_change_batch
+      FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) t
