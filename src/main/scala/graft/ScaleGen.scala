@@ -38,12 +38,17 @@ object ScaleGen {
     write(copies(spark.read.parquet(s"$src/orders.parquet")) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
     }, "orders")
-    write(copies(spark.read.parquet(s"$src/events.parquet")) { (d, i) =>
+    // events go through the Tables reader so ts is written back as a
+    // proper (µs, NTZ) timestamp column — raw nanos-as-long would make
+    // the scaled dir unreadable by the DuckDB oracle path
+    write(copies(graft.core.Tables.events(spark, src)) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * 1000000L))
     }, "events")
     write(copies(spark.read.parquet(s"$src/documents.parquet")) { (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
         .withColumn("text", concat(col("text"), lit(s" copymark$i")))
+        // keep the FIXTURES.md invariant n_chars = length(text)
+        .withColumn("n_chars", length(col("text")))
     }, "documents")
     write(copies(spark.read.parquet(s"$src/embeddings.parquet")) { (d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))

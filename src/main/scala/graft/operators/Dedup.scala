@@ -19,13 +19,15 @@ object Dedup extends QueryGroup {
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
 
-  /** Corpus + planted near-duplicate mutations (public: tests
-    * recompute ground truth from the same input). */
-  def withPlanted(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus + planted near-duplicate mutations — docs 0-19 copied
+    * with the first word dropped, at `offset` ids (public: tests and
+    * the decontamination operator recompute ground truth from the same
+    * input; oracles mirror the same mutation in SQL). */
+  def withPlanted(s: SparkSession, dir: String, offset: Long = 100000L): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val mutated = d.filter(col("doc_id") < 20)
       .select(
-        (col("doc_id") + 100000L).as("doc_id"),
+        (col("doc_id") + offset).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text"))
     d.unionByName(mutated)
   }

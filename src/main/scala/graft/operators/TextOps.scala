@@ -196,12 +196,9 @@ object TextOps extends QueryGroup {
     * shingling; the corpus explodes once and the only shuffle is the
     * final per-pair count. */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
-    // contaminated copies: benchmark text with the first word dropped
-    val planted = docs.filter(col("doc_id") < 20)
-      .select((col("doc_id") + 200000L).as("doc_id"),
-        expr("substring(text, instr(text, ' ') + 1)").as("text"))
-    val all = docs.unionByName(planted)
+    // contaminated copies: the shared planted-mutation kernel
+    // (benchmark text with its first word dropped) at disjoint ids
+    val all = Dedup.withPlanted(s, dir, offset = 200000L)
     def grams(df: DataFrame) = df.select(col("doc_id"),
       explode(array_distinct(Text.shingles(Text.words(col("text")), 8))).as("g"))
     val bench = grams(all.filter(col("doc_id") < 20))
