@@ -51,9 +51,45 @@ object Headline extends QueryGroup {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Q10-shaped: top-20 customers by returned-item revenue — 4-way
+    * join (two broadcast), decimal-exact revenue, top-k. */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Num.dsumExact(
+        Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Q18-shaped: large-volume orders — aggregate-then-filter (HAVING)
+    * feeding a join back to the order header; the semi-join on an
+    * aggregated key set is the scale shape (the qualifying-key set is
+    * tiny and broadcast after aggregation). */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(Num.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping" -> (q3Shipping _),
-    "q5_supplier" -> (q5Supplier _)
+    "q5_supplier" -> (q5Supplier _),
+    "q10_returns" -> (q10Returns _),
+    "q18_large_orders" -> (q18LargeOrders _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,6 +122,30 @@ object Headline extends QueryGroup {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name
-      ORDER BY revenue DESC, n_name ASC"""
+      ORDER BY revenue DESC, n_name ASC""",
+    "q10_returns" -> """
+      SELECT c_custkey, c_name, n_name,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+          AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20""",
+    "q18_large_orders" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate, sum_qty FROM orders
+      JOIN (SELECT l_orderkey,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 150.0) b
+        ON o_orderkey = b.l_orderkey
+      ORDER BY sum_qty DESC, o_orderkey ASC
+      LIMIT 50"""
   )
 }
