@@ -19,7 +19,10 @@ class DeterminismSpec extends SparkSpec {
     // pipeline, and the storage-semantics merges are exactly the shapes
     // partitioning could perturb
     "agg_skew_twophase", "pipeline_curation", "stream_join",
-    "cdc_apply", "tombstone_merge", "fn_duration")
+    "cdc_apply", "tombstone_merge", "fn_duration",
+    "q10_returns", "q18_large_orders", "scan_paging",
+    "text_contamination", "text_pii_scrub", "source_csv",
+    "scan_schema_evolution")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
