@@ -20,7 +20,9 @@ object Filters extends QueryGroup {
         col("l_orderkey"), col("l_linenumber"),
         round(Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount"))), 2)
           .cast("double").as("revenue"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is non-unique in the fixture —
+      // revenue completes a total order (see Scans.lineitemOrder)
+      .orderBy("l_orderkey", "l_linenumber", "revenue")
   }
 
   /** `=, <, >=, IN, AND, OR` conjunctions (OR is an engine superset). */
@@ -68,7 +70,7 @@ object Filters extends QueryGroup {
       SELECT l_orderkey, l_linenumber,
         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
-      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""",
     "filter_pred" -> """
       SELECT * FROM orders
       WHERE (o_orderstatus = 'F' OR o_totalprice > 200000.0)

@@ -42,7 +42,9 @@ object Joins extends QueryGroup {
     Tables.lineitem(s, dir).hint("MERGE")
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is non-unique in the fixture —
+      // l_quantity completes a total order (see Scans.lineitemOrder)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** Left outer: every customer, order key nullable. */
   def joinLeft(s: SparkSession, dir: String): DataFrame =
@@ -226,7 +228,7 @@ object Joins extends QueryGroup {
     "join_sortmerge" -> """
       SELECT l_orderkey, l_linenumber, o_custkey, o_orderdate, l_quantity
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      ORDER BY l_orderkey, l_linenumber""",
+      ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "join_left" -> """
       SELECT c_custkey, o_orderkey
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey

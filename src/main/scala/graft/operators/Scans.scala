@@ -20,21 +20,36 @@ import graft.core.Tables
   */
 object Scans extends QueryGroup {
 
+  /** Full-row total order for lineitem outputs: (l_orderkey,
+    * l_linenumber) is NOT unique in the synthetic fixture (measured:
+    * 11 785 tied pairs at sf0.01), and rows tied on a partial sort key
+    * would be ordered by engine-internal sort stability — a silent
+    * cross-engine hash-compare hazard. Sorting on every output column
+    * makes any remaining ties identical rows, where order cannot
+    * matter. Oracles mirror the same ORDER BY list. */
+  private val lineitemOrder = Seq(
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate").map(col)
+  private[operators] val lineitemOrderSql =
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, " +
+      "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+
   /** Full-table scan, the CQL `SELECT *` / connector token sweep. */
   def scanFull(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir).orderBy(lineitemOrder: _*)
 
   /** Partition-key point read — THE Cassandra read path. */
   def scanPartitionLookup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") === 42L)
-      .orderBy("l_linenumber")
+      .orderBy(lineitemOrder: _*)
 
   /** PK equality + clustering-column range, rows in clustering order. */
   def scanClusteringRange(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") === 7L && col("l_linenumber") > 1)
-      .orderBy("l_linenumber")
+      .orderBy(lineitemOrder: _*)
 
   /** Multi-partition `WHERE pk IN (…)` read. */
   def scanPkIn(s: SparkSession, dir: String): DataFrame =
@@ -185,11 +200,11 @@ object Scans extends QueryGroup {
       SELECT event_id, user_id, event_type, value FROM events
       WHERE event_type = 'purchase' ORDER BY event_id""",
     "scan_full" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      s"SELECT * FROM lineitem ORDER BY $lineitemOrderSql",
     "scan_partition_lookup" ->
-      "SELECT * FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber",
+      s"SELECT * FROM lineitem WHERE l_orderkey = 42 ORDER BY $lineitemOrderSql",
     "scan_clustering_range" ->
-      "SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber > 1 ORDER BY l_linenumber",
+      s"SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber > 1 ORDER BY $lineitemOrderSql",
     "scan_pk_in" ->
       "SELECT * FROM orders WHERE o_orderkey IN (1, 7, 42, 99, 123) ORDER BY o_orderkey",
     "scan_paging" ->

@@ -53,8 +53,12 @@ object TextOps extends QueryGroup {
   private def sqlBucket(x: String): String =
     s"CAST(concat('0x', substring(md5($x), 1, 4)) AS INTEGER)"
 
-  /** Exact dedup: duplicates planted by self-union (the fixture is
-    * dup-free — FIXTURES.md), removed again by content hash. */
+  /** Exact dedup: duplicates planted by self-union, removed again by
+    * content hash. The oracle (raw corpus) assumes a dup-free fixture,
+    * which holds at the sf0.01 verification gate (FIXTURES.md);
+    * sf0.1 carries 8 genuinely duplicated texts, which this operator
+    * correctly removes — there the oracle's assumption, not the
+    * engine, is what breaks. */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(d.filter(col("doc_id") < 50))
