@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver invokes Bench via sbt and parses JSON out of the
+// captured stdout; sbt's default LoggedOutput prefixes every forked
+// process line with "[info] ", which breaks that parse (BENCH_r01 and
+// BENCH_r02 both recorded "parsed": null). StdoutOutput passes the
+// forked process's stdout/stderr through verbatim so the bare
+// {"metric":...} lines reach the driver unprefixed.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

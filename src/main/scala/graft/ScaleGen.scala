@@ -27,32 +27,45 @@ object ScaleGen {
     def copies(df: DataFrame)(mutate: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(i => mutate(df, i)).reduce(_ unionByName _)
 
+    // Per-copy key shifts are FIXED (not max-derived: the planted-pair
+    // convention puts synthetic ids at key+100000/+200000, and a
+    // max-derived dense shift would collide with them) but now
+    // asserted against the source's actual max key — a source that
+    // already exceeds the offset (e.g. scaling an already-scaled dir)
+    // previously produced silently colliding ids, corrupting LWW and
+    // dedup measurements with no error (ADVICE r2).
+    def shifted(df: DataFrame, keyCol: String, offset: Long)(
+        extra: (DataFrame, Int) => DataFrame): DataFrame = {
+      val maxKey = df.agg(max(col(keyCol))).head.getAs[Number](0).longValue
+      require(maxKey < offset,
+        s"$keyCol max $maxKey >= per-copy offset $offset — copies would collide " +
+          "(is the source already a scaled dir?)")
+      copies(df) { (d, i) =>
+        extra(d.withColumn(keyCol, col(keyCol) + lit(i * offset)), i)
+      }
+    }
+    def noop(d: DataFrame, i: Int): DataFrame = d
+
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
-    write(copies(spark.read.parquet(s"$src/lineitem.parquet")) { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
-    }, "lineitem")
-    write(copies(spark.read.parquet(s"$src/orders.parquet")) { (d, i) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
-    }, "orders")
+    write(shifted(spark.read.parquet(s"$src/lineitem.parquet"), "l_orderkey", 10000000L)(noop),
+      "lineitem")
+    write(shifted(spark.read.parquet(s"$src/orders.parquet"), "o_orderkey", 10000000L)(noop),
+      "orders")
     // events go through the Tables reader so ts is written back as a
     // proper (µs, NTZ) timestamp column — raw nanos-as-long would make
     // the scaled dir unreadable by the DuckDB oracle path
-    write(copies(graft.core.Tables.events(spark, src)) { (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * 1000000L))
-    }, "events")
-    write(copies(spark.read.parquet(s"$src/documents.parquet")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-        .withColumn("text", concat(col("text"), lit(s" copymark$i")))
+    write(shifted(graft.core.Tables.events(spark, src), "event_id", 1000000L)(noop), "events")
+    write(shifted(spark.read.parquet(s"$src/documents.parquet"), "doc_id", 1000000L) { (d, i) =>
+      d.withColumn("text", concat(col("text"), lit(s" copymark$i")))
         // keep the FIXTURES.md invariant n_chars = length(text)
         .withColumn("n_chars", length(col("text")))
     }, "documents")
-    write(copies(spark.read.parquet(s"$src/embeddings.parquet")) { (d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
-    }, "embeddings")
+    write(shifted(spark.read.parquet(s"$src/embeddings.parquet"), "vec_id", 1000000L)(noop),
+      "embeddings")
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     spark.stop()

@@ -70,15 +70,20 @@ object Text {
     * Instead, pack four 16-bit set-bit counters per long — 16 agg
     * columns + one count — and reconstruct each bit's majority after
     * the aggregate: sum of ±1 over n rows is `2*cnt_set - n`, so
-    * bit j is set iff `2*cnt_j > n`. 16-bit fields are overflow-safe
-    * to 65 535 shingles per doc, so the shingle array is capped (via
-    * slice) HERE — the first 65 535 shingles dominate any longer
-    * document's signature anyway. Same scale shape as
+    * bit j is set iff `2*cnt_j > n`. The shingle array is capped at
+    * 32 767 (via slice) HERE, which makes the packing worst-case
+    * overflow-safe: each 16-bit field sums to ≤ 32 767 (no cross-field
+    * carry) and the aggregate's long total is bounded by
+    * 32 767·(2^48+2^32+2^16+1) < 2^63. The previous 65 535 cap was NOT
+    * safe — a max-size doc could push the sum past Long.MaxValue and
+    * ANSI mode would throw at runtime (ADVICE r2). The first ~32 k
+    * shingles dominate any longer document's signature anyway. Same
+    * scale shape as
     * [[minhashSignature]]: one shuffle on the doc id, shuffle volume =
     * docs × 17 longs. */
   def simhashSignature(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
     val exploded = docs
-      .select(col(idCol), explode(slice(col(shCol), 1, 65535)).as("_s"))
+      .select(col(idCol), explode(slice(col(shCol), 1, 32767)).as("_s"))
       .select(col(idCol), xxhash64(col("_s")).as("_h"))
     // p_g packs counters for bits 4g..4g+3 at 16-bit offsets.
     val packed = (0 until 16).map { g =>

@@ -70,16 +70,20 @@ object Headline extends QueryGroup {
   }
 
   /** Q18-shaped: large-volume orders — aggregate-then-filter (HAVING)
-    * feeding a join back to the order header; the semi-join on an
-    * aggregated key set is the scale shape (the qualifying-key set is
-    * tiny and broadcast after aggregation). */
+    * feeding a join back to the order header. The qualifying-key set
+    * is data-dependent and grows roughly linearly with orders, so it
+    * must NOT carry a forced broadcast hint (a hinted broadcast of an
+    * unbounded aggregate is a driver OOM at 100 TB — VERDICT r2 #4).
+    * Unhinted, AQE broadcasts it at runtime when its measured size is
+    * small and falls back to a shuffled hash join when it isn't —
+    * both plans shuffle lineitem exactly once, on l_orderkey. */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(Num.dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 150.0)
     Tables.orders(s, dir)
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
       .limit(50)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.core.Tables
+import graft.core.{RunId, Tables}
 import graft.functions.Vectors
 
 /** Similarity search over `embeddings` (SURVEY.md §2.K).
@@ -55,6 +55,41 @@ object Similarity extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  // 8 independent 8-bit sign-random-projection bands for the
+  // threshold scale path: a pair is a candidate if it collides in ANY
+  // band — recall 1-(1-p^8)^8 where p = 1 - angle/pi, so recall rises
+  // steeply with similarity (≈0.95 at cosine 0.9, ≈0.25 at 0.5).
+  private val thresholdBands: Seq[Seq[Seq[Float]]] =
+    (0 until 8).map(b => Vectors.hyperplanes(nbits = 8, dim = 64, seed = 101L + b))
+
+  /** LSH-bucketed threshold similarity — the scale path for
+    * [[simThreshold]] (VERDICT r2 #3). Banded bucket-equality joins
+    * replace the all-pairs crossJoin: per band, candidates are pairs
+    * inside one of 256 buckets (~n²/256 per band, linear per bucket),
+    * then the exact cosine verifies every candidate, so precision is
+    * 1.0 and only recall is approximate. Declared no-oracle;
+    * DedupSimilaritySpec measures agreement against the exact bounded
+    * kernel (subset property + recall floor). */
+  def simThresholdLsh(s: SparkSession, dir: String): DataFrame = {
+    val banded = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(
+        thresholdBands.map(p => Vectors.lshBucket(col("embedding"), p)): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(
+      col("band"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = banded.select(
+      col("band"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(Vectors.fdot(col("va"), col("vb")), 6))
+      .filter(col("score") > 0.35)
+      // a pair colliding in several bands appears once per band with
+      // an identical score — max() dedups without a second join
+      .groupBy("id_a", "id_b").agg(max(col("score")).as("score"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH-bucketed top-k: candidates share the query's 8-bit
     * sign-random-projection bucket; exact rerank inside the bucket.
     * Approximate by design — recall vs simTopk measured in tests. */
@@ -98,49 +133,60 @@ object Similarity extends QueryGroup {
   /** IVF top-k: coarse-quantize the corpus with k-means (16 cells,
     * fixed seed), probe the 5 cells nearest each query, exact rerank
     * inside the probed cells. The 100 TB shape: centroids are tiny and
-    * broadcast; the corpus is scanned once to assign cells (a write-
-    * once index in practice), and each query touches nprobe/k of the
-    * data. Centroid training is floating-point ⇒ declared no-oracle
-    * and excluded from the determinism suite. */
-  private val ivfIndex =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.clustering.KMeansModel]
+    * broadcast; the corpus is scanned once to assign cells, and each
+    * query touches nprobe/k of the data. Centroid training is
+    * floating-point ⇒ declared no-oracle and excluded from the
+    * determinism suite. */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  /** Coarse quantizer for [[simTopkIvf]], trained ONCE per (session,
-    * corpus) and reused — the in-session stand-in for the offline
-    * write-once index build a 100 TB deployment would run. Trains on a
-    * seeded 50% sample with 4 Lloyd iterations: centroid quality barely
-    * moves after a few iterations on a sample, and the query path
-    * reranks exactly inside the probed cells anyway. Sample fraction
-    * and nprobe=5/16 are set so every query still fills top-10 on the
-    * smallest fixture. */
-  private def ivfModel(emb: DataFrame, dir: String) =
-    ivfIndex.getOrElseUpdate(dir, {
+  /** Builds the IVF index ONCE per (JVM, corpus) and PERSISTS it —
+    * centroids + per-vector cell assignment written to RunId.scratch
+    * parquet, the literal write-once offline index job a 100 TB
+    * deployment runs (VERDICT r2 #5); every query thereafter just
+    * reads the index, exactly as join_bucketed reads its buckets.
+    * Trains on a seeded 50% sample with 4 Lloyd iterations (random
+    * init): centroid quality barely moves after a few iterations on a
+    * sample, and the query path reranks exactly inside the probed
+    * cells anyway. Sample fraction and nprobe=5/16 are set so every
+    * query still fills top-10 on the smallest fixture. Returns
+    * (centroidsPath, assignedPath). */
+  private def ivfIndexPaths(s: SparkSession, dir: String): (String, String) =
+    ivfIndexDirs.getOrElseUpdate(dir, {
       import org.apache.spark.ml.clustering.KMeans
-      new KMeans().setK(16).setSeed(42).setMaxIter(4)
-        // random init: k-means|| costs extra full passes over the
-        // sample and Lloyd refinement converges to comparable cells
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("fv", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(16).setSeed(42).setMaxIter(4)
         .setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(emb.sample(withReplacement = false, 0.5, seed = 7))
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val centPath = RunId.scratch(s"ivf_${key}_centroids")
+      val assignPath = RunId.scratch(s"ivf_${key}_assigned")
+      s.createDataFrame(model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq.map(_.toFloat)) })
+        .toDF("cent_cell", "cent")
+        .write.mode("overwrite").parquet(centPath)
+      // Partitioned by cell: a 100 TB probe reads only the nprobe
+      // matching cell partitions (dynamic partition pruning via the
+      // broadcast probe join), not the whole index.
+      model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(assignPath)
+      (centPath, assignPath)
     })
 
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.embeddings(s, dir)
-      .withColumn("fv", array_to_vector(col("embedding")))
-    val model = ivfModel(emb, dir)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint()
-    val cents = s.createDataFrame(
-      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
-      .toDF("cent_cell", "cent")
+    val (centPath, assignPath) = ivfIndexPaths(s, dir)
+    val cents = s.read.parquet(centPath)
+    val assigned = s.read.parquet(assignPath)
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val wCell = Window.partitionBy("query_id")
       .orderBy(col("cent_sim").desc, col("cent_cell").asc)
     val probed = q.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", Vectors.dot(col("qvec"), col("cent")))
+      .withColumn("cent_sim", Vectors.fdot(col("qvec"), col("cent")))
       .withColumn("cell_rk", row_number().over(wCell))
       .filter(col("cell_rk") <= 5)
       .select(col("query_id"), col("qvec"), col("cent_cell").as("cell"))
@@ -158,6 +204,7 @@ object Similarity extends QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
     "sim_threshold" -> (simThreshold _),
+    "sim_threshold_lsh" -> (simThresholdLsh _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "dedup_embed" -> (dedupEmbed _)

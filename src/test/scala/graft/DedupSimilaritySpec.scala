@@ -69,6 +69,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap.nonEmpty, "IVF shares no neighbor with brute force")
   }
 
+  test("sim_threshold_lsh agrees with the exact bounded kernel (subset + recall)") {
+    // exact all-pairs over vec_id < 300 is the ground-truth anchor
+    val exact = SparkEntry.queries("sim_threshold")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("sim_threshold_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshBounded = lsh.filter { case ((a, b), _) => a < 300 && b < 300 }
+    // precision 1.0: every bucketed pair is exact-verified, so on the
+    // bounded range the LSH result must be a subset with equal scores
+    assert(lshBounded.keySet.subsetOf(exact.keySet),
+      s"spurious pairs: ${lshBounded.keySet -- exact.keySet}")
+    assert(lshBounded.forall { case (k, v) => exact(k) == v }, "scores differ")
+    // recall floor: banded SRP recall at tau=0.35 is similarity-
+    // dependent; with 8x8-bit bands the fixture (seed-fixed, so this
+    // is deterministic) recovers a nonempty slice of the exact pairs
+    assert(exact.nonEmpty, "fixture has no pairs above tau — test is vacuous")
+    assert(lshBounded.nonEmpty,
+      s"LSH recovered none of the ${exact.size} exact pairs")
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

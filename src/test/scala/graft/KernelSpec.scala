@@ -127,6 +127,38 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("WeightedAvg: exact for fractional weights, matches post-sum division") {
+    import graft.functions.WeightedAvg
+    // fractional weights — the round-2 integer-cents buffer rounded
+    // these per row and silently diverged from any SQL mirror
+    val rows = Seq((19.99, 0.5), (5.25, 1.5), (100.0, 0.25), (0.01, 2.75))
+    val buf = rows.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce)
+    val expected = {
+      val num = rows.map { case (v, w) =>
+        BigDecimal.valueOf(v) * BigDecimal.valueOf(w) }.sum
+      val den = rows.map { case (_, w) => BigDecimal.valueOf(w) }.sum
+      num.toDouble / den.toDouble
+    }
+    assert(WeightedAvg.finish(buf) == expected)
+    // merge is associative with reduce (partial-aggregation safety)
+    val (l, r) = rows.splitAt(2)
+    val merged = WeightedAvg.merge(
+      l.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce),
+      r.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce))
+    assert(WeightedAvg.finish(merged) == expected)
+    assert(WeightedAvg.finish(WeightedAvg.zero).isNaN)
+  }
+
+  test("MediaCodec.resize: empty payload -> -1 sentinels, singleton repeats") {
+    import graft.multimodal.{MediaCodec, MediaRecord}
+    // the oracle mirrors this with CASE WHEN length(text)=0 THEN -1 —
+    // asserted here so the sentinel contract can't silently drift
+    val empty = MediaCodec.resize(MediaRecord(1L, Array.emptyByteArray, "en"), 8)
+    assert(empty._2 == Seq.fill(8)(-1))
+    val one = MediaCodec.resize(MediaRecord(2L, "x".getBytes("UTF-8"), "en"), 8)
+    assert(one._2 == Seq.fill(8)('x'.toInt))
+  }
+
   test("Lww.latest does not clobber a caller column named _lww_rn0") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 10L, "keep-me"), (1L, 20L, "winner")).toDF("k", "wt", "_lww_rn0")

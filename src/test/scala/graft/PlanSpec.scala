@@ -67,6 +67,29 @@ class PlanSpec extends SparkSpec {
     assert(!joinPart.contains("Exchange hashpartitioning"), p.take(1200))
   }
 
+  test("no query forces a broadcast hint over an aggregated relation (VERDICT r2 #4)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
+    // A hinted broadcast of a data-dependent aggregate is the classic
+    // scale-killer: the qualifying set grows with the data and the
+    // forced broadcast OOMs the driver at 100 TB. Unhinted, AQE
+    // broadcasts only when the runtime size is actually small.
+    // Exemption, bounded by construction at the call site:
+    // text_langid broadcasts the bigram profile — an aggregate capped
+    // at 30 rows per language by its rk<=30 window filter.
+    val exempt = Set("text_langid")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .filter { name =>
+        val analyzed = SparkEntry.queries(name)(spark, sf001).queryExecution.analyzed
+        analyzed.collect { case h: ResolvedHint => h }.exists { h =>
+          h.hints.strategy.contains(BROADCAST) &&
+            h.child.exists(_.isInstanceOf[Aggregate])
+        }
+      }
+    assert(offenders.isEmpty,
+      s"forced broadcast over an aggregate (driver OOM at scale): ${offenders.mkString(", ")}")
+  }
+
   test("filter_pred reaches the scan as pushed filters (incl. the OR)") {
     val p = plan("filter_pred")
     assert(p.contains("PushedFilters") && p.contains("Or(EqualTo(o_orderstatus,F)"),
