@@ -36,7 +36,11 @@ object ScaleGen {
     // dedup measurements with no error (ADVICE r2).
     def shifted(df: DataFrame, keyCol: String, offset: Long)(
         extra: (DataFrame, Int) => DataFrame): DataFrame = {
-      val maxKey = df.agg(max(col(keyCol))).head.getAs[Number](0).longValue
+      val maxKeyRaw = df.agg(max(col(keyCol))).head.get(0)
+      require(maxKeyRaw != null,
+        s"source table is empty (max($keyCol) is null) — nothing to scale; " +
+          "check the src dir argument")
+      val maxKey = maxKeyRaw.asInstanceOf[Number].longValue
       require(maxKey < offset,
         s"$keyCol max $maxKey >= per-copy offset $offset — copies would collide " +
           "(is the source already a scaled dir?)")

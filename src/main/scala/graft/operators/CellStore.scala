@@ -235,15 +235,19 @@ object CellStore extends QueryGroup {
     * batch guarantee. */
   private[graft] def applyBatches(changes: DataFrame, root: String,
       crashBetweenWrites: Boolean = false): Unit = {
+    // overwrite, not append: a retry after a crash (or a racing
+    // duplicate build on the same root) must converge to one copy of
+    // each row, never double the tables (ADVICE r3). The engine
+    // analogue is batch-log REPLAY being idempotent per batch.
     changes.repartition(col("user_id"))
       .sortWithinPartitions("user_id", "ts")
-      .write.mode("append").parquet(s"$root/by_user")
+      .write.mode("overwrite").parquet(s"$root/by_user")
     if (crashBetweenWrites) return
     changes.repartition(col("event_type"))
       .sortWithinPartitions("event_type", "ts")
-      .write.mode("append").parquet(s"$root/by_type")
+      .write.mode("overwrite").parquet(s"$root/by_type")
     changes.select("batch_id").distinct()
-      .write.mode("append").parquet(s"$root/commits")
+      .write.mode("overwrite").parquet(s"$root/commits")
   }
 
   /** Committed-read: rows of `table` whose batch_id has a commit
@@ -251,9 +255,17 @@ object CellStore extends QueryGroup {
     * scale — and AQE broadcasts the semi-join at runtime (unhinted:
     * it is an aggregate, see the PlanSpec broadcast guard). */
   private[graft] def readCommitted(s: SparkSession, root: String,
-      table: String): DataFrame =
+      table: String): DataFrame = {
+    // A crash before the marker write leaves no commits dir at all —
+    // that state must read as "no batch committed", not an error.
+    val commitsPath = new org.apache.hadoop.fs.Path(s"$root/commits")
+    val fs = commitsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val commits =
+      if (fs.exists(commitsPath)) s.read.parquet(commitsPath.toString)
+      else s.emptyDataFrame.withColumn("batch_id", lit(0L)).filter(lit(false))
     s.read.parquet(s"$root/$table")
-      .join(s.read.parquet(s"$root/commits"), Seq("batch_id"), "left_semi")
+      .join(commits, Seq("batch_id"), "left_semi")
+  }
 
   private val batchApplied =
     scala.collection.concurrent.TrieMap.empty[String, String]

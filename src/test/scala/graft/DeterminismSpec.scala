@@ -20,6 +20,10 @@ class DeterminismSpec extends SparkSpec {
     // partitioning could perturb
     "agg_skew_twophase", "pipeline_curation", "stream_join",
     "cdc_apply", "tombstone_merge", "fn_duration",
+    // round-3 set: the CAS/batch write paths share cdc_apply's
+    // Lww+left-join shape, and the banded LSH threshold join is
+    // exactly the candidate-generation shape partitioning could perturb
+    "cas_apply", "batch_apply", "sim_threshold_lsh",
     "q10_returns", "q18_large_orders", "scan_paging",
     "text_contamination", "text_pii_scrub", "source_csv",
     "scan_schema_evolution")
