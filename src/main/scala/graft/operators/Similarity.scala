@@ -71,22 +71,32 @@ object Similarity extends QueryGroup {
     * DedupSimilaritySpec measures agreement against the exact bounded
     * kernel (subset property + recall floor). */
   def simThresholdLsh(s: SparkSession, dir: String): DataFrame = {
-    val banded = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"),
+    // Materialize once: the 64-fdot bucket projection would otherwise
+    // be recomputed on BOTH sides of the self-join (and re-inlined by
+    // CollapseProject); bands ride the shuffle as bare (id, band,
+    // bucket) triples — embeddings join back in only for the (few)
+    // candidate pairs, exactly the dedupNear shape. At cluster scale
+    // this is "write the band index, then band-join".
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").localCheckpoint()
+    val banded = emb.select(
+      col("vec_id"),
       posexplode(array(
         thresholdBands.map(p => Vectors.lshBucket(col("embedding"), p)): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(
-      col("band"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = banded.select(
-      col("band"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .localCheckpoint()
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .withColumn("score", round(Vectors.fdot(col("va"), col("vb")), 6))
       .filter(col("score") > 0.35)
-      // a pair colliding in several bands appears once per band with
-      // an identical score — max() dedups without a second join
-      .groupBy("id_a", "id_b").agg(max(col("score")).as("score"))
+      .select("id_a", "id_b", "score")
       .orderBy("id_a", "id_b")
   }
 
@@ -145,34 +155,74 @@ object Similarity extends QueryGroup {
     * parquet, the literal write-once offline index job a 100 TB
     * deployment runs (VERDICT r2 #5); every query thereafter just
     * reads the index, exactly as join_bucketed reads its buckets.
-    * Trains on a seeded 50% sample with 4 Lloyd iterations (random
-    * init): centroid quality barely moves after a few iterations on a
-    * sample, and the query path reranks exactly inside the probed
-    * cells anyway. Sample fraction and nprobe=5/16 are set so every
-    * query still fills top-10 on the smallest fixture. Returns
-    * (centroidsPath, assignedPath). */
+    *
+    * Training is Lloyd's on the DRIVER over a bounded deterministic
+    * sample (content-hash gated, capped at 4096 vectors — the cap,
+    * not the corpus, bounds driver memory at 100 TB; 4096×64 floats
+    * is ~1 MB, the same "collect a bounded sample for planning" move
+    * AQE makes for stats). 16 centroids × a few Lloyd iterations is
+    * microseconds of arithmetic — a distributed k-means job would be
+    * all scheduling overhead — while the expensive passes (full-corpus
+    * cell ASSIGNMENT and the partitioned index write) stay
+    * distributed. Init picks 16 evenly spaced vectors from the sample
+    * sorted by vec_id, so the index is independent of partition
+    * layout. nprobe=5/16 is set so every query still fills top-10 on
+    * the smallest fixture. Returns (centroidsPath, assignedPath). */
   private def ivfIndexPaths(s: SparkSession, dir: String): (String, String) =
     ivfIndexDirs.getOrElseUpdate(dir, {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.embeddings(s, dir)
-        .withColumn("fv", array_to_vector(col("embedding")))
-      val model = new KMeans().setK(16).setSeed(42).setMaxIter(4)
-        .setInitMode("random")
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(emb.sample(withReplacement = false, 0.5, seed = 7))
+      val sample = emb
+        .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+        .orderBy("vec_id").limit(4096)
+        .select("vec_id", "embedding")
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val k = 16
+      val dim = sample.head.length
+      var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
+      for (_ <- 0 until 4) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        sample.foreach { v =>
+          var best = 0; var bestDot = Double.NegativeInfinity
+          for (c <- 0 until k) {
+            var d = 0.0; var j = 0
+            while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
+            if (d > bestDot) { bestDot = d; best = c }
+          }
+          var j = 0
+          while (j < dim) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else {
+            // embeddings are L2-normalized (FIXTURES.md) ⇒ re-normalize
+            // the mean so centroid dot products stay cosine-comparable
+            val m = sums(c).map(_ / counts(c))
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0) cents(c) else m.map(_ / n)
+          }
+        }
+      }
       val key = dir.replaceAll("[^A-Za-z0-9]", "_")
       val centPath = RunId.scratch(s"ivf_${key}_centroids")
       val assignPath = RunId.scratch(s"ivf_${key}_assigned")
-      s.createDataFrame(model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.toSeq.map(_.toFloat)) })
+      val centsF = cents.map(_.map(_.toFloat).toSeq)
+      s.createDataFrame(centsF.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
         .toDF("cent_cell", "cent")
         .write.mode("overwrite").parquet(centPath)
+      // argmax over the 16 broadcast centroids as a struct-max (sim,
+      // then smaller cell id on ties) — stays in whole-stage codegen.
+      val cellExpr = array_max(array(centsF.zipWithIndex.map { case (c, i) =>
+        struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
+          lit(-i).as("negcell"))
+      }: _*))
       // Partitioned by cell: a 100 TB probe reads only the nprobe
       // matching cell partitions (dynamic partition pruning via the
       // broadcast probe join), not the whole index.
-      model.transform(emb)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      emb.select(col("vec_id"), col("embedding"),
+          (-cellExpr.getField("negcell")).as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(assignPath)
       (centPath, assignPath)
     })

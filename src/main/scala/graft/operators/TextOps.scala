@@ -145,8 +145,8 @@ object TextOps extends QueryGroup {
     // version paid disappears entirely, and both aggregations below
     // become plain counts with map-side partial aggregation. Profiles
     // therefore rank by document frequency — the better-behaved langid
-    // statistic anyway. Re-derived (cheaply, from the checkpointed
-    // 200-char strings) by both consumers — one materialization total.
+    // statistic anyway. (Since round 4 only the profile build explodes;
+    // classification is row-local below.)
     def exploded(src: DataFrame) = src
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(
@@ -161,20 +161,31 @@ object TextOps extends QueryGroup {
       .withColumn("rk",
         row_number().over(Window.partitionBy("lang").orderBy(col("count").desc, col("bg").asc)))
       .filter(col("rk") <= 30)
-      .select(col("lang").as("cand_lang"), col("bg"))
-    // Classify = argmax over (overlap count desc, cand_lang asc).
-    // min_by over the struct (-count, cand_lang) IS that argmax —
-    // lexicographic struct ordering gives highest count first, then
-    // the alphabetically-first language on ties — and replaces the
-    // round-2 sort+window over the exploded relation with a second
-    // hash aggregation (partial-aggregable, no sort; VERDICT r2 #2).
-    exploded(prepared)
-      .join(broadcast(profile), "bg")
-      .groupBy("doc_id", "lang", "cand_lang").count()
-      .groupBy("doc_id", "lang")
-      .agg(min_by(col("cand_lang"),
-        struct((-col("count")).as("nc"), col("cand_lang"))).as("predicted"))
-      .select(col("doc_id"), col("lang"), col("predicted"))
+      .groupBy("lang").agg(sort_array(collect_list(col("bg"))).as("bgs"))
+    // The learned profile is ≤ 5 langs × 30 bigrams — collect it to
+    // the driver (the bounded-stats move AQE makes) and classify each
+    // doc ROW-LOCALLY: overlap = |array_intersect(doc bigrams,
+    // literal profile)| per language, argmax via array_min over
+    // (-count, lang) structs — highest count first, alphabetically
+    // first language on ties, the same order the round-2/3 min_by
+    // argmax used. This deletes the full-corpus explode (~200 rows
+    // per doc), the broadcast join, AND both classify aggregations:
+    // the corpus is scanned exactly once with per-row work only.
+    // Zero-overlap docs keep the inner-join semantics (dropped).
+    val profArrays = profile.collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val bgs = array_distinct(
+      expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
+    val best = array_min(array(profArrays.map { case (lang, pbgs) =>
+      struct((-size(array_intersect(col("bgs"), typedlit(pbgs)))).as("nc"),
+        lit(lang).as("cand_lang"))
+    }: _*))
+    prepared
+      .withColumn("bgs", bgs)
+      .withColumn("best", best)
+      .filter(col("best.nc") < 0)
+      .select(col("doc_id"), col("lang"), col("best.cand_lang").as("predicted"))
       .orderBy("doc_id")
   }
 

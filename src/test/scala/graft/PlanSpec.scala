@@ -73,12 +73,10 @@ class PlanSpec extends SparkSpec {
     // scale-killer: the qualifying set grows with the data and the
     // forced broadcast OOMs the driver at 100 TB. Unhinted, AQE
     // broadcasts only when the runtime size is actually small.
-    // Exemption, bounded by construction at the call site:
-    // text_langid broadcasts the bigram profile — an aggregate capped
-    // at 30 rows per language by its rk<=30 window filter.
-    val exempt = Set("text_langid")
+    // (text_langid was the one exemption until round 4 — it now
+    // collects its ≤150-row profile and classifies row-locally, so no
+    // query needs a broadcast hint on an aggregate at all.)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(exempt)
       .filter { name =>
         val analyzed = SparkEntry.queries(name)(spark, sf001).queryExecution.analyzed
         analyzed.collect { case h: ResolvedHint => h }.exists { h =>
