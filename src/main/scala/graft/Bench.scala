@@ -47,23 +47,34 @@ object Bench {
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val n = try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // Release checkpoint/cache blocks a query may have pinned so
       // later queries aren't measured under accumulated memory load.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> dt
+      name -> (dt, n)
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // and a comma-decimal locale would corrupt the JSON
     val qs = results
-      .map { case (k, v) =>
+      .map { case (k, (v, _)) =>
         s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Output rows per query, for output-normalized scale-up analysis
+    // (time/row separates output-driven growth from plan growth).
+    // Env-gated and printed BEFORE the metric lines so the driver's
+    // last-line/regex protocol is unaffected.
+    if (sys.env.contains("SPARK_GRAFT_EMIT_ROWS")) {
+      val rows = results
+        .map { case (k, (_, n)) => s"\"" + k + "\":" + n }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"rows","rows":$rows,"sf":"$sfDir"}""")
+    }
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val brief =

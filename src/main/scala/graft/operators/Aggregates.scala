@@ -215,7 +215,39 @@ object Aggregates extends QueryGroup {
         array_join(array_sort(col("l_returnflag_freqItems")), ",").as("flag_heavy"),
         array_join(array_sort(col("l_linestatus_freqItems")), ",").as("status_heavy"))
 
+  private val sketchBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Mergeable-sketch rollup — the 100 TB incremental-aggregation
+    * pattern: per-day HLL sketches of distinct users are built ONCE
+    * and persisted (a nightly job appends one day's sketch row, never
+    * rescans history), then any rollup window — here per-week — is
+    * answered by MERGING the tiny sketch rows, not by re-reading the
+    * events. Sketch estimates are register-maxima based: insertion
+    * and merge order don't change them, so the output is
+    * deterministic and partitioning-insensitive (DeterminismSpec),
+    * but engine-specific (DataSketches HLL) ⇒ rows-only; accuracy vs
+    * exact distinct counts is asserted in KernelSpec. */
+  def aggSketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = sketchBuilt.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratch(
+        "daily_sketches/" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_uniques"),
+        sum("n_events").as("n_events"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_quantile_approx" -> (aggQuantileApprox _),

@@ -129,10 +129,66 @@ object Dedup extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected-components clustering of near-duplicate pairs — the
+    * step a curation pipeline runs AFTER pairwise detection: pair
+    * lists don't dedup a corpus, clusters do (keep one canonical doc
+    * per component, drop the rest). Pairs come from the
+    * oracle-reproducible [[dedupJaccard]] kernel, so the whole operator
+    * is exactly checkable against a DuckDB recursive CTE.
+    *
+    * Algorithm: iterated min-label propagation with pointer-jumping
+    * shortcuts — each round every node takes the min label over itself
+    * and its neighbors, then labels are composed through themselves
+    * (label := label(label)), which halves label-chain length and
+    * gives O(log diameter) rounds (the alternating-star bound of the
+    * classic MapReduce connected-components literature). Each round is
+    * two hash joins + an aggregation on (node, label) pairs — at
+    * 100 TB that's a handful of keyed shuffles over a relation the
+    * size of the candidate-pair set, never the corpus, and the
+    * convergence check is a cheap count on the changed rows. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupJaccard(s, dir).select("id_a", "id_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 16) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nbr"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jumping: label := label(label). Monotone (labels only
+      // decrease), composes two hops into one — log-round convergence.
+      val next = propagated.as("l")
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")), Seq("label"))
+        .select(col("id"), least(col("label"), col("ll")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_near" -> (dedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_jaccard" -> (dedupJaccard _)
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_cluster" -> (dedupCluster _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,7 +208,38 @@ object Dedup extends QueryGroup {
       WHERE a.doc_id < b.doc_id
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.01
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+    // Connected components as a recursive CTE over the SAME jaccard
+    // pairs: label(id) = min node id reachable from id.
+    "dedup_cluster" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         FOR i IN range(1, len(w)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE doc_id < 60)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.01),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      lbl AS (SELECT id AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM lbl GROUP BY cluster_id)
+      SELECT l.doc_id, l.cluster_id, s.cluster_size,
+             l.doc_id = l.cluster_id AS is_canonical
+      FROM lbl l JOIN sz s USING (cluster_id)
+      ORDER BY l.doc_id"""
     // dedup_near, dedup_simhash: no oracle (LSH candidate generation is
     // engine-defined; planted-pair recovery asserted in DedupSpec)
   )

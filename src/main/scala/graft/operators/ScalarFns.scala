@@ -139,7 +139,36 @@ object ScalarFns extends QueryGroup {
         to_json(struct(col("event_id"), col("event_type"))).as("row_json"))
       .orderBy("event_id")
 
+  /** CQL 5 vector similarity functions (similarity_dot_product /
+    * similarity_cosine / similarity_euclidean) against one query
+    * vector, over the whole embeddings table. All three are composed
+    * from the same float-multiply/double-accumulate kernel as the
+    * similarity operators ([[graft.plans.DotProductExpr]] — codegen'd),
+    * and the oracle reproduces that accumulation EXACTLY in DuckDB
+    * (float element ops, double running sum), so this float surface is
+    * hash-checkable, not rows-only. The query side is one broadcast
+    * row; the corpus is scanned once with row-local work — the same
+    * plan at any scale. */
+  def fnVector(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val dotQ = graft.functions.Vectors.fdot(col("embedding"), col("q"))
+    val dotSelf = graft.functions.Vectors.fdot(col("embedding"), col("embedding"))
+    val dotQQ = graft.functions.Vectors.fdot(col("q"), col("q"))
+    val sqDiff = aggregate(
+      zip_with(col("embedding"), col("q"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, p) => acc + p)
+    emb.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(dotQ, 6).as("sim_dot"),
+        round(dotQ / (sqrt(dotSelf) * sqrt(dotQQ)), 6).as("sim_cosine"),
+        round(sqrt(sqDiff), 6).as("dist_euclidean"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_vector" -> (fnVector _),
     "fn_time" -> (fnTime _),
     "fn_string" -> (fnString _),
     "fn_math" -> (fnMath _),
@@ -153,6 +182,28 @@ object ScalarFns extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // The three list_aggregate sums mirror DotProductExpr's semantics
+    // bit-for-bit: FLOAT element arithmetic, each product cast to
+    // DOUBLE, accumulated left-to-right. (DuckDB's own
+    // list_dot_product accumulates in FLOAT and would NOT match.)
+    "fn_vector" -> """
+      WITH q AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+      d AS (
+        SELECT vec_id,
+          list_aggregate(list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] * q[i] AS DOUBLE)), 'sum') AS dot_q,
+          list_aggregate(list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] * embedding[i] AS DOUBLE)), 'sum') AS dot_self,
+          list_aggregate(list_transform(range(1, len(q) + 1),
+            i -> CAST(q[i] * q[i] AS DOUBLE)), 'sum') AS dot_qq,
+          list_aggregate(list_transform(range(1, len(embedding) + 1),
+            i -> CAST((embedding[i] - q[i]) * (embedding[i] - q[i]) AS DOUBLE)), 'sum') AS sqdiff
+        FROM embeddings CROSS JOIN q)
+      SELECT vec_id,
+        ROUND(dot_q, 6) AS sim_dot,
+        ROUND(dot_q / (sqrt(dot_self) * sqrt(dot_qq)), 6) AS sim_cosine,
+        ROUND(sqrt(sqdiff), 6) AS dist_euclidean
+      FROM d ORDER BY vec_id""",
     "fn_time" -> """
       SELECT o_orderkey,
         CAST(year(o_orderdate) AS INTEGER) AS y,

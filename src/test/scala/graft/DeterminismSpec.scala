@@ -24,6 +24,9 @@ class DeterminismSpec extends SparkSpec {
     // Lww+left-join shape, and the banded LSH threshold join is
     // exactly the candidate-generation shape partitioning could perturb
     "cas_apply", "batch_apply", "sim_threshold_lsh",
+    // round-4 set: iterative label propagation, sketch merges, and the
+    // float vector kernel must not depend on partition layout
+    "dedup_cluster", "agg_sketch_merge", "fn_vector",
     "q10_returns", "q18_large_orders", "scan_paging",
     "text_contamination", "text_pii_scrub", "source_csv",
     "scan_schema_evolution")

@@ -210,4 +210,45 @@ class KernelSpec extends SparkSpec {
       }
     })
   }
+
+  test("agg_sketch_merge estimates track exact weekly distincts within 5%") {
+    val approx = SparkEntry.queries("agg_sketch_merge")(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.events(spark, sf001)
+      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .agg(countDistinct("user_id").as("uniques"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((w, ex) <- exact) {
+      val ap = approx(w).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"week $w: approx $ap vs exact $ex")
+    }
+  }
+
+  test("dedup_cluster labels are consistent: pairs share clusters, canonical is min") {
+    val pairs = SparkEntry.queries("dedup_jaccard")(spark, sf001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = SparkEntry.queries("dedup_cluster")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && cluster.nonEmpty)
+    // every paired doc is labeled, endpoints agree, label is a member
+    // of the component and its minimum (transitive closure via fixpoint)
+    for ((a, b) <- pairs) {
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+      assert(cluster(a) <= math.min(a, b))
+    }
+    val members = cluster.groupBy(_._2).view.mapValues(_.keySet)
+    for ((label, docs) <- members) assert(docs.min == label,
+      s"cluster $label: min member ${docs.min} is not the label")
+  }
+
+  test("fn_vector: query vector has dot=cosine=1-ish self-sim and distance 0") {
+    val row = SparkEntry.queries("fn_vector")(spark, sf001)
+      .filter(col("vec_id") === 0).collect().head
+    // embeddings are L2-normalized: self dot ≈ 1 (float rounding), and
+    // the self distance is exactly 0
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-5)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-9)
+    assert(row.getDouble(3) == 0.0)
+  }
 }
