@@ -36,7 +36,7 @@ object ScaleGen {
     // dedup measurements with no error (ADVICE r2).
     def shifted(df: DataFrame, keyCol: String, offset: Long)(
         extra: (DataFrame, Int) => DataFrame): DataFrame = {
-      val maxKeyRaw = df.agg(max(col(keyCol))).head.get(0)
+      val maxKeyRaw = df.agg(max(col(keyCol))).head().get(0)
       require(maxKeyRaw != null,
         s"source table is empty (max($keyCol) is null) — nothing to scale; " +
           "check the src dir argument")
@@ -61,10 +61,30 @@ object ScaleGen {
       "orders")
     // events go through the Tables reader so ts is written back as a
     // proper (µs, NTZ) timestamp column — raw nanos-as-long would make
-    // the scaled dir unreadable by the DuckDB oracle path
-    write(shifted(graft.core.Tables.events(spark, src), "event_id", 1000000L)(noop), "events")
+    // the scaled dir unreadable by the DuckDB oracle path.
+    // Each copy's timeline is shifted by a month: a real ×N event
+    // corpus covers more time, it does not replay the same fortnight
+    // N times — and un-shifted copies share timestamps, so interval
+    // joins and sessionization gain O(copies²) cross-copy matches
+    // that measure the FIXTURE, not the plan (the round-2 ×10 table's
+    // stream_join outlier was exactly this artifact).
+    write(shifted(graft.core.Tables.events(spark, src), "event_id", 1000000L) { (d, i) =>
+      d.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+    }, "events")
+    // Copies must be DISTINCT documents, not near-duplicates of the
+    // source: tagging every 3rd word per copy puts one tagged word
+    // into every 3-shingle (cross-copy Jaccard ≈ 0, cross-copy
+    // simhash distance large) while leaving within-copy structure —
+    // including the planted-mutation pairs the dedup operators
+    // rediscover — equivalent. The old suffix-mark mutation kept ~97%
+    // of shingles shared, so every doc became an N-way near-dup group
+    // and dedup output grew quadratically by construction (~25 M
+    // pairs at ×100 — a fixture artifact, not a plan property).
     write(shifted(spark.read.parquet(s"$src/documents.parquet"), "doc_id", 1000000L) { (d, i) =>
-      d.withColumn("text", concat(col("text"), lit(s" copymark$i")))
+      if (i == 0) d
+      else d.withColumn("text",
+          array_join(expr("transform(split(text, ' '), (w, j) -> " +
+            s"CASE WHEN j % 3 = 0 THEN concat(w, '~$i') ELSE w END)"), " "))
         // keep the FIXTURES.md invariant n_chars = length(text)
         .withColumn("n_chars", length(col("text")))
     }, "documents")

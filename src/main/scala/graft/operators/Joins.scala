@@ -119,6 +119,36 @@ object Joins extends QueryGroup {
       .orderBy("r1", "k1", "k2")
   }
 
+  /** Interval join — events against time windows they fall inside —
+    * via bucketing: each window is exploded onto the hour buckets it
+    * covers, each event carries its own hour bucket, and the
+    * containment predicate runs only on bucket-equal pairs. That turns
+    * the O(|events|·|windows|) theta join into ONE equi-join whose
+    * candidate count is (events per bucket × windows per bucket) —
+    * linear in both inputs for bounded window length. An event has
+    * exactly one bucket, so no pair is produced twice. Windows here
+    * derive deterministically from the data (first event of each
+    * user < 20, 90 minutes long); the un-bucketed theta join is the
+    * oracle. At 100 TB neither side is broadcast-sized and the hinted
+    * broadcast is deliberately absent — the equi-join shuffles on the
+    * bucket key like any other keyed join (AQE may still broadcast the
+    * window side when it measures small). */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val w = e.filter(col("user_id") < 20)
+      .groupBy(col("user_id").as("window_id"))
+      .agg(min(col("ts")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 90 MINUTES"))
+    val wb = w.withColumn("bucket",
+      explode(sequence(date_trunc("hour", col("w_start")),
+        date_trunc("hour", col("w_end")), expr("INTERVAL 1 HOUR"))))
+    e.withColumn("bucket", date_trunc("hour", col("ts")))
+      .join(wb, Seq("bucket"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("window_id", "event_id", "user_id")
+      .orderBy("window_id", "event_id")
+  }
+
   /** As-of join: each event matched to the newest order of the same
     * customer with o_orderdate <= ts (tiebreak: max o_orderkey).
     *
@@ -203,6 +233,7 @@ object Joins extends QueryGroup {
     "join_anti" -> (joinAnti _),
     "join_lookup" -> (joinLookup _),
     "join_theta" -> (joinTheta _),
+    "join_interval" -> (joinInterval _),
     "join_asof" -> (joinAsof _)
   )
 
@@ -273,6 +304,15 @@ object Joins extends QueryGroup {
         SELECT o_orderkey FROM orders
         WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
-      ORDER BY e.event_id"""
+      ORDER BY e.event_id""",
+    // the oracle is the UN-bucketed theta join the operator replaces
+    "join_interval" -> """
+      WITH w AS (
+        SELECT user_id AS window_id, min(ts) AS w_start,
+               min(ts) + INTERVAL 90 MINUTE AS w_end
+        FROM events WHERE user_id < 20 GROUP BY user_id)
+      SELECT w.window_id, e.event_id, e.user_id
+      FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+      ORDER BY w.window_id, e.event_id"""
   )
 }

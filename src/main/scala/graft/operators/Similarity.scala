@@ -214,7 +214,7 @@ object Similarity extends QueryGroup {
         .write.mode("overwrite").parquet(centPath)
       // argmax over the 16 broadcast centroids as a struct-max (sim,
       // then smaller cell id on ties) — stays in whole-stage codegen.
-      val cellExpr = array_max(array(centsF.zipWithIndex.map { case (c, i) =>
+      val cellExpr = array_max(array(centsF.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
           lit(-i).as("negcell"))
       }: _*))
@@ -251,7 +251,50 @@ object Similarity extends QueryGroup {
       .orderBy("query_id", "rk")
   }
 
+  /** Per-vector calibrated symmetric int8 quantization — the storage
+    * move that cuts a 100 TB float32 embedding store to a quarter:
+    * scale = max|x_i| per vector, q_i = round-half-away(x_i/scale·127),
+    * reported here as the quantization-error audit a pipeline runs
+    * before flipping its index to int8. Row-local single scan, no
+    * shuffle before the final ordering. Every arithmetic step is
+    * float→double exact and mirrored verbatim in the DuckDB oracle,
+    * so the float surface hash-matches (same convention as fn_vector).
+    */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    def xd(x: org.apache.spark.sql.Column) = x.cast("double")
+    val scale = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(xd(v))))
+    // round-half-away-from-zero via sign·floor(|x|+0.5): floor-based
+    // on both engines, so negatives can't split between HALF_UP and
+    // HALF_EVEN conventions.
+    // The working column is "_qscale", NOT "scale": the output select
+    // aliases the rounded value AS "scale", and a same-name alias in
+    // that projection captures by-name references from sibling
+    // expressions — the error kernel would silently quantize against
+    // the ROUNDED scale (measured: max_abs_err off by 2e-7).
+    def errArr = transform(col("embedding"), x =>
+      abs(xd(x) - signum(xd(x)) *
+        floor(abs(xd(x)) / col("_qscale") * 127 + 0.5) * col("_qscale") / 127))
+    // floor-truncation, not ROUND: x·1e9 is one IEEE double multiply
+    // (bit-identical on any engine), so floor agrees everywhere —
+    // whereas ROUND implementations disagree on the last digit
+    // (measured: Spark HALF_UP vs DuckDB differed by 1e-9)
+    def trunc9(c: org.apache.spark.sql.Column) =
+      floor(c * 1e9).cast("double") / 1e9
+    Tables.embeddings(s, dir)
+      .withColumn("_qscale", scale)
+      .select(
+        col("vec_id"),
+        round(col("_qscale"), 6).as("scale"),
+        trunc9(aggregate(errArr, lit(0.0), (acc, p) => acc + p) /
+          size(col("embedding"))).as("mean_abs_err"),
+        trunc9(aggregate(errArr, lit(0.0), (acc, p) => greatest(acc, p)))
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_quantize" -> (embeddingQuantize _),
     "sim_topk" -> (simTopk _),
     "sim_threshold" -> (simThreshold _),
     "sim_threshold_lsh" -> (simThresholdLsh _),
@@ -260,6 +303,25 @@ object Similarity extends QueryGroup {
     "dedup_embed" -> (dedupEmbed _)
   )
 
-  /** All similarity ops are declared no-oracle (float kernels). */
-  val oracles: Map[String, String] = Map.empty
+  /** The search ops are declared no-oracle (LSH/IVF candidate sets
+    * are engine-defined); embedding_quantize mirrors its float→double
+    * arithmetic verbatim in DuckDB and is hash-checked. */
+  val oracles: Map[String, String] = Map(
+    "embedding_quantize" -> """
+      WITH d AS (
+        SELECT vec_id, embedding,
+          list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+        FROM embeddings)
+      SELECT vec_id,
+        ROUND(scale, 6) AS scale,
+        floor(list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE) - sign(CAST(x AS DOUBLE)) *
+              floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5) *
+              scale / 127)), 'sum') / len(embedding) * 1e9) / 1e9 AS mean_abs_err,
+        floor(list_aggregate(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE) - sign(CAST(x AS DOUBLE)) *
+              floor(abs(CAST(x AS DOUBLE)) / scale * 127 + 0.5) *
+              scale / 127)), 'max') * 1e9) / 1e9 AS max_abs_err
+      FROM d ORDER BY vec_id""")
 }

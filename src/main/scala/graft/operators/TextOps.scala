@@ -177,7 +177,7 @@ object TextOps extends QueryGroup {
       .sortBy(_._1)
     val bgs = array_distinct(
       expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
-    val best = array_min(array(profArrays.map { case (lang, pbgs) =>
+    val best = array_min(array(profArrays.toIndexedSeq.map { case (lang, pbgs) =>
       struct((-size(array_intersect(col("bgs"), typedlit(pbgs)))).as("nc"),
         lit(lang).as("cand_lang"))
     }: _*))
@@ -199,6 +199,26 @@ object TextOps extends QueryGroup {
         length(col("text")).as("raw_len"))
       .withColumn("clean_len", length(col("clean_text")))
       .orderBy("doc_id")
+
+  /** Stratified (per-class) sampling by CONTENT hash — the corpus
+    * rebalancing step of a training-data pipeline (downsample the
+    * majority language, keep the rest). Selection is a threshold on
+    * the md5 bucket of the text, so it is exactly reproducible on any
+    * partition layout / cluster size, stable across re-runs, and
+    * oracle-checkable — none of which holds for rdd-style sample().
+    * Per-class rates ride in via a tiny literal map; at 100 TB this
+    * is a single scan with row-local work and no shuffle before the
+    * final ordering. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    // keep ~25% of the majority class (en), everything else intact;
+    // bucket space is 16 bits (0..65535)
+    val keepThreshold = when(col("lang") === "en", lit(16384)).otherwise(lit(65536))
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucketCol(col("text")))
+      .filter(col("bucket") < keepThreshold)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
 
   /** Deterministic train/val split by CONTENT hash (not row position):
     * stable under re-shards, re-orders and re-runs — the property a
@@ -287,6 +307,7 @@ object TextOps extends QueryGroup {
     "pipeline_curation" -> (pipelineCuration _),
     "text_clean" -> (textClean _),
     "text_split" -> (textSplit _),
+    "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),
     "text_lang_filter" -> (textLangFilter _),
@@ -356,6 +377,12 @@ object TextOps extends QueryGroup {
         CASE WHEN ${sqlBucket("text")} < 4096
              THEN 'val' ELSE 'train' END AS split
       FROM documents ORDER BY doc_id""",
+    "sample_stratified" -> s"""
+      SELECT doc_id, lang, ${sqlBucket("text")} AS bucket
+      FROM documents
+      WHERE ${sqlBucket("text")} <
+        CASE WHEN lang = 'en' THEN 16384 ELSE 65536 END
+      ORDER BY doc_id""",
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
              min(n_chars) AS n_chars

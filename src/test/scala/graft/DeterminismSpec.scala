@@ -27,6 +27,7 @@ class DeterminismSpec extends SparkSpec {
     // round-4 set: iterative label propagation, sketch merges, and the
     // float vector kernel must not depend on partition layout
     "dedup_cluster", "agg_sketch_merge", "fn_vector",
+    "join_interval", "sample_stratified", "embedding_quantize",
     "q10_returns", "q18_large_orders", "scan_paging",
     "text_contamination", "text_pii_scrub", "source_csv",
     "scan_schema_evolution")
