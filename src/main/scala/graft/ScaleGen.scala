@@ -88,8 +88,17 @@ object ScaleGen {
         // keep the FIXTURES.md invariant n_chars = length(text)
         .withColumn("n_chars", length(col("text")))
     }, "documents")
-    write(shifted(spark.read.parquet(s"$src/embeddings.parquet"), "vec_id", 1000000L)(noop),
-      "embeddings")
+    // Per-copy ±1 diagonal sign flip: an ORTHOGONAL transform, so all
+    // within-copy pairwise cosines are preserved exactly (xᵀD D y =
+    // xᵀy) while cross-copy cosines collapse to ~0 — without it every
+    // vector has N-1 identical twins and threshold-similarity output
+    // grows ×N² by construction (measured 227× at ×10).
+    write(shifted(spark.read.parquet(s"$src/embeddings.parquet"), "vec_id", 1000000L) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        expr(s"transform(embedding, (x, j) -> " +
+          s"CASE WHEN pmod(xxhash64(j * 31 + $i), 2) = 0 THEN -x ELSE x END)"))
+    }, "embeddings")
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     spark.stop()

