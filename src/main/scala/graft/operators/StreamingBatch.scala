@@ -81,18 +81,30 @@ object StreamingBatch extends QueryGroup {
 
   /** Stream-stream interval join in batch form: click→purchase
     * attribution — every click by the same user within the hour
-    * before a purchase. The equality key (user_id) drives the
-    * shuffle; the time bound is a post-join filter, and in the
-    * streaming twin (StreamOps.attributionJoin) it also bounds the
-    * join state via the two watermarks. */
+    * before a purchase. The equality key is (user_id, hour bucket),
+    * NOT user_id alone: keyed only on the user, candidate pairs per
+    * user grow with the square of that user's history (measured 146×
+    * time at ×100 data despite exactly ×100 output), because a year of
+    * one user's clicks joins against a year of their purchases before
+    * the time filter runs. Each click owns one hour bucket; each
+    * purchase probes its own and the preceding bucket (the 1-hour
+    * lookback can only span two), so candidates are bounded by
+    * per-user-per-hour density — linear in the corpus — and a pair
+    * can only collide in hour(c_ts)'s bucket, so no dedup is needed.
+    * The streaming twin (StreamOps.attributionJoin) gets the same
+    * bound from its two watermarks instead. */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("bucket",
+        explode(array(date_trunc("hour", col("p_ts")),
+          date_trunc("hour", col("p_ts") - expr("INTERVAL 1 HOUR")))))
     val c = e.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("bucket", date_trunc("hour", col("c_ts")))
     p.join(c,
-        col("user_id") === col("c_user") &&
+        col("user_id") === col("c_user") && p("bucket") === c("bucket") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
       .select(

@@ -27,6 +27,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("join_sortmerge").contains("SortMergeJoin"))
   }
 
+  test("join_interval is an equi-join on the bucket, never a nested loop") {
+    // the whole point of the bucketed rewrite: the containment theta
+    // predicate must ride an equi-join (hash or broadcast-hash), not
+    // a BroadcastNestedLoopJoin/CartesianProduct that compares every
+    // (event, window) pair
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("join_lookup broadcasts the key set (point-read join)") {
     assert(plan("join_lookup").contains("BroadcastHashJoin"))
   }
