@@ -152,8 +152,12 @@ object Dedup extends QueryGroup {
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 0 folded into initialization: with label=id the first
+    // neighbor-min is just min(src) per dst, one aggregation instead
+    // of a full join round.
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("m"))
+      .select(col("dst").as("id"), least(col("dst"), col("m")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0

@@ -147,10 +147,16 @@ object TextOps extends QueryGroup {
     // therefore rank by document frequency — the better-behaved langid
     // statistic anyway. (Since round 4 only the profile build explodes;
     // classification is row-local below.)
+    //
+    // Bigram extraction is a native expression (one tight loop per
+    // row, inside whole-stage codegen): the HOF compositions tried
+    // first — transform(sequence(i), substring(t,i,2)) and
+    // split+zip_with — both pay per-ELEMENT interpreted lambda
+    // dispatch, ~300 µs per 200-char doc, the measured dominant cost
+    // of this operator's earlier versions.
+    val bigrams = graft.plans.CharBigramsExpr.bigrams(col("t"))
     def exploded(src: DataFrame) = src
-      .select(col("doc_id"), col("lang"),
-        explode(array_distinct(
-          expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))).as("bg"))
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
     // Profiles learn from a 20% document sample: top-30 ranks are
     // stable under sampling and the profile pass (explode + agg)
     // drops to a fifth of the corpus. Selection is a CONTENT hash of
@@ -175,15 +181,20 @@ object TextOps extends QueryGroup {
     val profArrays = profile.collect()
       .map(r => (r.getString(0), r.getSeq[String](1)))
       .sortBy(_._1)
-    val bgs = array_distinct(
-      expr("transform(sequence(1, length(t)-1), i -> substring(t, i, 2))"))
     val best = array_min(array(profArrays.toIndexedSeq.map { case (lang, pbgs) =>
-      struct((-size(array_intersect(col("bgs"), typedlit(pbgs)))).as("nc"),
+      struct((-size(array_intersect(bigrams, typedlit(pbgs)))).as("nc"),
         lit(lang).as("cand_lang"))
     }: _*))
+    // ONE scoring projection, materialized once: the filter and the
+    // field extraction below both reference `best`, and CollapseProject
+    // would otherwise re-inline the whole 5-intersect argmax (and its
+    // bigram extraction) into each — 3× the row work. One checkpoint
+    // is the sweet spot now that the bigram kernel is native: more
+    // staging just multiplies per-query plan compilations, which at
+    // this point cost more than the row work they save.
     prepared
-      .withColumn("bgs", bgs)
-      .withColumn("best", best)
+      .select(col("doc_id"), col("lang"), best.as("best"))
+      .localCheckpoint()
       .filter(col("best.nc") < 0)
       .select(col("doc_id"), col("lang"), col("best.cand_lang").as("predicted"))
       .orderBy("doc_id")
