@@ -246,7 +246,50 @@ object Aggregates extends QueryGroup {
       .orderBy("week")
   }
 
+  /** Per-group mode (most frequent value): count per (group, value),
+    * then an argmax aggregation — two hash aggregates, both
+    * partial-aggregable, no sort/window. Tie-break: highest count,
+    * then alphabetically first value, so the result is deterministic. */
+  def aggMode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"),
+          struct((-col("cnt")).as("nc"), col("event_type"))).as("mode_type"),
+        max(col("cnt")).as("mode_n"))
+      .orderBy("user_id")
+
+  /** Incremental materialized-view maintenance — the engine-side MV
+    * story at 100 TB: the standing per-user aggregate is NOT
+    * recomputed when a change batch lands; the batch's own partial
+    * aggregate merges into the view by key (counts add, decimal sums
+    * add exactly). Work is |batch| + |touched keys| — a keyed
+    * outer-join of two aggregates — independent of base history size.
+    * The oracle recomputes the view from ALL events, proving the
+    * incremental merge ≡ full refresh. */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-12 00:00:00").cast("timestamp_ntz")
+    val e = Tables.events(s, dir).select("user_id", "value", "ts")
+    val mv = e.filter(col("ts") <= cutoff)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(Num.d2(col("value"))).as("sv"))
+    val delta = e.filter(col("ts") > cutoff)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("dn"), sum(Num.d2(col("value"))).as("dsv"))
+    mv.join(delta, Seq("user_id"), "full")
+      .select(
+        col("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        round(coalesce(col("sv"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("dsv"), lit(0).cast("decimal(28,2)")), 2)
+          .cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
+    "mv_incremental" -> (mvIncremental _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
@@ -266,6 +309,19 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" -> """
+      WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+        (ARRAY_AGG(event_type ORDER BY cnt DESC, event_type ASC))[1] AS mode_type,
+        MAX(cnt) AS mode_n
+      FROM c GROUP BY user_id ORDER BY user_id""",
+    // the oracle is the FULL refresh the incremental merge must equal
+    "mv_incremental" -> s"""
+      SELECT user_id, COUNT(*) AS n_events,
+        ${Num.sqlDsum("value")} AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id""",
     // agg_quantile_approx: no oracle (GK sketch is engine-specific;
     // tolerance vs exact asserted in KernelSpec)
     "agg_skew_twophase" -> s"""

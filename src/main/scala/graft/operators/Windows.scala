@@ -92,7 +92,25 @@ object Windows extends QueryGroup {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Distribution window functions (percent_rank / cume_dist /
+    * ntile): the per-partition rank statistics an analytics surface
+    * needs for percentile bucketing. One sorted window per customer —
+    * the same single-shuffle shape as every other window here. The
+    * two ratio outputs are exact k/n quotients of small integers, so
+    * they hash-match the oracle without decimal staging. */
+  def winDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_distribution" -> (winDistribution _),
     "win_static" -> (winStatic _),
     "win_rank" -> (winRank _),
     "win_lww" -> (winLww _),
@@ -102,6 +120,14 @@ object Windows extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_distribution" -> """
+      SELECT o_custkey, o_orderkey,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume,
+        CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_custkey, o_orderkey""",
     "win_static" -> """
       SELECT o_custkey, o_orderkey,
         FIRST_VALUE(o_orderdate) OVER w AS first_order_date,

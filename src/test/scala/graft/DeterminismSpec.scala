@@ -28,6 +28,7 @@ class DeterminismSpec extends SparkSpec {
     // float vector kernel must not depend on partition layout
     "dedup_cluster", "agg_sketch_merge", "fn_vector",
     "join_interval", "sample_stratified", "embedding_quantize",
+    "win_distribution", "agg_mode", "mv_incremental",
     "q10_returns", "q18_large_orders", "scan_paging",
     "text_contamination", "text_pii_scrub", "source_csv",
     "scan_schema_evolution")
