@@ -191,6 +191,8 @@ object Similarity extends QueryGroup {
         .select("vec_id", "embedding")
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      require(sample.nonEmpty,
+        s"IVF index build: training sample from $dir/embeddings is empty")
       val k = 16
       val dim = sample.head.length
       var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
