@@ -119,6 +119,37 @@ object Joins extends QueryGroup {
       .orderBy("r1", "k1", "k2")
   }
 
+  /** Bloom-prefiltered join — the explicit runtime-filter pattern: a
+    * compact Bloom filter built on the (selective) build side's join
+    * keys is applied to the probe side BEFORE its shuffle, so at
+    * 100 TB the fact-table rows that cannot match (here ~80% of
+    * orders) never enter the exchange at all; the exact join then
+    * removes the filter's false positives, so the OUTPUT is exactly
+    * the plain join's — the oracle proves it. Spark injects this
+    * rewrite itself in some shapes (runtime row-level filtering);
+    * declaring it as an operator makes the contract testable and the
+    * plan explicit. The filter costs ~1.2 bytes/key at 1% fpp —
+    * broadcastable at any realistic dimension cardinality — and
+    * evaluation reuses Catalyst's codegen'd BloomFilterMightContain. */
+  def joinBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val bf = cust.stat.bloomFilter("c_custkey", 20000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bos.toByteArray)),
+      ColumnBridge.expression(col("o_custkey").cast("long"))))
+    Tables.orders(s, dir)
+      .filter(might)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name")
+      .orderBy("o_orderkey")
+  }
+
   /** Interval join — events against time windows they fall inside —
     * via bucketing: each window is exploded onto the hour buckets it
     * covers, each event carries its own hour bucket, and the
@@ -234,6 +265,7 @@ object Joins extends QueryGroup {
     "join_lookup" -> (joinLookup _),
     "join_theta" -> (joinTheta _),
     "join_interval" -> (joinInterval _),
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_asof" -> (joinAsof _)
   )
 
@@ -305,6 +337,13 @@ object Joins extends QueryGroup {
         WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
       ORDER BY e.event_id""",
+    // the oracle is the PLAIN join: the bloom prefilter must be
+    // output-invisible (false positives die in the exact join)
+    "join_bloom_prefilter" -> """
+      SELECT o_orderkey, o_custkey, c_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      ORDER BY o_orderkey""",
     // the oracle is the UN-bucketed theta join the operator replaces
     "join_interval" -> """
       WITH w AS (
