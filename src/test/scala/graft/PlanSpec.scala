@@ -27,6 +27,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("join_sortmerge").contains("SortMergeJoin"))
   }
 
+  test("join_bloom_prefilter evaluates the bloom filter below the join") {
+    // the plan prints top-down, so the probe-side Filter(might_contain)
+    // must appear AFTER the join line — i.e. before the shuffle/join,
+    // which is the entire point of the runtime-filter pattern
+    val p = plan("join_bloom_prefilter")
+    val joinIdx = p.indexOf("Join")
+    val mightIdx = p.indexOf("might_contain")
+    assert(mightIdx >= 0, "bloom filter missing from the plan")
+    assert(joinIdx >= 0 && mightIdx > joinIdx,
+      s"bloom filter not below the join (join@$joinIdx, filter@$mightIdx)")
+  }
+
   test("join_interval is an equi-join on the bucket, never a nested loop") {
     // the whole point of the bucketed rewrite: the containment theta
     // predicate must ride an equi-join (hash or broadcast-hash), not
