@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProduct)
+    e.injectFunction(GraftExtensions.charBigrams)
   }
 }
 
@@ -31,9 +32,19 @@ object GraftExtensions {
     }
   )
 
+  val charBigrams: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_bigrams"),
+    new ExpressionInfo(classOf[CharBigramsExpr].getName, "char_bigrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"char_bigrams expects exactly 1 argument, got ${children.length}")
+      CharBigramsExpr(children.head)
+    }
+  )
+
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = dotProduct
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    for ((id, info, builder) <- Seq(dotProduct, charBigrams))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }

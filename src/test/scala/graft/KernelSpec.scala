@@ -56,6 +56,15 @@ class KernelSpec extends SparkSpec {
     assert(sims.length == 5 && sims.forall(d => math.abs(d - 1.0) < 1e-4))
   }
 
+  test("char_bigrams is SQL-registerable and first-occurrence distinct") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.sql("SELECT char_bigrams('banana') AS b")
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("ba", "an", "na"))
+    assert(spark.sql("SELECT char_bigrams('x') AS b")
+      .collect()(0).getSeq[String](0).isEmpty)
+  }
+
   test("dot product: self-similarity of normalized embeddings ≈ 1") {
     val emb = graft.core.Tables.embeddings(spark, sf001).limit(20)
     val sims = emb.select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
