@@ -200,6 +200,34 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Corpus-familiarity scoring — the LM-style quality filter shape
+    * (score each document by how familiar its vocabulary is to the
+    * corpus; gibberish and OCR noise score low): familiarity =
+    * Σ df(word) / (n_words · n_docs), i.e. the mean document
+    * frequency of the doc's words. Deliberately built on INTEGER
+    * aggregation only — Σdf is an exact order-independent long sum,
+    * and the single double division + floor-truncation at the end is
+    * bit-identical on any engine — so unlike a log-prob LM score this
+    * float surface is oracle-exact. Two shuffles (word df build, per-
+    * doc aggregate), both partial-aggregable; the 1-row corpus count
+    * rides a cross join AQE broadcasts. */
+  def textRarityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+    val dfreq = docs
+      .select(explode(array_distinct(Text.words(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    words.join(dfreq, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("df").as("sum_df"))
+      .crossJoin(nDocs)
+      .select(col("doc_id"), col("n_words"),
+        (floor(col("sum_df") * 1e9 / (col("n_words") * col("n_docs")))
+          .cast("double") / 1e9).as("familiarity"))
+      .orderBy("doc_id")
+  }
+
   /** Normalization stage: lowercase, strip non-alphanumerics,
     * collapse whitespace, trim — the standard pre-dedup cleanup. */
   def textClean(s: SparkSession, dir: String): DataFrame =
@@ -318,6 +346,7 @@ object TextOps extends QueryGroup {
     "pipeline_curation" -> (pipelineCuration _),
     "text_clean" -> (textClean _),
     "text_split" -> (textSplit _),
+    "text_rarity_score" -> (textRarityScore _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),
@@ -394,6 +423,19 @@ object TextOps extends QueryGroup {
       WHERE ${sqlBucket("text")} <
         CASE WHEN lang = 'en' THEN 16384 ELSE 65536 END
       ORDER BY doc_id""",
+    "text_rarity_score" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      d AS (
+        SELECT word, count(*) AS df FROM (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+          FROM documents) GROUP BY word),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT w.doc_id, count(*) AS n_words,
+        floor(sum(d.df) * 1e9 / (count(*) * n.n_docs)) / 1e9 AS familiarity
+      FROM w JOIN d USING (word) CROSS JOIN n
+      GROUP BY w.doc_id, n.n_docs
+      ORDER BY w.doc_id""",
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
              min(n_chars) AS n_chars

@@ -29,7 +29,7 @@ class DeterminismSpec extends SparkSpec {
     "dedup_cluster", "agg_sketch_merge", "fn_vector",
     "join_interval", "sample_stratified", "embedding_quantize",
     "win_distribution", "agg_mode", "mv_incremental",
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", "text_rarity_score",
     "q10_returns", "q18_large_orders", "scan_paging",
     "text_contamination", "text_pii_scrub", "source_csv",
     "scan_schema_evolution")
