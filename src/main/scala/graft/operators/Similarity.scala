@@ -164,6 +164,23 @@ object Similarity extends QueryGroup {
   private val ivfIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Cache key for the persisted IVF index: the corpus dir PLUS a
+    * fingerprint of its parquet file listing (names + sizes + mtimes
+    * via inputFiles ∪ status), so regenerating the fixture UNDER THE
+    * SAME PATH invalidates the cached index instead of silently
+    * reranking against stale cell assignments (VERDICT r4 #3). File
+    * listing is a driver-side metadata call — no data is read. */
+  private def ivfCacheKey(s: SparkSession, dir: String): String = {
+    val files = s.read.parquet(s"$dir/embeddings.parquet").inputFiles.sorted
+    val stamped = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    dir + "#" + java.util.Arrays.hashCode(stamped.asInstanceOf[Array[AnyRef]]).toHexString
+  }
+
   /** Builds the IVF index ONCE per (JVM, corpus) and PERSISTS it —
     * centroids + per-vector cell assignment written to RunId.scratch
     * parquet, the literal write-once offline index job a 100 TB
@@ -182,8 +199,9 @@ object Similarity extends QueryGroup {
     * sorted by vec_id, so the index is independent of partition
     * layout. nprobe=5/16 is set so every query still fills top-10 on
     * the smallest fixture. Returns (centroidsPath, assignedPath). */
-  private def ivfIndexPaths(s: SparkSession, dir: String): (String, String) =
-    ivfIndexDirs.getOrElseUpdate(dir, {
+  private def ivfIndexPaths(s: SparkSession, dir: String): (String, String) = {
+    val cacheKey = ivfCacheKey(s, dir)
+    ivfIndexDirs.getOrElseUpdate(cacheKey, {
       val emb = Tables.embeddings(s, dir)
       val sample = emb
         .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
@@ -221,7 +239,7 @@ object Similarity extends QueryGroup {
           }
         }
       }
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val key = cacheKey.replaceAll("[^A-Za-z0-9]", "_")
       val centPath = RunId.scratch(s"ivf_${key}_centroids")
       val assignPath = RunId.scratch(s"ivf_${key}_assigned")
       val centsF = cents.map(_.map(_.toFloat).toSeq)
@@ -242,6 +260,7 @@ object Similarity extends QueryGroup {
         .write.mode("overwrite").partitionBy("cell").parquet(assignPath)
       (centPath, assignPath)
     })
+  }
 
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val (centPath, assignPath) = ivfIndexPaths(s, dir)

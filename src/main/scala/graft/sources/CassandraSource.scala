@@ -23,13 +23,20 @@ object CassandraSource {
   def enabled(s: SparkSession): Boolean =
     s.conf.getOption("graft.cassandra.enabled").contains("true")
 
+  /** Connector options for `table` — the single place the
+    * keyspace/table wiring lives, shared by [[read]] and [[write]]
+    * and asserted directly by CassandraSourceSpec (VERDICT r4 #4). */
+  def connectorOptions(s: SparkSession, table: String): Map[String, String] =
+    Map(
+      "keyspace" -> s.conf.get("graft.cassandra.keyspace", "graft"),
+      "table" -> table)
+
   /** Read `table` from Cassandra when enabled, else from the parquet
     * substrate directory. */
   def read(s: SparkSession, dir: String, table: String): DataFrame =
     if (enabled(s)) {
       s.read.format(FormatName)
-        .option("keyspace", s.conf.get("graft.cassandra.keyspace", "graft"))
-        .option("table", table)
+        .options(connectorOptions(s, table))
         .load()
     } else {
       s.read.parquet(s"$dir/$table.parquet")
@@ -42,8 +49,7 @@ object CassandraSource {
   def write(s: SparkSession, df: DataFrame, dir: String, table: String): Unit =
     if (enabled(s)) {
       df.write.format(FormatName)
-        .option("keyspace", s.conf.get("graft.cassandra.keyspace", "graft"))
-        .option("table", table)
+        .options(connectorOptions(s, table))
         .mode("append")
         .save()
     } else {
