@@ -251,6 +251,19 @@ class KernelSpec extends SparkSpec {
       s"cluster $label: min member ${docs.min} is not the label")
   }
 
+  test("dedup_cluster releases every RDD it persisted (VERDICT r5 #3)") {
+    // The fixpoint caches edges + per-round label RDDs; all of them
+    // must be gone once the result is materialized, or a long-lived
+    // session strands MEMORY_ONLY blocks per invocation. Compare
+    // against the pre-existing set: the suite session may legitimately
+    // hold unrelated persisted data.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SparkEntry.queries("dedup_cluster")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"dedup_cluster left persisted RDDs: $leaked")
+  }
+
   test("fn_vector: query vector has dot=cosine=1-ish self-sim and distance 0") {
     val row = SparkEntry.queries("fn_vector")(spark, sf001)
       .filter(col("vec_id") === 0).collect().head
