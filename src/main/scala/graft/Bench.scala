@@ -45,19 +45,33 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+    def runSuite(dir: String): Map[String, (Double, Long)] =
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = try { fn(spark, dir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1L
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Release checkpoint/cache blocks a query may have pinned so
+        // later queries aren't measured under accumulated memory load.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        name -> (dt, n)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Release checkpoint/cache blocks a query may have pinned so
-      // later queries aren't measured under accumulated memory load.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> (dt, n)
-    }
+    val results = runSuite(sfDir)
+    // Second total at the ×10 fixture (VERDICT r4 #7 / r6 #5): the 2×
+    // budget at sf0.1 no longer discriminates — the scale-up ratio is
+    // the number that does. Gated on the dir existing (ScaleGen writes
+    // it; see BASELINE.md) and on a full-suite run; SPARK_GRAFT_X10_DIR
+    // overrides, "none" disables.
+    val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_scale/sf1")
+    val x10Results =
+      if (args.isEmpty && x10Dir != "none" &&
+          new java.io.File(s"$x10Dir/lineitem.parquet").exists()) {
+        System.err.println(s"[bench] running x10 suite at $x10Dir")
+        Some(runSuite(x10Dir))
+      } else None
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // and a comma-decimal locale would corrupt the JSON
     val qs = results
@@ -75,10 +89,18 @@ object Bench {
       println(s"""{"metric":"rows","rows":$rows,"sf":"$sfDir"}""")
     }
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // Both totals ride the one metric line: x10_total_sec is additive
+    // JSON (last-line/regex parsers that only read metric/value/queries
+    // are unaffected).
+    val x10Part = x10Results.map { r =>
+      val t = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(r.values.map(_._1).sum))
+      s""","x10_total_sec":$t,"x10_dir":"$x10Dir""""
+    }.getOrElse("")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$x10Part,"sf":"$sfDir"}"""
     val brief =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$x10Part,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

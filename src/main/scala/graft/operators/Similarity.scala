@@ -8,10 +8,14 @@ import graft.functions.Vectors
 
 /** Similarity search over `embeddings` (SURVEY.md §2.K).
   *
-  * Declared no-oracle (float kernels are engine-specific; DuckDB's
-  * list_dot_product need not be bit-identical) — the driver does
-  * rows-only checks; SimilaritySpec verifies the math (self-sim ≡ 1,
-  * brute-force agreement, LSH recall).
+  * The EXACT kernels (sim_topk, sim_threshold) are hash-checked
+  * against DuckDB via the bit-exact float-mirror technique proven on
+  * fn_vector / embedding_quantize (VERDICT r4/r5 #1): the oracle
+  * reproduces DotProductExpr's accumulation exactly — FLOAT element
+  * products, each cast to DOUBLE, summed left-to-right — so the float
+  * surface is deterministic across engines. The LSH/IVF variants stay
+  * declared no-oracle (candidate sets are engine-defined);
+  * DedupSimilaritySpec measures their recall/agreement instead.
   *
   * Scale paths: the brute-force variant broadcasts the (small) query
   * side and streams the corpus — linear, no shuffle; the LSH variant
@@ -83,15 +87,40 @@ object Similarity extends QueryGroup {
     * 1.0 and only recall is approximate. Declared no-oracle;
     * DedupSimilaritySpec measures agreement against the exact bounded
     * kernel (subset property + recall floor). */
-  def simThresholdLsh(s: SparkSession, dir: String): DataFrame = {
+  def simThresholdLsh(s: SparkSession, dir: String): DataFrame =
+    thresholdLshCore(s, dir, tau = 0.35, plantPairs = false)
+
+  /** sim_threshold_lsh at a PRODUCTION threshold (τ = 0.8) — the
+    * regime the 100 TB claim is about (VERDICT r4 #2 / r6 #2). At
+    * dim 64, random-pair cosines sit ≈3σ below 0.8, so true matches
+    * are genuine near-dups and output grows LINEARLY with the corpus
+    * — unlike the τ=0.35 demo point, where the above-threshold pair
+    * count itself is quadratic (output-driven, per BASELINE.md's ×100
+    * analysis). The fixture corpus has no pairs above 0.8 (max
+    * pairwise cosine ≈0.51, FIXTURES-measured), so the variant plants
+    * one exact copy per 100 vectors (ids +500000) — scale-proportional
+    * ground truth that rides ScaleGen's per-copy transforms unchanged.
+    * Declared no-oracle like its τ=0.35 sibling (LSH candidate set);
+    * DedupSimilaritySpec asserts the planted pairs are recovered. */
+  def simThresholdLshTau08(s: SparkSession, dir: String): DataFrame =
+    thresholdLshCore(s, dir, tau = 0.8, plantPairs = true)
+
+  private def thresholdLshCore(s: SparkSession, dir: String,
+      tau: Double, plantPairs: Boolean): DataFrame = {
     // Materialize once: the 64-fdot bucket projection would otherwise
     // be recomputed on BOTH sides of the self-join (and re-inlined by
     // CollapseProject); bands ride the shuffle as bare (id, band,
     // bucket) triples — embeddings join back in only for the (few)
     // candidate pairs, exactly the dedupNear shape. At cluster scale
     // this is "write the band index, then band-join".
-    val emb = Tables.embeddings(s, dir)
-      .select("vec_id", "embedding").localCheckpoint()
+    val corpus = {
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      if (!plantPairs) base
+      else base.unionByName(
+        base.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+    }
+    val emb = corpus.localCheckpoint()
     val bands = thresholdBands(emb.count())
     val banded = emb.select(
       col("vec_id"),
@@ -109,7 +138,7 @@ object Similarity extends QueryGroup {
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .withColumn("score", round(Vectors.fdot(col("va"), col("vb")), 6))
-      .filter(col("score") > 0.35)
+      .filter(col("score") > tau)
       .select("id_a", "id_b", "score")
       .orderBy("id_a", "id_b")
   }
@@ -342,15 +371,47 @@ object Similarity extends QueryGroup {
     "sim_topk" -> (simTopk _),
     "sim_threshold" -> (simThreshold _),
     "sim_threshold_lsh" -> (simThresholdLsh _),
+    "sim_threshold_lsh_tau08" -> (simThresholdLshTau08 _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "dedup_embed" -> (dedupEmbed _)
   )
 
-  /** The search ops are declared no-oracle (LSH/IVF candidate sets
-    * are engine-defined); embedding_quantize mirrors its float→double
-    * arithmetic verbatim in DuckDB and is hash-checked. */
+  /** The LSH/IVF search ops are declared no-oracle (candidate sets
+    * are engine-defined); the EXACT kernels — sim_topk, sim_threshold,
+    * embedding_quantize — mirror their float→double arithmetic
+    * verbatim in DuckDB and are hash-checked. The list_aggregate sums
+    * reproduce DotProductExpr bit-for-bit: FLOAT element products,
+    * each CAST to DOUBLE, accumulated left-to-right (DuckDB's own
+    * list_dot_product accumulates in FLOAT and would NOT match). */
   val oracles: Map[String, String] = Map(
+    "sim_topk" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id),
+      r AS (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_threshold" -> """
+      WITH v AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      d AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] * b.embedding[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, score FROM d
+      WHERE score > 0.35 ORDER BY id_a, id_b""",
     "embedding_quantize" -> """
       WITH d AS (
         SELECT vec_id, embedding,

@@ -89,6 +89,22 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recovered none of the ${exact.size} exact pairs")
   }
 
+  test("sim_threshold_lsh_tau08 recovers exactly the planted production-τ pairs") {
+    // At τ=0.8 the un-planted corpus is empty (max pairwise cosine
+    // ≈0.51), planted exact copies have cosine 1.0 — identical sign
+    // patterns collide in EVERY band, so recall on them is exactly 1 —
+    // and precision is 1.0 by the exact verify: the output must be
+    // precisely the planted set.
+    val got = SparkEntry.queries("sim_threshold_lsh_tau08")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = graft.core.Tables.embeddings(spark, sf001).count()
+    val planted = (0L until n by 100L).map(i => (i, i + 500000L)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet == planted,
+      s"missing: ${planted -- got.map(p => (p._1, p._2))}, " +
+        s"spurious: ${got.map(p => (p._1, p._2)).toSet -- planted}")
+    assert(got.forall(_._3 >= 0.999), "planted exact copies must score ~1")
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -162,4 +162,46 @@ class StreamingSpec extends SparkSpec {
     val last = s.table("state_out").collect().map(_.toString)
     assert(last.contains("[7,3,7.0]"), last.mkString(","))
   }
+
+  test("stateful counts run on the RocksDB state store (VERDICT r4 #8)") {
+    // The production state backend for 100 TB streams: state lives in
+    // per-partition RocksDB instances (native memory + local SST
+    // files), not on the JVM heap — unbounded key cardinality can't
+    // OOM an executor. Same operator, same results; the provider swap
+    // is pure configuration, which is exactly what the test pins down.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamOps.EventRow]
+      val q = StreamOps.statefulCounts(mem.toDS())
+        .writeStream.outputMode(OutputMode.Update()).format("memory")
+        .queryName("rocksdb_state_out").start()
+      mem.addData(StreamOps.EventRow(1, 7, "click", 1.0),
+        StreamOps.EventRow(2, 7, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(StreamOps.EventRow(3, 7, "view", 4.0))
+      q.processAllAvailable()
+      val stateMetrics = q.lastProgress.stateOperators.head
+        .customMetrics.keySet()
+      q.stop()
+      // cross-batch accumulation correct under the swapped backend
+      val last = s.table("rocksdb_state_out").collect().map(_.toString)
+      assert(last.contains("[7,3,7.0]"), last.mkString(","))
+      // and the RocksDB provider was genuinely engaged: its custom
+      // metrics (rocksdbGet/Put/flush latencies, SST sizes) only exist
+      // when state went through the native store
+      import scala.jdk.CollectionConverters._
+      assert(stateMetrics.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state metrics — provider not engaged: $stateMetrics")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
 }
