@@ -35,9 +35,20 @@ object Vectors {
 
   /** LSH bucket id: one sign bit per hyperplane. Vectors at small
     * angle collide with high probability; bucket-equality joins
-    * replace the all-pairs crossJoin at scale. */
+    * replace the all-pairs crossJoin at scale. Composed-column form —
+    * fine for ONE narrow band; for multi-band/wide-band projections
+    * use [[srpBuckets]], which stays JIT-compiled at any plane count
+    * (the composed form's generated code grows past HotSpot's
+    * huge-method limit and drops to interpreted bytecode). */
   def lshBucket(v: Column, planes: Seq[Seq[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(fdot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
+
+  /** Every band's [[lshBucket]] in one fused codegen pass — returns
+    * array<int>, element b = band b's bucket. Bit-identical per plane
+    * to the composed form (same float-multiply/double-accumulate sign
+    * test; asserted in KernelSpec). */
+  def srpBuckets(v: Column, bands: Seq[Seq[Seq[Float]]]): Column =
+    graft.plans.SrpBucketsExpr.buckets(v, bands)
 }

@@ -72,9 +72,19 @@ object Similarity extends QueryGroup {
   // keeps the banding — and the spec's measured recall — unchanged.
   private val thresholdBandCache =
     scala.collection.concurrent.TrieMap.empty[Int, Seq[Seq[Seq[Float]]]]
-  private def thresholdBands(n: Long): Seq[Seq[Seq[Float]]] = {
+  /** `occupancy` is the expected vectors-per-bucket target — the
+    * candidate-volume knob: candidates/vector/band ≈ occupancy, so
+    * total candidates ≈ 8·occupancy·n, linear in n BY CONSTRUCTION at
+    * any fixed occupancy. 64 suits low-τ exploration (recall on
+    * mid-similarity pairs needs shallow bands); at production τ≥0.8
+    * the pairs being hunted are near-exact — they collide in every
+    * band at any width — so occupancy 4 buys 16× fewer candidates for
+    * tail recall that the τ=0.8 regime doesn't need (measured: at
+    * ×100 the fixed-64 bands made candidate verify, not output, the
+    * cost — 300 s for 2 k output rows). */
+  private def thresholdBands(n: Long, occupancy: Int): Seq[Seq[Seq[Float]]] = {
     val nbits = math.max(8,
-      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+      math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0)).toInt)
     thresholdBandCache.getOrElseUpdate(nbits,
       (0 until 8).map(b => Vectors.hyperplanes(nbits, dim = 64, seed = 101L + b)))
   }
@@ -121,11 +131,14 @@ object Similarity extends QueryGroup {
           .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
     }
     val emb = corpus.localCheckpoint()
-    val bands = thresholdBands(emb.count())
+    val bands = thresholdBands(emb.count(), occupancy = if (tau >= 0.8) 4 else 64)
+    // One fused SrpBucketsExpr, not 8×nbits composed when(fdot…)
+    // columns: at production band widths the composed form's generated
+    // method outgrows the JIT and runs interpreted — measured 155 s
+    // vs 3 s for the ×100 band projection (see SrpBucketsExpr doc).
     val banded = emb.select(
       col("vec_id"),
-      posexplode(array(
-        bands.map(p => Vectors.lshBucket(col("embedding"), p)): _*))
+      posexplode(Vectors.srpBuckets(col("embedding"), bands))
         .as(Seq("band", "bucket")))
       .localCheckpoint()
     val candidates = banded.as("a")

@@ -47,6 +47,24 @@ class KernelSpec extends SparkSpec {
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("fused SrpBucketsExpr is bit-identical to the composed lshBucket form") {
+    // The fused expression replaces 8×nbits composed when(fdot…)
+    // columns on the threshold-LSH path; identical buckets ⇒ identical
+    // candidate sets ⇒ identical verified outputs. 16-bit bands at dim
+    // 64 exercise the production width that pushed the composed form
+    // out of the JIT.
+    val bands = (0 until 8).map(b =>
+      Vectors.hyperplanes(nbits = 16, dim = 64, seed = 101L + b))
+    val emb = graft.core.Tables.embeddings(spark, sf001).limit(200)
+    val both = emb.select(
+        array(bands.map(p => Vectors.lshBucket(col("embedding"), p)): _*)
+          .as("composed"),
+        Vectors.srpBuckets(col("embedding"), bands).as("fused"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("dot_product is SQL-registerable via GraftExtensions") {
     graft.plans.GraftExtensions.register(spark)
     graft.core.Tables.embeddings(spark, sf001).limit(5).createOrReplaceTempView("emb_tmp")
