@@ -179,7 +179,18 @@ object Similarity extends QueryGroup {
   /** Embedding-cosine near-dup detection: exact copies planted with
     * vec_id+100000, found via LSH bucket join + cosine > 0.9 verify
     * (corpus max pairwise cosine is ~0.51 — FIXTURES-measured — so
-    * only planted pairs survive). */
+    * only planted pairs survive).
+    *
+    * ORACLE-CHECKED (round 6) even though the candidate generation is
+    * LSH: an exact copy has the identical embedding, hence the
+    * identical bucket in EVERY band — recall on the planted pairs is
+    * structurally 1.0, not probabilistic — and the exact cosine
+    * verify gives precision 1.0, so the output equals the all-pairs
+    * answer, which the DuckDB mirror computes independently (any
+    * fixture drift that created a genuine >0.9 pair the buckets could
+    * miss would surface as a hash mismatch, not hide). The oracle is
+    * all-pairs (n² at the verify SF — fine in DuckDB at sf0.01's 510
+    * vectors; exclude this query when preflighting a ×10+ dir). */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val planted = emb.filter(col("vec_id") < 10)
@@ -415,6 +426,19 @@ object Similarity extends QueryGroup {
         FROM d)
       SELECT query_id, vec_id, score, rk FROM r
       WHERE rk <= 10 ORDER BY query_id, rk""",
+    "dedup_embed" -> """
+      WITH allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 10),
+      d AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] * b.embedding[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, score FROM d
+      WHERE score > 0.9 ORDER BY id_a, id_b""",
     "sim_threshold" -> """
       WITH v AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
