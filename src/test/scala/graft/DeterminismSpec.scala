@@ -32,7 +32,10 @@ class DeterminismSpec extends SparkSpec {
     "join_bloom_prefilter", "text_rarity_score",
     "q10_returns", "q18_large_orders", "scan_paging",
     "text_contamination", "text_pii_scrub", "source_csv",
-    "scan_schema_evolution")
+    "scan_schema_evolution",
+    // round-6 set: the newly oracle-checked exact float kernels and
+    // the production-τ banded join (fused SrpBucketsExpr path)
+    "sim_threshold", "sim_threshold_lsh_tau08")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
