@@ -78,15 +78,21 @@ object ScalarFns extends QueryGroup {
       .limit(100)
       .select(col("o_orderkey"), expr("uuid()").as("row_uuid"))
 
-  /** CQL token(pk): xxhash64 stands in for Murmur3 (engine-defined
-    * bucketing, not token parity) ⇒ no oracle. */
-  def fnToken(s: SparkSession, dir: String): DataFrame =
+  /** CQL token(pk): the real Murmur3Partitioner ring position
+    * ([[graft.plans.CassTokenExpr]] — round 6 upgrade from the
+    * xxhash64 stand-in; bigint keys hash over their 8-byte big-endian
+    * CQL serialization). DuckDB has no murmur3-x64-128 ⇒ still
+    * no-oracle; Murmur3Spec anchors the kernel against Guava's
+    * canonical murmur3_128 on the quirk-free domain. */
+  def fnToken(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.plans.CassTokenExpr.token(col("o_orderkey"))
     Tables.orders(s, dir)
       .select(
         col("o_orderkey"),
-        xxhash64(col("o_orderkey")).as("token"),
-        pmod(xxhash64(col("o_orderkey")), lit(32)).as("bucket"))
+        tok.as("token"),
+        pmod(tok, lit(32)).as("bucket"))
       .orderBy("o_orderkey")
+  }
 
   /** WRITETIME/TTL model (SURVEY.md §1.1): events.ts is the cell
     * writetime; TTL = writetime + 7 days, filtered against a fixed

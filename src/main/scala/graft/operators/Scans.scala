@@ -58,13 +58,20 @@ object Scans extends QueryGroup {
       .orderBy("o_orderkey")
 
   /** Token-range scan: how the wide-column store shards a full scan.
-    * xxhash64 stands in for Murmur3 (uniform bucketing, not token
-    * parity — SURVEY.md §2.A), so this is declared without an oracle.
-    */
-  def scanTokenRange(s: SparkSession, dir: String): DataFrame =
+    * `WHERE token(pk) > a AND token(pk) <= b` over the REAL
+    * Murmur3Partitioner token ([[graft.plans.CassTokenExpr]],
+    * SURVEY.md §2.A — round 6 upgrade from the xxhash64 stand-in), so
+    * the selected keys are exactly the keys a Cassandra node owning
+    * (a, b] would serve. The bounds carve 1/16 of the ring; no DuckDB
+    * murmur3-128 ⇒ still declared no-oracle (Murmur3Spec anchors the
+    * hash against Guava's canonical murmur3_128 instead). */
+  def scanTokenRange(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.plans.CassTokenExpr.token(col("o_orderkey"))
+    val span = Long.MaxValue >> 3 // 2^60 = one sixteenth of the ring
     Tables.orders(s, dir)
-      .filter(pmod(xxhash64(col("o_orderkey")), lit(16)) === 3)
+      .filter(tok > lit(0L) && tok <= lit(span))
       .orderBy("o_orderkey")
+  }
 
   /** Keyset pagination — CQL's paging-state contract: each page is
     * `WHERE pk > <last key of previous page> ORDER BY pk LIMIT n`.

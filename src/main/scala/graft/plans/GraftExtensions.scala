@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProduct)
     e.injectFunction(GraftExtensions.charBigrams)
+    e.injectFunction(GraftExtensions.cassToken)
   }
 }
 
@@ -42,9 +43,19 @@ object GraftExtensions {
     }
   )
 
+  val cassToken: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cass_token"),
+    new ExpressionInfo(classOf[CassTokenExpr].getName, "cass_token"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"cass_token expects exactly 1 argument, got ${children.length}")
+      CassTokenExpr(children.head)
+    }
+  )
+
   /** Register on an existing session (tests / notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    for ((id, info, builder) <- Seq(dotProduct, charBigrams))
+    for ((id, info, builder) <- Seq(dotProduct, charBigrams, cassToken))
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
   }
 }
