@@ -114,8 +114,37 @@ object StreamingBatch extends QueryGroup {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Closed-session emission — the flatMapGroupsWithState analog in
+    * batch form (SURVEY.md §2.I): one row per (user, session) with
+    * first/last EVENT time and count. Unlike stream_session
+    * (session_window), the end is the last event itself, not
+    * last+gap — exactly what the stateful streaming twin
+    * (StreamOps.sessionize) emits when the event-time timeout fires.
+    * Scale: one shuffle keyed on user_id for the lag/cumsum island
+    * pass, then a partial-agg groupBy on (user, sid) — both linear,
+    * state bounded by user cardinality in the streaming form. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNotNull &&
+          Tables.epochMs(col("ts")) - Tables.epochMs(col("prev_ts")) <= lit(1800000L),
+          lit(0)).otherwise(lit(1)))
+      .withColumn("sid",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min("ts").as("sess_start"), max("ts").as("sess_last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess_start"), col("sess_last"), col("n_events"))
+      .orderBy("user_id", "sess_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_join" -> (streamJoin _),
+    "stream_sessionize" -> (streamSessionize _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
@@ -125,6 +154,19 @@ object StreamingBatch extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      )
+      SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_last,
+        COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sid ORDER BY user_id, sess_start""",
     "stream_join" -> """
       SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
         epoch_ms(a.ts) AS p_ms, epoch_ms(b.ts) AS c_ms

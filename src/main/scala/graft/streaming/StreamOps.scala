@@ -79,6 +79,62 @@ object StreamOps {
       }
   }
 
+  final case class SessEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(startMs: Long, endMs: Long, n: Long)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Closed-session emission via flatMapGroupsWithState with an
+    * EVENT-TIME timeout (SURVEY.md §2.I — the custom-state shape
+    * mapGroupsWithState can't express: zero-to-many output per
+    * invocation, sessions closed by the watermark clock, not by new
+    * data for the key). A session is emitted either when a same-user
+    * event arrives past the gap, or when the watermark passes
+    * last-event + gap and the timeout fires — so an idle user's final
+    * session still closes. State per user is one (start, end, count)
+    * triple; the timeout removes it, so total state is bounded by
+    * concurrently-active users, not stream length. Batch twin:
+    * StreamingBatch.streamSessionize (oracle-checked islands form).
+    */
+  def sessionize(events: Dataset[SessEvent], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.startMs, st.endMs, st.n))
+          } else {
+            // Within one micro-batch events may arrive unordered.
+            val sorted = rows.map(_.ts.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            for (t <- sorted) cur match {
+              case Some(c) if t - c.endMs <= gapMs =>
+                cur = Some(c.copy(endMs = math.max(c.endMs, t), n = c.n + 1))
+              case Some(c) =>
+                closed += Session(user, c.startMs, c.endMs, c.n)
+                cur = Some(SessState(t, t, 1L))
+              case None =>
+                cur = Some(SessState(t, t, 1L))
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // Timeout must sit above the current watermark or Spark
+              // rejects it; a session already gap-deep behind the
+              // watermark closes at the next watermark advance.
+              state.setTimeoutTimestamp(
+                math.max(c.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Output-mode helper used by tests: run a streaming query over a
     * memory sink until all source data is processed. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -204,4 +204,96 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("flatMapGroupsWithState closes sessions on gap and on event-time timeout") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val mem = MemoryStream[StreamOps.SessEvent]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sessionize_out").start()
+    // burst 1: user 7, three events within the 30-min gap
+    mem.addData(
+      StreamOps.SessEvent(1, 7, ts("10:00")), StreamOps.SessEvent(2, 7, ts("10:10")),
+      StreamOps.SessEvent(3, 7, ts("10:20")))
+    q.processAllAvailable()
+    // same key past the gap: the first session closes by NEW DATA
+    mem.addData(StreamOps.SessEvent(4, 7, ts("12:00")))
+    q.processAllAvailable()
+    // a different user far in the future advances the watermark
+    // (13:00 - 1h = 12:00) past user 7's timeout (12:00 + 30min…
+    // not yet), then further (14:00 - 1h = 13:00 > 12:30) so user 7's
+    // second session closes by TIMEOUT with no new user-7 data.
+    mem.addData(StreamOps.SessEvent(5, 9, ts("13:00")))
+    q.processAllAvailable()
+    mem.addData(StreamOps.SessEvent(6, 9, ts("14:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("sessionize_out")
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val gapClosed = (7L, ts("10:00").getTime, ts("10:20").getTime, 3L)
+    val timeoutClosed = (7L, ts("12:00").getTime, ts("12:00").getTime, 1L)
+    assert(got.contains(gapClosed), s"gap-closed session missing: $got")
+    assert(got.contains(timeoutClosed), s"timeout-closed session missing: $got")
+  }
+
+  test("streaming sessionize agrees with the batch twin on closed sessions") {
+    val s = spark; import s.implicits._
+    // Batch twin over the real events table restricted to a few users.
+    val batch = graft.operators.StreamingBatch.streamSessionize(s, sf001)
+      .filter($"user_id" <= 3)
+      .select($"user_id", graft.core.Tables.epochMs($"sess_start").as("start_ms"),
+        graft.core.Tables.epochMs($"sess_last").as("end_ms"), $"n_events")
+      .collect().map(_.toString).sorted.toList
+    // Same rows through the stateful streaming operator; a sentinel
+    // event far in the future pushes the watermark past every timeout
+    // so ALL sessions close (the sentinel's own never does — filtered).
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[StreamOps.SessEvent]
+    val rows = graft.core.Tables.events(s, sf001)
+      .filter($"user_id" <= 3)
+      .select($"event_id", $"user_id", $"ts".cast("timestamp").as("ts"))
+      .as[StreamOps.SessEvent].collect()
+    mem.addData(rows.toIndexedSeq: _*)
+    val maxTs = rows.map(_.ts.getTime).max
+    mem.addData(StreamOps.SessEvent(-1, -1, new Timestamp(maxTs + 86400000L * 30)))
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sessionize_batch_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("sessionize_batch_out")
+      .filter($"user_id" >= 0)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .collect().map(_.toString).sorted.toList
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+
+  test("foreachBatch sink is idempotent under batch replay (exactly-once)") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    // The canonical exactly-once foreachBatch recipe: write each
+    // micro-batch to a batchId-derived location with overwrite, so a
+    // replayed batch (crash between sink write and offset commit)
+    // lands in the same place instead of appending duplicates.
+    def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    val mem = MemoryStream[SEvent]
+    mem.addData(SEvent(1, t(1), 1, "click", 1.0), SEvent(2, t(1), 2, "view", 2.0))
+    val q = mem.toDF().select("event_id", "user_id", "value")
+      .writeStream.foreachBatch(writeBatch _)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    // Simulate the replay the recipe defends against: re-run batch 0's
+    // data through the same writer with the same batchId.
+    writeBatch(
+      Seq((1L, 1L, 1.0), (2L, 2L, 2.0)).toDF("event_id", "user_id", "value"), 0L)
+    val ids = s.read.parquet(s"$dir/batch=0").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toList
+    assert(ids == List(1L, 2L), s"replay duplicated rows: $ids")
+  }
 }
