@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.plans.CassTokenExpr
+
+/** Anti-entropy repair (SURVEY.md §1.2: nodetool repair / read
+  * repair): find the rows on which two replicas of the same table
+  * disagree, without shipping either replica across the network.
+  *
+  * Cassandra does this with Merkle trees per token range: replicas
+  * exchange range digests, and only ranges whose digests differ stream
+  * actual rows. The Spark-first form is the same two-phase shape:
+  *
+  *   1. **Digest pass** — each replica scans once, buckets every row
+  *      by `pmod(cass_token(pk), 256)` (the REAL Murmur3 ring
+  *      position, so buckets are exactly token ranges), and reduces
+  *      each bucket to one order-insensitive `bit_xor` of row hashes.
+  *      Shuffle output: 256 rows per replica, independent of table
+  *      size — this is the whole point at 100 TB.
+  *   2. **Drill-down** — the differing-bucket list is collected
+  *      (bounded by the 256-bucket DOMAIN, not by data — the same
+  *      bounded-by-construction class as the langid profile) and
+  *      applied as an `IN` filter on both replica re-scans, so only
+  *      dirty-range rows reach the keyed full-outer join that emits
+  *      each divergent key with a status (`missing_in_a` /
+  *      `missing_in_b`/`value_differs`). With divergence localized
+  *      (the real-world repair case), the expensive keyed join runs
+  *      over a small fraction of the table.
+  *
+  * Like Cassandra's repair, digest equality is probabilistic (an xor
+  * of 64-bit hashes could theoretically cancel); the oracle checks the
+  * exact end-to-end answer on the planted divergence.
+  *
+  * The second replica is derived deterministically from the first so
+  * the oracle can re-derive it in SQL: replica B misses every
+  * `event_id % 991 == 0` row (lost write) and perturbs `value` on
+  * every `event_id % 997 == 0` row (divergent write).
+  */
+object Repair extends QueryGroup {
+
+  private val buckets = 256
+
+  private def replicaA(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_id"), col("value"))
+
+  private def replicaB(s: SparkSession, dir: String): DataFrame =
+    replicaA(s, dir)
+      .filter(col("event_id") % 991 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 997 === 0, col("value") + 1.0).otherwise(col("value")))
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(CassTokenExpr.token(col("event_id")), lit(buckets)))
+
+  private def digests(df: DataFrame, name: String): DataFrame =
+    withBucket(df)
+      .withColumn("h", xxhash64(col("event_id"), col("value")))
+      .groupBy("bucket")
+      .agg(expr("bit_xor(h)").as(name))
+
+  def repairDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = replicaA(s, dir)
+    val b = replicaB(s, dir)
+    // Phase 1: 256-row digest tables; full-outer so a bucket present
+    // on one side only (possible under heavier divergence) is dirty.
+    val dirty = digests(a, "da")
+      .join(digests(b, "db"), Seq("bucket"), "full_outer")
+      .filter(!(col("da") <=> col("db")))
+      .select("bucket")
+      .collect().map(_.getLong(0)).toSeq // ≤256 rows by domain bound
+    // Phase 2: keyed diff over dirty ranges only.
+    val aD = withBucket(a).filter(col("bucket").isin(dirty: _*))
+      .select(col("event_id").as("a_id"), col("value").as("a_value"))
+    val bD = withBucket(b).filter(col("bucket").isin(dirty: _*))
+      .select(col("event_id").as("b_id"), col("value").as("b_value"))
+    aD.join(bD, col("a_id") === col("b_id"), "full_outer")
+      .filter(col("a_id").isNull || col("b_id").isNull ||
+        col("a_value") =!= col("b_value"))
+      .select(
+        coalesce(col("a_id"), col("b_id")).as("event_id"),
+        when(col("b_id").isNull, lit("missing_in_b"))
+          .when(col("a_id").isNull, lit("missing_in_a"))
+          .otherwise(lit("value_differs")).as("status"),
+        col("a_value"), col("b_value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repair_diff" -> (repairDiff _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The digest phase is pure pruning — the end-to-end answer is the
+    // plain replica diff, which SQL states directly.
+    "repair_diff" -> """
+      WITH b AS (
+        SELECT event_id,
+               CASE WHEN event_id % 997 = 0 THEN value + 1.0 ELSE value END AS value
+        FROM events WHERE event_id % 991 <> 0
+      )
+      SELECT a.event_id AS event_id,
+             CASE WHEN b.event_id IS NULL THEN 'missing_in_b'
+                  ELSE 'value_differs' END AS status,
+             a.value AS a_value, b.value AS b_value
+      FROM events a LEFT JOIN b ON a.event_id = b.event_id
+      WHERE b.event_id IS NULL OR a.value <> b.value
+      ORDER BY event_id"""
+  )
+}

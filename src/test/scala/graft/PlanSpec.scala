@@ -143,4 +143,34 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("doc_id") && scan.contains("words") && !scan.contains("source"),
       scan.take(800))
   }
+
+  test("repair_diff drill-down prunes via bucket IN filters below one keyed join") {
+    // The digest phase must prune: both replica re-scans carry the
+    // dirty-bucket IN filter under the single keyed full-outer join,
+    // and nothing degenerates to a cartesian shape.
+    val p = plan("repair_diff")
+    assert("casstokenexpr".r.findAllIn(p.toLowerCase).size >= 2, p.take(1200))
+    assert(p.toLowerCase.contains("fullouter"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("fn_token's cass_token expression compiles under codegen (no fallback)") {
+    // With fallback disabled, a doGenCode that emits uncompilable Java
+    // would throw instead of silently reverting to interpreted eval —
+    // so a green collect proves the token really runs generated code.
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = SparkEntry.queries("fn_token")(spark, sf001)
+      assert(df.limit(5).collect().nonEmpty)
+      assert(plan("fn_token").toLowerCase.contains("casstokenexpr"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
