@@ -117,6 +117,45 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality gate — the Gopher-filter family's
+    * repetition signals (duplicate-word fraction, top-word fraction,
+    * duplicate-bigram fraction) plus the keep decision at fixed
+    * thresholds. Machine-generated and boilerplate text shows up in
+    * these counters before any language model does.
+    *
+    * Shape at scale: the two set-size metrics are row-local
+    * (`array_distinct` on the token/shingle arrays — no shuffle); only
+    * the top-word count needs the explode → (doc, word) partial-agg →
+    * per-doc max path, whose post-combine shuffle volume is distinct
+    * words per doc, not total words. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = Text.words(col("text"))
+    val base = d.select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      size(array_distinct(w)).as("n_distinct_words"),
+      size(Text.shingles(w, 2)).as("n_bigrams"),
+      size(array_distinct(Text.shingles(w, 2))).as("n_distinct_bigrams"))
+    val top = d.select(col("doc_id"), explode(w).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_count"))
+    base.join(top, "doc_id")
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_word_count").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"),
+        round(when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)), 6).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.4 && col("top_word_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint per document (min 3-gram MD5). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -353,6 +392,7 @@ object TextOps extends QueryGroup {
     "text_lang_filter" -> (textLangFilter _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
     "text_langid" -> (textLangId _)
   )
@@ -465,6 +505,33 @@ object TextOps extends QueryGroup {
         ROUND(${sqlQuality("w")}, 6) AS quality_score
       FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
       ORDER BY doc_id""",
+    "text_repetition" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), m AS (
+        SELECT doc_id, len(w) AS n_words,
+          len(list_distinct(w)) AS n_distinct_words,
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bi
+        FROM base
+      ), t AS (
+        SELECT doc_id, MAX(c) AS top_word_count FROM (
+          SELECT doc_id, word, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS word FROM base)
+          GROUP BY doc_id, word)
+        GROUP BY doc_id
+      ), f AS (
+        SELECT m.doc_id,
+          ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+          ROUND(CAST(top_word_count AS DOUBLE) / n_words, 6) AS top_word_frac,
+          ROUND(CASE WHEN len(bi) > 0
+            THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+            ELSE 0.0 END, 6) AS dup_bigram_frac
+        FROM m JOIN t ON m.doc_id = t.doc_id
+      )
+      SELECT doc_id, dup_word_frac, top_word_frac, dup_bigram_frac,
+        (dup_word_frac <= 0.4 AND top_word_frac <= 0.2
+          AND dup_bigram_frac <= 0.2) AS keep
+      FROM f ORDER BY doc_id""",
     "text_fingerprint" -> """
       SELECT doc_id,
         list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
