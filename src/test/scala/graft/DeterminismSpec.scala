@@ -35,7 +35,12 @@ class DeterminismSpec extends SparkSpec {
     "scan_schema_evolution",
     // round-6 set: the newly oracle-checked exact float kernels and
     // the production-τ banded join (fused SrpBucketsExpr path)
-    "sim_threshold", "sim_threshold_lsh_tau08")
+    "sim_threshold", "sim_threshold_lsh_tau08",
+    // round-6 additions: the Murmur3 token queries (fn_token /
+    // scan_token_range now ride cass_token), the digest-pruned repair
+    // diff, the islands sessionization, and the repetition gate's
+    // explode+max path are all shapes partitioning could perturb
+    "repair_diff", "stream_sessionize", "text_repetition")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
