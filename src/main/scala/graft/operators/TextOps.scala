@@ -156,6 +156,45 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based mixture sampling — the multinomial source/
+    * language re-weighting step of multilingual corpus construction:
+    * class weights `n^α` (α = 0.7) flatten the raw distribution, so
+    * rare classes keep everything (p capped at 1) while the majority
+    * class is downsampled toward the target budget (half the corpus).
+    * Membership is content-hash thresholded (`bucketCol`), so the
+    * sample is stable under re-shards, re-orders and re-runs — the
+    * same determinism contract as text_split.
+    *
+    * Shape at scale: class stats are one partial-agg groupBy whose
+    * output is bounded by the class DOMAIN; the per-class thresholds
+    * are collected (bounded-by-construction, same class as the langid
+    * profile) and applied as a row-local CASE — the corpus itself is
+    * touched by exactly one scan + filter, no join, no second shuffle. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.7
+    val frac = 0.5
+    val d = Tables.documents(s, dir)
+    val stats = d.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", pow(col("n_s").cast("double"), alpha))
+    val (nTotal, wTotal) = {
+      val r = stats.agg(sum("n_s"), sum("w")).head()
+      (r.getLong(0).toDouble, r.getDouble(1))
+    }
+    val thresholds = stats
+      .withColumn("p", round(least(lit(1.0),
+        col("w") / wTotal * (frac * nTotal) / col("n_s")), 6))
+      .withColumn("thr", floor(col("p") * 65536).cast("int"))
+      .select("lang", "thr")
+      .collect().map(r => r.getString(0) -> r.getInt(1)) // ≤ lang domain
+    val thrCol = thresholds.foldLeft(lit(-1)) { case (acc, (lang, thr)) =>
+      when(col("lang") === lang, lit(thr)).otherwise(acc)
+    }
+    d.withColumn("bucket", bucketCol(col("text")))
+      .filter(col("bucket") < thrCol)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint per document (min 3-gram MD5). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -387,6 +426,7 @@ object TextOps extends QueryGroup {
     "text_split" -> (textSplit _),
     "text_rarity_score" -> (textRarityScore _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),
     "text_lang_filter" -> (textLangFilter _),
@@ -462,6 +502,20 @@ object TextOps extends QueryGroup {
       FROM documents
       WHERE ${sqlBucket("text")} <
         CASE WHEN lang = 'en' THEN 16384 ELSE 65536 END
+      ORDER BY doc_id""",
+    "sample_temperature" -> s"""
+      WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+      t AS (SELECT lang, n_s, pow(n_s, 0.7) AS w FROM c),
+      s AS (SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total, SUM(w) AS w_total FROM t),
+      thr AS (
+        SELECT lang,
+          CAST(floor(round(least(1.0, w / w_total * (0.5 * n_total) / n_s), 6)
+            * 65536) AS INTEGER) AS thr
+        FROM t, s)
+      SELECT d.doc_id, d.lang, d.bucket
+      FROM (SELECT doc_id, lang, ${sqlBucket("text")} AS bucket FROM documents) d
+      JOIN thr ON d.lang = thr.lang
+      WHERE d.bucket < thr.thr
       ORDER BY doc_id""",
     "text_rarity_score" -> """
       WITH w AS (
