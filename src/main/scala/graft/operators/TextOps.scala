@@ -195,6 +195,39 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a doc
+    * corpus into fixed-length (2048-token) training sequences: docs
+    * are concatenated in deterministic order and chunk boundaries fall
+    * wherever they fall (standard LM-pretraining packing; no padding
+    * waste). Each doc's placement is its running token offset, so the
+    * output maps every doc to (sequence id, offset) — what a loader
+    * needs to materialize any sequence.
+    *
+    * Scale shape: the running sum is windowed WITHIN content-hash
+    * shards (64 of them), never globally — a global cumsum is a
+    * single-partition window, the classic distributed-prefix-sum trap.
+    * Sequence ids are scoped (shard, seq_in_shard), which is exactly
+    * how per-worker packing behaves in production loaders. One shuffle
+    * on the shard key; token counting is row-local. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 2048
+    val byShard = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        (bucketCol(col("text")) % 64).as("shard"),
+        size(Text.words(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("tok_end", sum("n_tokens").over(byShard))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).as("tok_start"),
+        floor((col("tok_end") - col("n_tokens")) / seqLen).as("seq_in_shard"),
+        ((col("tok_end") - col("n_tokens")) % seqLen).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint per document (min 3-gram MD5). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -427,6 +460,7 @@ object TextOps extends QueryGroup {
     "text_rarity_score" -> (textRarityScore _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
+    "pack_sequences" -> (packSequences _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),
     "text_lang_filter" -> (textLangFilter _),
@@ -503,6 +537,23 @@ object TextOps extends QueryGroup {
       WHERE ${sqlBucket("text")} <
         CASE WHEN lang = 'en' THEN 16384 ELSE 65536 END
       ORDER BY doc_id""",
+    "pack_sequences" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(${sqlBucket("text")} % 64 AS INTEGER) AS shard,
+          len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT doc_id, shard, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS tok_end
+        FROM d
+      )
+      SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+        CAST(floor((tok_end - n_tokens) / 2048.0) AS BIGINT) AS seq_in_shard,
+        CAST((tok_end - n_tokens) % 2048 AS BIGINT) AS seq_offset
+      FROM c ORDER BY doc_id""",
     "sample_temperature" -> s"""
       WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
       t AS (SELECT lang, n_s, pow(n_s, 0.7) AS w FROM c),
