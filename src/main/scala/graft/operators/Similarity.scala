@@ -29,6 +29,31 @@ object Similarity extends QueryGroup {
   // collide, and smaller candidate sets are cheaper).
   private val topkPlanes = Vectors.hyperplanes(nbits = 4, dim = 64)
 
+  /** Filtered vector search: top-10 cosine neighbors restricted to a
+    * metadata predicate (label ∈ {1,3,5}) — the retrieval shape every
+    * RAG/search stack needs. The predicate PRE-filters the candidate
+    * side, so it pushes into the parquet scan and the selectivity
+    * multiplies into every downstream cost before a single dot product
+    * runs; post-filtering a top-k would instead under-fill k whenever
+    * the filter bites. Same bit-exact float-mirror oracle as sim_topk.
+    * At scale the same pre-filter composes with the IVF path (probe
+    * lists, then filter, then over-fetched re-rank). */
+  def simTopkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.filter(col("label").isin(1, 3, 5))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "label", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Brute-force top-10 cosine neighbors for 5 query vectors. */
   def simTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -393,6 +418,7 @@ object Similarity extends QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_quantize" -> (embeddingQuantize _),
     "sim_topk" -> (simTopk _),
+    "sim_topk_filtered" -> (simTopkFiltered _),
     "sim_threshold" -> (simThreshold _),
     "sim_threshold_lsh" -> (simThresholdLsh _),
     "sim_threshold_lsh_tau08" -> (simThresholdLshTau08 _),
@@ -425,6 +451,23 @@ object Similarity extends QueryGroup {
                              ORDER BY score DESC, vec_id ASC) AS rk
         FROM d)
       SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_topk_filtered" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label IN (1, 3, 5)),
+      r AS (
+        SELECT query_id, vec_id, label, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, label, score, rk FROM r
       WHERE rk <= 10 ORDER BY query_id, rk""",
     "dedup_embed" -> """
       WITH allv AS (

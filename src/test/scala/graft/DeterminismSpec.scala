@@ -40,7 +40,8 @@ class DeterminismSpec extends SparkSpec {
     // scan_token_range now ride cass_token), the digest-pruned repair
     // diff, the islands sessionization, and the repetition gate's
     // explode+max path are all shapes partitioning could perturb
-    "repair_diff", "stream_sessionize", "text_repetition")
+    "repair_diff", "stream_sessionize", "text_repetition",
+    "sample_temperature", "pack_sequences", "sim_topk_filtered")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
