@@ -266,10 +266,45 @@ object Joins extends QueryGroup {
     "join_theta" -> (joinTheta _),
     "join_interval" -> (joinInterval _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
-    "join_asof" -> (joinAsof _)
+    "join_asof" -> (joinAsof _),
+    "join_asof_fwd" -> (joinAsofForward _)
   )
 
+  /** Forward as-of join: each event matched to the EARLIEST order of
+    * the same customer with o_orderdate >= ts (tiebreak: min
+    * o_orderkey) — the "next scheduled thing after this signal" lookup
+    * that completes the as-of family. Same union+window shape as
+    * [[joinAsof]] with time reversed: one shuffle keyed on the
+    * customer, ordered (t DESC, pri ASC, okey DESC), so
+    * `last(okey, ignoreNulls)` over the preceding frame is exactly the
+    * nearest upcoming order. No per-pair blowup at any scale. */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("pri"), col("o_orderkey").as("okey"),
+      lit(null).cast("long").as("event_id"))
+    val e = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("pri"), lit(null).cast("long").as("okey"),
+      col("event_id"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").desc, col("pri").asc, col("okey").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("next_orderkey", last("okey", ignoreNulls = true).over(w))
+      .filter(col("pri") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("next_orderkey"))
+      .orderBy("event_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "join_asof_fwd" -> """
+      SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+        ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON TRUE
+      ORDER BY e.event_id""",
     "join_salted" -> """
       SELECT event_id, user_id, c_name
       FROM events JOIN customer ON user_id = c_custkey

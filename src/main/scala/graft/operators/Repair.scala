@@ -42,19 +42,19 @@ object Repair extends QueryGroup {
 
   private val buckets = 256
 
-  private def replicaA(s: SparkSession, dir: String): DataFrame =
+  private[graft] def replicaA(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_id"), col("value"))
 
-  private def replicaB(s: SparkSession, dir: String): DataFrame =
+  private[graft] def replicaB(s: SparkSession, dir: String): DataFrame =
     replicaA(s, dir)
       .filter(col("event_id") % 991 =!= 0)
       .withColumn("value",
         when(col("event_id") % 997 === 0, col("value") + 1.0).otherwise(col("value")))
 
-  private def withBucket(df: DataFrame): DataFrame =
+  private[graft] def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(CassTokenExpr.token(col("event_id")), lit(buckets)))
 
-  private def digests(df: DataFrame, name: String): DataFrame =
+  private[graft] def digests(df: DataFrame, name: String): DataFrame =
     withBucket(df)
       .withColumn("h", xxhash64(col("event_id"), col("value")))
       .groupBy("bucket")

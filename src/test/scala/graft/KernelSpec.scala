@@ -315,4 +315,24 @@ class KernelSpec extends SparkSpec {
     assert(second.exists(_.getLong(1) >= 40),
       "regenerated corpus did not reach the IVF index — stale cache")
   }
+
+  test("repair digests: identical replicas agree on every bucket, divergence localizes") {
+    import graft.operators.Repair
+    val a = Repair.replicaA(spark, sf001)
+    // Identical replicas → identical digest per bucket (the synced
+    // fast path: zero dirty buckets, the drill-down never runs).
+    val clean = Repair.digests(a, "da")
+      .join(Repair.digests(Repair.replicaA(spark, sf001), "db"), Seq("bucket"), "full_outer")
+      .filter(!(col("da") <=> col("db")))
+    assert(clean.count() == 0, "identical replicas produced dirty buckets")
+    // Planted divergence → dirty buckets are a strict subset (the
+    // prune is real: some ranges verify clean even with divergence).
+    val dirty = Repair.digests(a, "da")
+      .join(Repair.digests(Repair.replicaB(spark, sf001), "db"), Seq("bucket"), "full_outer")
+      .filter(!(col("da") <=> col("db")))
+      .count()
+    val total = Repair.digests(a, "da").count()
+    assert(dirty > 0 && dirty < total,
+      s"divergence did not localize: $dirty dirty of $total buckets")
+  }
 }
