@@ -41,7 +41,8 @@ class DeterminismSpec extends SparkSpec {
     // diff, the islands sessionization, and the repetition gate's
     // explode+max path are all shapes partitioning could perturb
     "repair_diff", "stream_sessionize", "text_repetition",
-    "sample_temperature", "pack_sequences", "sim_topk_filtered")
+    "sample_temperature", "pack_sequences", "sim_topk_filtered",
+    "join_asof_fwd")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
