@@ -267,7 +267,8 @@ object Joins extends QueryGroup {
     "join_interval" -> (joinInterval _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_asof" -> (joinAsof _),
-    "join_asof_fwd" -> (joinAsofForward _)
+    "join_asof_fwd" -> (joinAsofForward _),
+    "scan_bucket_pruned" -> (scanBucketPruned _)
   )
 
   /** Forward as-of join: each event matched to the EARLIEST order of
@@ -297,7 +298,42 @@ object Joins extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Bucket pruning: a per-key aggregate on a bucketed table reads
+    * ONE bucket of 8 and never shuffles — the layout-level analog of
+    * Cassandra's partition-key routing (the coordinator contacts only
+    * the owning node; here the scan opens only the owning bucket's
+    * files, and the bucket hash distribution already satisfies the
+    * aggregation). The aggregate matters: a bare filter makes Spark's
+    * DisableUnnecessaryBucketedScan drop the bucketed read (nothing
+    * wants the distribution) and with it the pruning. PlanSpec asserts
+    * `SelectedBucketsCount: 1 out of 8`; at 100 TB this layout turns a
+    * key lookup from a full scan into 1/N of the files, before
+    * row-group pruning even starts. Oracle = the same aggregate on the
+    * unbucketed table (layout must be output-invisible). */
+  def scanBucketPruned(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.RunId.scratch("bucket_pruned")
+    val suffix = graft.core.RunId.id
+    val tbl = s"graft_orders_bucket_pruned_$suffix"
+    if (!s.catalog.tableExists(tbl))
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders").mode("overwrite")
+        .saveAsTable(tbl)
+    s.table(tbl)
+      .filter(col("o_custkey") === 42L)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        graft.core.Num.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_custkey")
+  }
+
   val oracles: Map[String, String] = Map(
+    "scan_bucket_pruned" -> s"""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        ${graft.core.Num.sqlDsum("o_totalprice")} AS sum_price
+      FROM orders WHERE o_custkey = 42
+      GROUP BY o_custkey ORDER BY o_custkey""",
     "join_asof_fwd" -> """
       SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
       FROM events e LEFT JOIN LATERAL (

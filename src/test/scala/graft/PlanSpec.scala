@@ -144,6 +144,13 @@ class PlanSpec extends SparkSpec {
       scan.take(800))
   }
 
+  test("scan_bucket_pruned opens exactly one bucket of eight") {
+    // the layout-level analog of Cassandra partition-key routing: the
+    // point lookup must prune at the BUCKET level, before row groups
+    val p = plan("scan_bucket_pruned")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"), p.take(1200))
+  }
+
   test("repair_diff drill-down prunes via bucket IN filters below one keyed join") {
     // The digest phase must prune: both replica re-scans carry the
     // dirty-bucket IN filter under the single keyed full-outer join,
