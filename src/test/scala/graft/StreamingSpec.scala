@@ -272,6 +272,54 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("streaming incremental MV maintenance converges to the batch view") {
+    // End-to-end capstone: a standing (user, type) aggregate view
+    // maintained incrementally from the stream — each micro-batch's
+    // partial aggregate merged into the previous view version, exactly
+    // the mv_incremental contract driven by foreachBatch instead of a
+    // batch job. Decimal-exact sums make the merge associative, so the
+    // final view must EQUAL the one-shot batch aggregate, not just
+    // approximate it.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    @volatile var prev: Option[String] = None
+    def mergeBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val delta = df.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum(graft.core.Num.d2($"value")).as("sv"))
+      val merged = prev match {
+        case Some(p) => s.read.parquet(p).unionByName(delta)
+          .groupBy("user_id", "event_type")
+          .agg(sum("n").as("n"), sum("sv").as("sv"))
+        case None => delta
+      }
+      merged.write.mode("overwrite").parquet(s"$dir/v$id")
+      prev = Some(s"$dir/v$id")
+    }
+    val mem = MemoryStream[SEvent]
+    val q = mem.toDF().select("user_id", "event_type", "value")
+      .writeStream.foreachBatch(mergeBatch _)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val all = Seq(
+      SEvent(1, t(1), 1, "click", 1.5), SEvent(2, t(1), 1, "click", 2.25),
+      SEvent(3, t(1), 2, "view", 3.0), SEvent(4, t(2), 1, "view", 0.75),
+      SEvent(5, t(2), 2, "click", 4.5), SEvent(6, t(3), 1, "click", 1.0))
+    for (batch <- all.grouped(2)) {
+      mem.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = s.read.parquet(prev.get)
+      .select($"user_id", $"event_type", $"n", $"sv".cast("string"))
+      .collect().map(_.toString).sorted.toList
+    val expected = all.toDF()
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum(graft.core.Num.d2($"value")).as("sv"))
+      .select($"user_id", $"event_type", $"n", $"sv".cast("string"))
+      .collect().map(_.toString).sorted.toList
+    assert(got == expected && got.nonEmpty, s"got $got\nexpected $expected")
+  }
+
   test("foreachBatch sink is idempotent under batch replay (exactly-once)") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
