@@ -233,23 +233,31 @@ object Joins extends QueryGroup {
     * of either side at read time (asserted in PlanSpec). This is the
     * materialized-partitioning pattern: pay one shuffle at write time,
     * join shuffle-free forever after. */
-  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.core.RunId.scratch("bucketed")
-    val suffix = graft.core.RunId.id
-    Tables.orders(s, dir).write
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$base/orders").mode("overwrite")
-      .saveAsTable(s"graft_orders_bucketed_$suffix")
-    Tables.customer(s, dir).write
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$base/customer").mode("overwrite")
-      .saveAsTable(s"graft_customer_bucketed_$suffix")
-    s.table(s"graft_orders_bucketed_$suffix").hint("MERGE")
-      .join(s.table(s"graft_customer_bucketed_$suffix"),
+  /** Write-once-per-(JVM, source dir) bucketed copy of a table. Table
+    * name AND path are keyed by the source dir: a per-JVM-only key
+    * would let a multi-scale run (Bench times sf0.1 then the ×10
+    * fixture in one JVM) silently reuse the first dir's layout and
+    * aggregate the wrong data. Shared by every bucketed-layout
+    * operator so the write policy lives in one place. */
+  private def bucketedTable(s: SparkSession, dir: String, df: DataFrame,
+      table: String, key: String): DataFrame = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_${table}_${graft.core.RunId.id}_$dirKey"
+    if (!s.catalog.tableExists(tbl))
+      df.write.bucketBy(8, key).sortBy(key)
+        .option("path", graft.core.RunId.scratch(s"bucketed/$dirKey/$table"))
+        .mode("overwrite").saveAsTable(tbl)
+    s.table(tbl)
+  }
+
+  def joinBucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedTable(s, dir, Tables.orders(s, dir), "orders_bucketed", "o_custkey")
+      .hint("MERGE")
+      .join(
+        bucketedTable(s, dir, Tables.customer(s, dir), "customer_bucketed", "c_custkey"),
         col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name")
       .orderBy("o_orderkey")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_salted" -> (joinSalted _),
@@ -311,15 +319,7 @@ object Joins extends QueryGroup {
     * row-group pruning even starts. Oracle = the same aggregate on the
     * unbucketed table (layout must be output-invisible). */
   def scanBucketPruned(s: SparkSession, dir: String): DataFrame = {
-    val base = graft.core.RunId.scratch("bucket_pruned")
-    val suffix = graft.core.RunId.id
-    val tbl = s"graft_orders_bucket_pruned_$suffix"
-    if (!s.catalog.tableExists(tbl))
-      Tables.orders(s, dir).write
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders").mode("overwrite")
-        .saveAsTable(tbl)
-    s.table(tbl)
+    bucketedTable(s, dir, Tables.orders(s, dir), "orders_bucketed", "o_custkey")
       .filter(col("o_custkey") === 42L)
       .groupBy("o_custkey")
       .agg(

@@ -174,11 +174,17 @@ object TextOps extends QueryGroup {
     val alpha = 0.7
     val frac = 0.5
     val d = Tables.documents(s, dir)
+    // Weights are quantized to 6 decimals, then summed as DECIMAL:
+    // a naive sum(double) accumulates in partition order and a
+    // last-ulp difference (vs DuckDB, or between shuffle layouts)
+    // could flip the floor(p*65536) threshold by one bucket. With
+    // quantized addends the sum is exact and order-free on both
+    // engines — the same discipline as graft.core.Num.
     val stats = d.groupBy("lang").agg(count(lit(1)).as("n_s"))
-      .withColumn("w", pow(col("n_s").cast("double"), alpha))
+      .withColumn("w", round(pow(col("n_s").cast("double"), alpha), 6))
     val (nTotal, wTotal) = {
-      val r = stats.agg(sum("n_s"), sum("w")).head()
-      (r.getLong(0).toDouble, r.getDouble(1))
+      val r = stats.agg(sum("n_s"), sum(col("w").cast("decimal(28,6)"))).head()
+      (r.getLong(0).toDouble, r.getDecimal(1).doubleValue)
     }
     val thresholds = stats
       .withColumn("p", round(least(lit(1.0),
@@ -556,8 +562,9 @@ object TextOps extends QueryGroup {
       FROM c ORDER BY doc_id""",
     "sample_temperature" -> s"""
       WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
-      t AS (SELECT lang, n_s, pow(n_s, 0.7) AS w FROM c),
-      s AS (SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total, SUM(w) AS w_total FROM t),
+      t AS (SELECT lang, n_s, round(pow(n_s, 0.7), 6) AS w FROM c),
+      s AS (SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total,
+                   CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS w_total FROM t),
       thr AS (
         SELECT lang,
           CAST(floor(round(least(1.0, w / w_total * (0.5 * n_total) / n_s), 6)

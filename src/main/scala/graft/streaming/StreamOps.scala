@@ -109,28 +109,37 @@ object StreamOps {
             state.remove()
             Iterator.single(Session(user, st.startMs, st.endMs, st.n))
           } else {
-            // Within one micro-batch events may arrive unordered.
-            val sorted = rows.map(_.ts.getTime).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var cur = state.getOption
-            for (t <- sorted) cur match {
-              case Some(c) if t - c.endMs <= gapMs =>
-                cur = Some(c.copy(endMs = math.max(c.endMs, t), n = c.n + 1))
-              case Some(c) =>
-                closed += Session(user, c.startMs, c.endMs, c.n)
-                cur = Some(SessState(t, t, 1L))
-              case None =>
-                cur = Some(SessState(t, t, 1L))
+            // Interval merge: the open state session and every new
+            // event (as a width-0 interval), sorted by start, then
+            // gap-merged. Handles unordered WITHIN-batch arrival and
+            // late-but-within-watermark CROSS-batch arrival uniformly:
+            // a late event inside or gap-adjacent to the open session
+            // extends it (including lowering its start — a plain
+            // "t - end <= gap" append would silently keep the newer
+            // start and even absorb events a full gap older), and a
+            // late event more than a gap before it closes as its own
+            // session rather than contaminating the open one.
+            val intervals = (state.getOption.map(c => (c.startMs, c.endMs, c.n)) ++
+              rows.map { r => val t = r.ts.getTime; (t, t, 1L) }).toArray
+            java.util.Arrays.sort(intervals, Ordering.by((x: (Long, Long, Long)) => x._1))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            for (iv <- intervals) merged.lastOption match {
+              case Some(last) if iv._1 - last._2 <= gapMs =>
+                merged(merged.size - 1) =
+                  (last._1, math.max(last._2, iv._2), last._3 + iv._3)
+              case _ => merged += iv
             }
-            cur.foreach { c =>
-              state.update(c)
-              // Timeout must sit above the current watermark or Spark
-              // rejects it; a session already gap-deep behind the
-              // watermark closes at the next watermark advance.
-              state.setTimeoutTimestamp(
-                math.max(c.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
+            // All but the newest merged interval are definitively
+            // closed (a yet-later event could only extend the last);
+            // the last stays open as the new state.
+            val open = merged.remove(merged.size - 1)
+            state.update(SessState(open._1, open._2, open._3))
+            // Timeout must sit above the current watermark or Spark
+            // rejects it; a session already gap-deep behind the
+            // watermark closes at the next watermark advance.
+            state.setTimeoutTimestamp(
+              math.max(open._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            merged.iterator.map(iv => Session(user, iv._1, iv._2, iv._3))
           }
       }
   }

@@ -240,6 +240,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(timeoutClosed), s"timeout-closed session missing: $got")
   }
 
+  test("sessionize merges late-but-within-watermark events correctly") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val mem = MemoryStream[StreamOps.SessEvent]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sessionize_late_out").start()
+    // batch 1: the open session starts at 11:30 (watermark → 10:30)
+    mem.addData(StreamOps.SessEvent(1, 7, ts("11:30")))
+    q.processAllAvailable()
+    // batch 2, both late but ABOVE the watermark (below it Spark
+    // rightly drops them before the operator runs): 11:10 is
+    // gap-adjacent and must LOWER the session start; 10:35 is more
+    // than a gap earlier and must close as its own session, never
+    // contaminating the open one (the pre-fix append logic absorbed
+    // it and kept start=11:30)
+    mem.addData(StreamOps.SessEvent(2, 7, ts("11:10")),
+      StreamOps.SessEvent(3, 7, ts("10:35")))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush the open session
+    mem.addData(StreamOps.SessEvent(4, 9, ts("15:00")))
+    q.processAllAvailable()
+    mem.addData(StreamOps.SessEvent(5, 9, ts("17:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("sessionize_late_out")
+      .filter($"user_id" === 7)
+      .select("start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lateSingleton = (ts("10:35").getTime, ts("10:35").getTime, 1L)
+    val lowered = (ts("11:10").getTime, ts("11:30").getTime, 2L)
+    assert(got == Set(lateSingleton, lowered), s"got $got")
+  }
+
   test("streaming sessionize agrees with the batch twin on closed sessions") {
     val s = spark; import s.implicits._
     // Batch twin over the real events table restricted to a few users.
