@@ -87,8 +87,32 @@ object Repair extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Repair ACTION — the second half of anti-entropy: apply the diff
+    * back onto the stale replica and emit the healed table. Missing
+    * rows are re-streamed from the healthy side, divergent values
+    * overwritten; rows outside the diff are carried through untouched
+    * (at scale that carry-through is the whole table MINUS the dirty
+    * ranges — no rewrite of synced data, matching how Cassandra
+    * streams only the out-of-sync ranges). The oracle states the
+    * postcondition directly: the healed replica IS replica A, byte for
+    * byte — diff then apply is a closed loop. */
+  def repairApply(s: SparkSession, dir: String): DataFrame = {
+    val diff = repairDiff(s, dir)
+      .select(col("event_id"), col("status"), col("a_value"))
+    replicaB(s, dir)
+      .join(diff.filter(col("status") === "value_differs")
+        .select(col("event_id"), col("a_value")), Seq("event_id"), "left_outer")
+      .select(col("event_id"),
+        coalesce(col("a_value"), col("value")).as("value"))
+      .unionByName(
+        diff.filter(col("status") === "missing_in_b")
+          .select(col("event_id"), col("a_value").as("value")))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "repair_diff" -> (repairDiff _)
+    "repair_diff" -> (repairDiff _),
+    "repair_apply" -> (repairApply _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,6 +130,9 @@ object Repair extends QueryGroup {
              a.value AS a_value, b.value AS b_value
       FROM events a LEFT JOIN b ON a.event_id = b.event_id
       WHERE b.event_id IS NULL OR a.value <> b.value
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+    // Postcondition stated directly: healed B == A, byte for byte.
+    "repair_apply" -> """
+      SELECT event_id, value FROM events ORDER BY event_id"""
   )
 }
