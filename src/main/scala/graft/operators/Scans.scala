@@ -108,6 +108,20 @@ object Scans extends QueryGroup {
     * inferSchema, which would re-scan the data and guess. Doubles
     * round-trip exactly (Spark writes shortest-round-trip decimal
     * strings). */
+  /** ORC source/sink round-trip — the other columnar interchange
+    * format Spark ships natively (predicate pushdown, column pruning
+    * and vectorized reads work the same as parquet). Lossless for the
+    * full row including the timestamp: the oracle reads the ORIGINAL
+    * parquet table, so any encode/decode drift would hash-mismatch. */
+  def sourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.core.RunId.scratch("io/events_orc")
+    Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .orderBy("event_id")
+  }
+
   def sourceCsv(s: SparkSession, dir: String): DataFrame = {
     val path = graft.core.RunId.scratch("io/events_csv")
     Tables.events(s, dir)
@@ -196,6 +210,7 @@ object Scans extends QueryGroup {
     "source_parquet" -> (sourceParquet _),
     "source_csv" -> (sourceCsv _),
     "source_json" -> (sourceJson _),
+    "source_orc" -> (sourceOrc _),
     "sink_mv" -> (sinkMv _)
   )
 
@@ -224,6 +239,9 @@ object Scans extends QueryGroup {
       "SELECT * FROM supplier ORDER BY s_suppkey",
     "source_csv" -> """
       SELECT event_id, user_id, event_type, value
+      FROM events ORDER BY event_id""",
+    "source_orc" -> """
+      SELECT event_id, user_id, event_type, value, ts
       FROM events ORDER BY event_id""",
     "source_json" -> """
       SELECT event_id, event_type, props,

@@ -42,7 +42,7 @@ class DeterminismSpec extends SparkSpec {
     // explode+max path are all shapes partitioning could perturb
     "repair_diff", "stream_sessionize", "text_repetition",
     "sample_temperature", "pack_sequences", "sim_topk_filtered",
-    "join_asof_fwd", "scan_bucket_pruned")
+    "join_asof_fwd", "scan_bucket_pruned", "repair_apply", "source_orc")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
