@@ -233,11 +233,32 @@ object Dedup extends QueryGroup {
     }
   }
 
+  /** Survivor selection — the step that makes dedup actionable: per
+    * near-dup cluster, KEEP the longest member (a standard keep-best
+    * policy; length is the quality proxy here, tiebreak min doc_id)
+    * and mark the rest for deletion. Composes the oracle-checked
+    * cluster labels with a per-cluster argmax window; at scale that is
+    * one extra shuffle keyed on the cluster id over the (small) label
+    * relation, never over the corpus. */
+  def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupCluster(s, dir).select("doc_id", "cluster_id")
+    val lens = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), size(Text.words(col("text"))).as("n_words"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_words").desc, col("doc_id").asc)
+    clusters.join(lens, "doc_id")
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "n_words", "is_survivor")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_near" -> (dedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
-    "dedup_cluster" -> (dedupCluster _)
+    "dedup_cluster" -> (dedupCluster _),
+    "dedup_survivor" -> (dedupSurvivor _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +309,37 @@ object Dedup extends QueryGroup {
       SELECT l.doc_id, l.cluster_id, s.cluster_size,
              l.doc_id = l.cluster_id AS is_canonical
       FROM lbl l JOIN sz s USING (cluster_id)
+      ORDER BY l.doc_id""",
+    // Same recursive-CTE labels + keep-the-longest argmax window.
+    "dedup_survivor" -> """
+      WITH RECURSIVE sh AS (
+        SELECT doc_id,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         FOR i IN range(1, len(w)-1)]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE doc_id < 60)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.01),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs),
+      reach(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+      lbl AS (SELECT id AS doc_id, min(label) AS cluster_id
+              FROM reach GROUP BY id),
+      n AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+            FROM documents WHERE doc_id < 60)
+      SELECT l.doc_id, l.cluster_id, n.n_words,
+        ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                           ORDER BY n.n_words DESC, l.doc_id ASC) = 1 AS is_survivor
+      FROM lbl l JOIN n ON l.doc_id = n.doc_id
       ORDER BY l.doc_id"""
     // dedup_near, dedup_simhash: no oracle (LSH candidate generation is
     // engine-defined; planted-pair recovery asserted in DedupSpec)
