@@ -241,7 +241,10 @@ object Joins extends QueryGroup {
     * operator so the write policy lives in one place. */
   private def bucketedTable(s: SparkSession, dir: String, df: DataFrame,
       table: String, key: String): DataFrame = {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // hashCode suffix: the sanitized name alone would collide for dirs
+    // differing only in non-alphanumerics ("/sf0.1" vs "/sf0_1")
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
     val tbl = s"graft_${table}_${graft.core.RunId.id}_$dirKey"
     if (!s.catalog.tableExists(tbl))
       df.write.bucketBy(8, key).sortBy(key)

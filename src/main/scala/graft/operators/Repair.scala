@@ -97,8 +97,16 @@ object Repair extends QueryGroup {
     * postcondition directly: the healed replica IS replica A, byte for
     * byte — diff then apply is a closed loop. */
   def repairApply(s: SparkSession, dir: String): DataFrame = {
-    val diff = repairDiff(s, dir)
+    // The diff is referenced twice below (corrections + re-streamed
+    // rows); materialize it once so each action doesn't execute the
+    // whole digest + drill-down lineage twice. It is divergence-sized,
+    // so the scratch write is small at any scale.
+    val diffPath = graft.core.RunId.scratch(
+      s"repair_diff_${Integer.toHexString(dir.hashCode)}")
+    repairDiff(s, dir)
       .select(col("event_id"), col("status"), col("a_value"))
+      .write.mode("overwrite").parquet(diffPath)
+    val diff = s.read.parquet(diffPath)
     replicaB(s, dir)
       .join(diff.filter(col("status") === "value_differs")
         .select(col("event_id"), col("a_value")), Seq("event_id"), "left_outer")

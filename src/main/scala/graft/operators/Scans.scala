@@ -103,11 +103,6 @@ object Scans extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
-  /** CSV source/sink round-trip (the CQL COPY TO/FROM surface): write
-    * typed rows as CSV, read back under an explicit schema — never
-    * inferSchema, which would re-scan the data and guess. Doubles
-    * round-trip exactly (Spark writes shortest-round-trip decimal
-    * strings). */
   /** ORC source/sink round-trip — the other columnar interchange
     * format Spark ships natively (predicate pushdown, column pruning
     * and vectorized reads work the same as parquet). Lossless for the
@@ -122,6 +117,11 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** CSV source/sink round-trip (the CQL COPY TO/FROM surface): write
+    * typed rows as CSV, read back under an explicit schema — never
+    * inferSchema, which would re-scan the data and guess. Doubles
+    * round-trip exactly (Spark writes shortest-round-trip decimal
+    * strings). */
   def sourceCsv(s: SparkSession, dir: String): DataFrame = {
     val path = graft.core.RunId.scratch("io/events_csv")
     Tables.events(s, dir)

@@ -80,20 +80,33 @@ object StreamOps {
   }
 
   final case class SessEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
-  final case class SessState(startMs: Long, endMs: Long, n: Long)
+  final case class SessInterval(startMs: Long, endMs: Long, n: Long)
+  final case class SessState(intervals: Seq[SessInterval])
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
   /** Closed-session emission via flatMapGroupsWithState with an
     * EVENT-TIME timeout (SURVEY.md §2.I — the custom-state shape
     * mapGroupsWithState can't express: zero-to-many output per
     * invocation, sessions closed by the watermark clock, not by new
-    * data for the key). A session is emitted either when a same-user
-    * event arrives past the gap, or when the watermark passes
-    * last-event + gap and the timeout fires — so an idle user's final
-    * session still closes. State per user is one (start, end, count)
-    * triple; the timeout removes it, so total state is bounded by
-    * concurrently-active users, not stream length. Batch twin:
-    * StreamingBatch.streamSessionize (oracle-checked islands form).
+    * data for the key).
+    *
+    * The emission rule is the watermark contract itself: a session is
+    * closed — and only then emitted — once `end + gap <= watermark`,
+    * because any event Spark can still deliver has `t > watermark >=
+    * end + gap` and so cannot merge into it. Sessions the watermark
+    * has not yet passed stay in state EVEN when a newer session exists
+    * for the same user: a late-but-valid event may yet bridge or
+    * extend them (emitting "all but the newest" is the subtle bug this
+    * rule fixes — the output would depend on batch arrival order, not
+    * on the data). Per-batch processing is a plain interval merge of
+    * the retained sessions and the new events, so unordered and late
+    * arrival are handled uniformly; the timeout is the earliest
+    * retained `end + gap`, so idle users' sessions close exactly when
+    * the watermark says so. State per user is bounded by the number of
+    * in-flight sessions inside the watermark horizon (≤ horizon/gap),
+    * not by stream length. Batch twin: StreamingBatch.streamSessionize
+    * (oracle-checked islands form) — equal output once the watermark
+    * passes, asserted by StreamingSpec.
     */
   def sessionize(events: Dataset[SessEvent], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -104,43 +117,30 @@ object StreamOps {
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            Iterator.single(Session(user, st.startMs, st.endMs, st.n))
-          } else {
-            // Interval merge: the open state session and every new
-            // event (as a width-0 interval), sorted by start, then
-            // gap-merged. Handles unordered WITHIN-batch arrival and
-            // late-but-within-watermark CROSS-batch arrival uniformly:
-            // a late event inside or gap-adjacent to the open session
-            // extends it (including lowering its start — a plain
-            // "t - end <= gap" append would silently keep the newer
-            // start and even absorb events a full gap older), and a
-            // late event more than a gap before it closes as its own
-            // session rather than contaminating the open one.
-            val intervals = (state.getOption.map(c => (c.startMs, c.endMs, c.n)) ++
-              rows.map { r => val t = r.ts.getTime; (t, t, 1L) }).toArray
-            java.util.Arrays.sort(intervals, Ordering.by((x: (Long, Long, Long)) => x._1))
-            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-            for (iv <- intervals) merged.lastOption match {
-              case Some(last) if iv._1 - last._2 <= gapMs =>
-                merged(merged.size - 1) =
-                  (last._1, math.max(last._2, iv._2), last._3 + iv._3)
-              case _ => merged += iv
-            }
-            // All but the newest merged interval are definitively
-            // closed (a yet-later event could only extend the last);
-            // the last stays open as the new state.
-            val open = merged.remove(merged.size - 1)
-            state.update(SessState(open._1, open._2, open._3))
-            // Timeout must sit above the current watermark or Spark
-            // rejects it; a session already gap-deep behind the
-            // watermark closes at the next watermark advance.
-            state.setTimeoutTimestamp(
-              math.max(open._2 + gapMs, state.getCurrentWatermarkMs() + 1))
-            merged.iterator.map(iv => Session(user, iv._1, iv._2, iv._3))
+          val wm = state.getCurrentWatermarkMs()
+          // Interval merge of retained sessions + new events (empty on
+          // a timeout invocation): sort by start, fuse gap-adjacent.
+          val intervals = (state.getOption.map(_.intervals).getOrElse(Nil) ++
+            rows.map { r => val t = r.ts.getTime; SessInterval(t, t, 1L) }).toArray
+          java.util.Arrays.sort(intervals, Ordering.by((x: SessInterval) => x.startMs))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessInterval]
+          for (iv <- intervals) merged.lastOption match {
+            case Some(last) if iv.startMs - last.endMs <= gapMs =>
+              merged(merged.size - 1) = SessInterval(
+                last.startMs, math.max(last.endMs, iv.endMs), last.n + iv.n)
+            case _ => merged += iv
           }
+          val (closed, open) = merged.partition(_.endMs + gapMs <= wm)
+          if (open.isEmpty) {
+            state.remove()
+          } else {
+            state.update(SessState(open.toSeq))
+            // Earliest pending close, clamped above the watermark
+            // (Spark rejects a timeout at or below it).
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.endMs).min + gapMs, wm + 1))
+          }
+          closed.iterator.map(iv => Session(user, iv.startMs, iv.endMs, iv.n))
       }
   }
 
