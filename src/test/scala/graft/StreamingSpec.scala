@@ -275,6 +275,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(lateSingleton, lowered), s"got $got")
   }
 
+  test("sessionize retains gap-separated sessions until the watermark closes them") {
+    // The arrival-order trap: events 10:00 and 11:00 arrive first,
+    // then a late 10:20 bridges toward the older one. Closing "all but
+    // the newest" session at the first batch would have already
+    // emitted (10:00) alone and the bridge would create a phantom
+    // (10:20) singleton — output depending on batch boundaries, not
+    // data. Watermark-gated closing must yield exactly the batch
+    // twin's answer: (10:00,10:20,2) and (11:00,11:00,1).
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val mem = MemoryStream[StreamOps.SessEvent]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sessionize_bridge_out").start()
+    mem.addData(StreamOps.SessEvent(1, 7, ts("10:00")),
+      StreamOps.SessEvent(2, 7, ts("11:00")))
+    q.processAllAvailable()
+    // late bridge, above the 10:00 watermark
+    mem.addData(StreamOps.SessEvent(3, 7, ts("10:20")))
+    q.processAllAvailable()
+    // flush via another user's far-future events
+    mem.addData(StreamOps.SessEvent(4, 9, ts("14:00")))
+    q.processAllAvailable()
+    mem.addData(StreamOps.SessEvent(5, 9, ts("16:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.table("sessionize_bridge_out")
+      .filter($"user_id" === 7)
+      .select("start_ms", "end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (ts("10:00").getTime, ts("10:20").getTime, 2L),
+      (ts("11:00").getTime, ts("11:00").getTime, 1L)), s"got $got")
+  }
+
   test("streaming sessionize agrees with the batch twin on closed sessions") {
     val s = spark; import s.implicits._
     // Batch twin over the real events table restricted to a few users.
