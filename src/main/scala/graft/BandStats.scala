@@ -27,10 +27,11 @@ object BandStats {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").localCheckpoint()
     val n = emb.count()
-    val nbits = math.max(8,
-      math.ceil(math.log(n.toDouble / occ) / math.log(2.0)).toInt)
-    val bands = (0 until 8).map(b =>
-      Vectors.hyperplanes(nbits, dim = 64, seed = 101L + b))
+    // The PRODUCTION banding, not a local re-derivation: a drifted
+    // copy of the nbits formula / band count / seed scheme would make
+    // this histogram describe bands the engine no longer uses.
+    val bands = graft.operators.Similarity.thresholdBands(n, occ)
+    val nbits = bands.head.size
     val banded = emb.select(col("vec_id"),
       posexplode(Vectors.srpBuckets(col("embedding"), bands))
         .as(Seq("band", "bucket")))

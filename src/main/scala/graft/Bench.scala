@@ -92,15 +92,21 @@ object Bench {
     // Both totals ride the one metric line: x10_total_sec is additive
     // JSON (last-line/regex parsers that only read metric/value/queries
     // are unaffected).
+    // Failure counts ride the metric lines: a failed query records its
+    // time-to-failure (n = -1), and a total silently summing those
+    // would report a misleadingly GOOD scale-up ratio — the one number
+    // the x10 suite exists to measure. Zero means every query returned.
+    val failed = results.values.count(_._2 < 0)
     val x10Part = x10Results.map { r =>
       val t = String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(r.values.map(_._1).sum))
-      s""","x10_total_sec":$t,"x10_dir":"$x10Dir""""
+      val x10Failed = r.values.count(_._2 < 0)
+      s""","x10_total_sec":$t,"x10_failed":$x10Failed,"x10_dir":"$x10Dir""""
     }.getOrElse("")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$x10Part,"sf":"$sfDir"}"""
     val brief =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$x10Part,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -190,9 +190,14 @@ object Dedup extends QueryGroup {
         .map { case (lbl, ((id, prev), ll)) => (id, (prev, math.min(lbl, ll))) }
         .partitionBy(part)
         .persist()
-      changed = jumped.filter { case (_, (prev, lbl)) => prev != lbl }.count()
-      prevRound.unpersist(blocking = false)
+      // Track BEFORE the action: if the count throws, the finally
+      // block must know about this round's cached RDD too — persisted
+      // registration is immediate, so an untracked `jumped` would
+      // strand blocks on the failure path.
+      val lastRound = prevRound
       prevRound = jumped
+      changed = jumped.filter { case (_, (prev, lbl)) => prev != lbl }.count()
+      lastRound.unpersist(blocking = false)
       labels = jumped.mapPartitions(
         _.map { case (id, (_, lbl)) => (id, lbl) }, preservesPartitioning = true)
       rounds += 1
@@ -213,8 +218,13 @@ object Dedup extends QueryGroup {
     // would itself pin blocks for the JVM lifetime — the write-then-
     // read truncates lineage with zero retained cache (VERDICT r5 #3).
     // The write is distributed and label-sized: scale-safe.
-    val lblPath = RunId.scratch(
-      s"dedup_cluster_${Integer.toHexString(dir.hashCode)}")
+    // MD5 of the full dir, not 32-bit hashCode: a hashCode collision
+    // between the sf and ×10 dirs in one JVM would overwrite this
+    // path under the other call's lazily-reading DataFrame (the same
+    // bug class the IVF cache key fix removed).
+    val lblPath = RunId.scratch("dedup_cluster_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
     labels.toDF("doc_id", "cluster_id")
       .write.mode("overwrite").parquet(lblPath)
     clusterLabelPaths(dir) = lblPath // reused by dedupSurvivor

@@ -101,8 +101,9 @@ object Repair extends QueryGroup {
     // rows); materialize it once so each action doesn't execute the
     // whole digest + drill-down lineage twice. It is divergence-sized,
     // so the scratch write is small at any scale.
-    val diffPath = graft.core.RunId.scratch(
-      s"repair_diff_${Integer.toHexString(dir.hashCode)}")
+    val diffPath = graft.core.RunId.scratch("repair_diff_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
     repairDiff(s, dir)
       .select(col("event_id"), col("status"), col("a_value"))
       .write.mode("overwrite").parquet(diffPath)

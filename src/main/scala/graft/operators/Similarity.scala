@@ -107,7 +107,7 @@ object Similarity extends QueryGroup {
     * tail recall that the τ=0.8 regime doesn't need (measured: at
     * ×100 the fixed-64 bands made candidate verify, not output, the
     * cost — 300 s for 2 k output rows). */
-  private def thresholdBands(n: Long, occupancy: Int): Seq[Seq[Seq[Float]]] = {
+  private[graft] def thresholdBands(n: Long, occupancy: Int): Seq[Seq[Seq[Float]]] = {
     val nbits = math.max(8,
       math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0)).toInt)
     thresholdBandCache.getOrElseUpdate(nbits,
@@ -133,7 +133,7 @@ object Similarity extends QueryGroup {
     * count itself is quadratic (output-driven, per BASELINE.md's ×100
     * analysis). The fixture corpus has no pairs above 0.8 (max
     * pairwise cosine ≈0.51, FIXTURES-measured), so the variant plants
-    * one exact copy per 100 vectors (ids +500000) — scale-proportional
+    * one exact copy per 100 vectors (ids +2^40) — scale-proportional
     * ground truth that rides ScaleGen's per-copy transforms unchanged.
     * Declared no-oracle like its τ=0.35 sibling (LSH candidate set);
     * DedupSimilaritySpec asserts the planted pairs are recovered. */
@@ -150,10 +150,15 @@ object Similarity extends QueryGroup {
     // this is "write the band index, then band-join".
     val corpus = {
       val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      // Planted ids at +2^40, far above any reachable corpus id — a
+      // dense +500k offset would collide with genuine vec_ids once the
+      // corpus reaches 500k vectors (≈×1000 of sf0.01), duplicating
+      // join keys and silently corrupting the planted ground truth at
+      // exactly the scales this query models.
       if (!plantPairs) base
       else base.unionByName(
         base.filter(pmod(col("vec_id"), lit(100)) === 0)
-          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding")))
     }
     val emb = corpus.localCheckpoint()
     val bands = thresholdBands(emb.count(), occupancy = if (tau >= 0.8) 4 else 64)

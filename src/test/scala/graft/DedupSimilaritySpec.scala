@@ -98,7 +98,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = SparkEntry.queries("sim_threshold_lsh_tau08")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val n = graft.core.Tables.embeddings(spark, sf001).count()
-    val planted = (0L until n by 100L).map(i => (i, i + 500000L)).toSet
+    val planted = (0L until n by 100L).map(i => (i, i + (1L << 40))).toSet
     assert(got.map(p => (p._1, p._2)).toSet == planted,
       s"missing: ${planted -- got.map(p => (p._1, p._2))}, " +
         s"spurious: ${got.map(p => (p._1, p._2)).toSet -- planted}")

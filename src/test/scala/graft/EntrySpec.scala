@@ -18,8 +18,9 @@ class EntrySpec extends SparkSpec {
     // (VERDICT r4 #6, r5 #2) — pin it: the bolded count in the header
     // must equal the declared query count, so adding a query without
     // updating COVERAGE.md fails the build.
-    val header = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").getLines()
-      .take(20).mkString(" ")
+    val header = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("COVERAGE.md"))
+      .linesIterator.take(20).mkString(" ")
     val m = """All \*\*(\d+)\*\* queries""".r.findFirstMatchIn(header)
     assert(m.isDefined, "COVERAGE.md header lost its 'All **N** queries' count")
     assert(m.get.group(1).toInt == SparkEntry.queries.size,

@@ -175,9 +175,14 @@ class StreamingSpec extends SparkSpec {
     val prev = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The query must stop in the finally too: an assert or provider
+    // failure mid-test would otherwise leave a RocksDB-backed query
+    // running against a session whose conf the finally just reverted,
+    // leaking native state into the rest of the shared-session suite.
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       val mem = MemoryStream[StreamOps.EventRow]
-      val q = StreamOps.statefulCounts(mem.toDS())
+      q = StreamOps.statefulCounts(mem.toDS())
         .writeStream.outputMode(OutputMode.Update()).format("memory")
         .queryName("rocksdb_state_out").start()
       mem.addData(StreamOps.EventRow(1, 7, "click", 1.0),
@@ -198,6 +203,7 @@ class StreamingSpec extends SparkSpec {
       assert(stateMetrics.asScala.exists(_.toLowerCase.contains("rocksdb")),
         s"no rocksdb state metrics — provider not engaged: $stateMetrics")
     } finally {
+      if (q != null) q.stop() // idempotent on a stopped query
       prev match {
         case Some(p) => s.conf.set(key, p)
         case None => s.conf.unset(key)
