@@ -273,7 +273,83 @@ object Dedup extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-level dedup — the third dedup mode of the
+    * Lee et al. 2022 taxonomy (document-exact / near / SUBSTRING): find
+    * long token spans repeated anywhere in the corpus, even across
+    * otherwise-distinct documents (license boilerplate, templated
+    * headers, quoted passages). Document-level dedup can never catch
+    * these; span-level removal is the mode that most improves LM
+    * training data in practice.
+    *
+    * Algorithm (the scalable suffix-array substitute): slide a
+    * K=20-token window over every document, hash each window, keep the
+    * (doc, pos) positions whose window hash occurs ≥2 times in the
+    * corpus, then merge each document's dirty positions into maximal
+    * spans — two windows merge when their token intervals overlap or
+    * touch (gap ≤ K). Output is one row per (doc, span): token
+    * coordinates + how many duplicated windows support it.
+    *
+    * Scale shape: one explode (corpus × windows — linear in total
+    * tokens), ONE shuffle keyed on the 16-byte window hash for the
+    * occurrence count (bare (doc, pos, hash) triples ride it, never
+    * text), and one per-doc window shuffle for the interval merge over
+    * the (small) dirty subset. Never all-pairs, no driver state.
+    *
+    * The fixture corpus shares no natural 20-grams across docs, so
+    * spans are PLANTED two ways (both mirrored verbatim in the DuckDB
+    * oracle, so the operator stays hash-checked):
+    *  - cross-doc: ids 300000+i (i<10) concatenate the first 30 words
+    *    of docs i and i+10 — both sources gain a [0,29] span, the
+    *    plant's two adjacent dirty regions must MERGE into one span;
+    *  - two-slice: ids 310000+i copy words [0,30) and [50,80) of one
+    *    ≥80-word source — the source's two dirty regions sit gap-40
+    *    apart and must stay SEPARATE spans. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 20
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    def first30(c: org.apache.spark.sql.Column) =
+      concat_ws(" ", slice(Text.words(c), 1, 30))
+    val crossDoc = d.as("a").filter(col("a.doc_id") < 10)
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 10)
+      .select((col("a.doc_id") + 300000L).as("doc_id"),
+        concat_ws(" ", first30(col("a.text")), first30(col("b.text"))).as("text"))
+    val twoSlice = d.select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(col("doc_id") < 40 && size(col("w")) >= 80)
+      .select((col("doc_id") + 310000L).as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", slice(col("w"), 1, 30)),
+          concat_ws(" ", slice(col("w"), 51, 30))).as("text"))
+    val all = d.unionByName(crossDoc).unionByName(twoSlice)
+    // (doc, pos, hash) per sliding window; the text never leaves the row
+    val wins = all.select(col("doc_id"),
+      posexplode(transform(Text.shingles(Text.words(col("text")), K), g => md5(g)))
+        .as(Seq("pos", "h")))
+    // corpus-wide occurrence count per hash: one shuffle on h (window
+    // count, not groupBy+join-back — same result, half the shuffles)
+    val dirty = wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("occ") > 1)
+      .select("doc_id", "pos")
+    // gaps-and-islands interval merge: window at pos p covers tokens
+    // [p, p+K-1]; consecutive dirty windows merge iff gap ≤ K
+    // (overlap or adjacency), so an island breaks when gap > K
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dirty
+      .withColumn("gap", col("pos") - lag("pos", 1).over(byDoc))
+      .withColumn("brk", when(col("gap").isNull || col("gap") <= K, 0).otherwise(1))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (K - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_near" -> (dedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -314,6 +390,46 @@ object Dedup extends QueryGroup {
               FROM reach GROUP BY id)"""
 
   val oracles: Map[String, String] = Map(
+    // Same plants, same K=20 window hashes, same gaps-and-islands merge
+    // as dedupSubstring — 0-based positions via i-1 to match posexplode.
+    "dedup_substring" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT a.doc_id + 300000 AS doc_id,
+          array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
+          array_to_string(string_split(b.text, ' ')[1:30], ' ') AS text
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+        WHERE a.doc_id < 10
+        UNION ALL
+        SELECT doc_id + 310000 AS doc_id,
+          array_to_string(w[1:30], ' ') || ' ' ||
+          array_to_string(w[51:80], ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE doc_id < 40 AND len(w) >= 80),
+      wins AS (
+        SELECT doc_id,
+          unnest([{'pos': i - 1, 'h': md5(array_to_string(w[i:i+19], ' '))}
+                  FOR i IN range(1, len(w) - 18)], recursive := true)
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+      dirty AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM wins)
+        WHERE occ > 1),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(CASE WHEN gap IS NULL OR gap <= 20 THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+              FROM dirty))
+      SELECT doc_id,
+        CAST(MIN(pos) AS INTEGER) AS span_start,
+        CAST(MAX(pos) + 19 AS INTEGER) AS span_end,
+        CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
     "dedup_jaccard" -> s"""
       WITH $shCteSql
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

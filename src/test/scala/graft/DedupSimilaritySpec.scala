@@ -36,6 +36,59 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((planted & got).size >= 14)
   }
 
+  test("dedup_substring equals brute-force span merge and recovers planted spans") {
+    import graft.core.Tables
+    val K = 20
+    val got = SparkEntry.queries("dedup_substring")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // brute-force ground truth in plain Scala: same plants, global
+    // 20-gram occurrence counts, per-doc gaps-and-islands merge
+    val corpus = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val byId = corpus.toMap
+    def first30(t: String) = t.split(" ").take(30).mkString(" ")
+    val plants =
+      (0L until 10L).map(i =>
+        (i + 300000L) -> (first30(byId(i)) + " " + first30(byId(i + 10)))) ++
+      corpus.collect { case (id, t) if id < 40 && t.split(" ").length >= 80 =>
+        val w = t.split(" ")
+        (id + 310000L) -> (w.slice(0, 30).mkString(" ") + " " + w.slice(50, 80).mkString(" "))
+      }
+    val all = corpus ++ plants
+    val wins = all.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 to w.length - K).map(p => (id, p, w.slice(p, p + K).mkString(" ")))
+    }
+    val occ = wins.groupBy(_._3).map { case (g, vs) => g -> vs.length }
+    val expected = wins.filter(w => occ(w._3) > 1)
+      .groupBy(_._1).flatMap { case (id, ds) =>
+        val ps = ds.map(_._2).sorted
+        val islands = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+          if (p - acc.head.head <= K) (p :: acc.head) :: acc.tail
+          else List(p) :: acc
+        }
+        islands.map(isl => (id, isl.min, isl.max + K - 1, isl.length.toLong))
+      }.toSet
+    assert(got == expected,
+      s"missed: ${expected -- got}, spurious: ${got -- expected}")
+    // planted-span guards (fixture-drift canaries): every cross-doc
+    // plant whose halves are full 30-word copies merges to one [0,59]
+    // span, and its sources carry a span starting at 0
+    val bySrc = got.groupBy(_._1)
+    for (i <- 0L until 10L
+         if byId(i).split(" ").length >= 30 && byId(i + 10).split(" ").length >= 30) {
+      assert(bySrc(i).exists(s => s._2 == 0 && s._3 >= 29), s"doc $i missing [0,29+]")
+      assert(bySrc(300000L + i).exists(s => s._2 == 0 && s._3 >= 59),
+        s"plant ${300000 + i}: ${bySrc(300000L + i)}")
+    }
+    // spans within a doc never overlap or touch (maximal-merge invariant)
+    for ((_, ss) <- bySrc; sorted = ss.toSeq.sortBy(_._2); w <- sorted.sliding(2)
+         if w.length == 2)
+      assert(w(1)._2 > w(0)._3 + 1, s"non-maximal spans: ${w.toSeq}")
+  }
+
   test("dedup_exact is idempotent and returns the dup-free corpus") {
     val once = SparkEntry.queries("dedup_exact")(spark, sf001)
     val n = graft.core.Tables.documents(spark, sf001).count()
