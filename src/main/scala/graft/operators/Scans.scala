@@ -148,6 +148,61 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Per-(JVM, dir) path of the sorted-layout lineitem table — written
+    * once per run (dirs are immutable for a run's lifetime, same
+    * contract as the IVF index and dedup_cluster labels) and shared by
+    * [[sinkSortedStats]] and PlanSpec's row-group-skip measurement.
+    * Layout: range-partitioned then sorted on (l_shipdate,
+    * l_orderkey), written with 64 KiB parquet row groups so each file
+    * holds many groups with TIGHT min/max stats on the sort key — the
+    * z-order-lite / clustering-key locality layout. At 100 TB this is
+    * the lever after partition and bucket pruning: a date-range scan
+    * touches only the row groups whose stats intersect the range,
+    * turning a full-file read into a few pages per file. */
+  private val sortedLineitemPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sortedLineitemPath(s: SparkSession, dir: String): String =
+    sortedLineitemPaths.getOrElseUpdate(dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = graft.core.RunId.scratch(s"sorted/lineitem_$key")
+      // The sort key is stored as DATE, not TIMESTAMP_NTZ: lineitem
+      // shipdates are date-grained, and (measured, Spark 4.1) NTZ
+      // predicates are LISTED in PushedFilters but never converted to
+      // parquet FilterPredicates — row-group stats go unused and every
+      // group decodes. DATE predicates convert, so the layout's whole
+      // point (stat-based skipping) actually engages.
+      Tables.lineitem(s, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+      path
+    })
+
+  /** Sorted-write layout + row-group skipping: write lineitem sorted
+    * on (l_shipdate, l_orderkey), then answer a one-month date-range
+    * aggregate from the sorted copy. The filter pushes to the parquet
+    * reader, whose row-group min/max stats eliminate ~99% of the
+    * groups before a single value is decoded — PlanSpec measures the
+    * scan's numOutputRows against an UNSORTED control copy of the same
+    * data (sorted reads a small multiple of the matching rows; the
+    * control decodes every row-group it can't exclude). The layout
+    * must be output-invisible, so the oracle runs the same aggregate
+    * on the ORIGINAL parquet — codec/layout drift would hash-mismatch
+    * (same discipline as source_orc). */
+  def sinkSortedStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sortedLineitemPath(s, dir))
+      .filter(col("l_shipdate") >= "1998-06-01" && col("l_shipdate") < "1998-07-01")
+      .groupBy("l_shipdate")
+      .agg(
+        count(lit(1)).as("n_items"),
+        graft.core.Num.dsum(col("l_quantity")).as("sum_qty"),
+        graft.core.Num.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_shipdate")
+
   /** Parquet source/sink round-trip (the engine's storage layer). The
     * sink half is exercised by Verify's own parquet write of this
     * result. */
@@ -211,7 +266,8 @@ object Scans extends QueryGroup {
     "source_csv" -> (sourceCsv _),
     "source_json" -> (sourceJson _),
     "source_orc" -> (sourceOrc _),
-    "sink_mv" -> (sinkMv _)
+    "sink_mv" -> (sinkMv _),
+    "sink_sorted_stats" -> (sinkSortedStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,7 +304,16 @@ object Scans extends QueryGroup {
         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_value
       FROM events ORDER BY event_id""",
     "sink_mv" ->
-      "SELECT * FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"
+      "SELECT * FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey",
+    "sink_sorted_stats" -> s"""
+      SELECT l_shipdate,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${graft.core.Num.sqlDsum("l_quantity")} AS sum_qty,
+        ${graft.core.Num.sqlDsum("l_extendedprice")} AS sum_price
+      FROM (SELECT CAST(l_shipdate AS DATE) AS l_shipdate,
+                   l_quantity, l_extendedprice FROM lineitem)
+      WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01'
+      GROUP BY l_shipdate ORDER BY l_shipdate"""
     // scan_token_range: no oracle (xxhash64 bucketing is engine-defined)
   )
 }

@@ -8,6 +8,42 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
 
+  test("sink_sorted_stats: sorted layout skips row groups the unsorted control reads") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sortedPath = graft.operators.Scans.sortedLineitemPath(spark, sf001)
+    // control: identical rows + row-group size, but clustered on
+    // l_orderkey so every row group spans the full shipdate range and
+    // the reader's min/max stats can exclude nothing
+    val controlPath = graft.core.RunId.scratch("sorted/lineitem_control")
+    graft.core.Tables.lineitem(spark, sf001)
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      .repartition(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024)
+      .parquet(controlPath)
+    // bare filter (no agg ⇒ no AQE wrapper): the scan node's
+    // numOutputRows = rows DECODED from surviving row groups, i.e. the
+    // pruning observable; accumulators are merged before collect returns
+    def scanned(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_shipdate") >= "1998-06-01" && col("l_shipdate") < "1998-07-01")
+      val matched = df.collect().length.toLong
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "no FileSourceScanExec found")
+      (scans.map(_.metrics("numOutputRows").value).sum, matched)
+    }
+    val (sortedScan, m1) = scanned(sortedPath)
+    val (controlScan, m2) = scanned(controlPath)
+    val total = graft.core.Tables.lineitem(spark, sf001).count()
+    assert(m1 == m2 && m1 > 0, s"layouts disagree on matches: $m1 vs $m2")
+    assert(controlScan == total,
+      s"control layout unexpectedly pruned: decoded $controlScan of $total")
+    assert(sortedScan * 4 <= total,
+      s"sorted layout failed to skip row groups: decoded $sortedScan of $total")
+  }
+
   test("scan_partition_lookup pushes the PK equality into the parquet scan") {
     val p = plan("scan_partition_lookup")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(l_orderkey,42)"), p.take(800))
