@@ -378,6 +378,86 @@ object Similarity extends QueryGroup {
       .orderBy("query_id", "rk")
   }
 
+  /** Per-(JVM, corpus) path of the int8 code table derived from the
+    * IVF index — vec_id, cell, per-vector scale, and the embedding as
+    * an array<tinyint>, partitioned by cell like the float index. The
+    * 100 TB point: this table is a QUARTER the bytes of the float
+    * index, and [[simTopkIvfPq]]'s probe scans ONLY it. */
+  private val ivfCodesDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfCodesPath(s: SparkSession, dir: String): String = {
+    val cacheKey = ivfCacheKey(s, dir)
+    ivfCodesDirs.getOrElseUpdate(cacheKey, {
+      val (_, assignPath) = ivfIndexPaths(s, dir)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = RunId.scratch(s"ivf_${key}_codes")
+      def xd(x: org.apache.spark.sql.Column) = x.cast("double")
+      // same round-half-away int8 kernel as embeddingQuantize
+      s.read.parquet(assignPath)
+        .withColumn("_qscale", aggregate(col("embedding"), lit(0.0),
+          (acc, v) => greatest(acc, abs(xd(v)))))
+        .select(col("vec_id"), col("cell"),
+          col("_qscale").cast("float").as("scale"),
+          transform(col("embedding"), x =>
+            (signum(xd(x)) * floor(abs(xd(x)) / col("_qscale") * 127 + 0.5))
+              .cast("tinyint")).as("codes"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    })
+  }
+
+  /** IVF + int8 asymmetric-distance probe — the composed ANN that
+    * makes 100 TB of vectors affordable: the coarse quantizer (the
+    * existing IVF cells) bounds WHICH vectors are touched, the int8
+    * codes bound the BYTES per touched vector (4× smaller), and exact
+    * float rescoring of a 3k over-fetch restores the ranking the
+    * quantization blurred. Probe shape: centroid argmax (broadcast,
+    * 16 rows) → scan the nprobe=5 probed cells of the CODE table
+    * computing approx = scale/127 · Σ code_i·q_i → keep top-30 per
+    * query by approx score → join float embeddings back for ONLY those
+    * 30 and rerank exactly. Float vectors ride a per-candidate lookup
+    * join, never the probe scan. Declared no-oracle like sim_topk_ivf
+    * (candidate set is engine-defined); DedupSimilaritySpec asserts
+    * its overlap@10 with brute force matches sim_topk_ivf's at equal
+    * nprobe — i.e. the int8 detour costs no recall. */
+  def simTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignPath) = ivfIndexPaths(s, dir)
+    val codes = s.read.parquet(ivfCodesPath(s, dir))
+    val cents = s.read.parquet(centPath)
+    val assigned = s.read.parquet(assignPath)
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cent_sim").desc, col("cent_cell").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", Vectors.fdot(col("qvec"), col("cent")))
+      .withColumn("cell_rk", row_number().over(wCell))
+      .filter(col("cell_rk") <= 5)
+      .select(col("query_id"), col("qvec"), col("cent_cell").as("cell"))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val survivors = codes.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        col("scale").cast("double") / 127 *
+          aggregate(zip_with(col("codes"), col("qvec"),
+            (c, qv) => c.cast("double") * qv.cast("double")),
+            lit(0.0), _ + _))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= 30)
+      .select("query_id", "qvec", "vec_id")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    survivors
+      .join(assigned.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-vector calibrated symmetric int8 quantization — the storage
     * move that cuts a 100 TB float32 embedding store to a quarter:
     * scale = max|x_i| per vector, q_i = round-half-away(x_i/scale·127),
@@ -429,6 +509,7 @@ object Similarity extends QueryGroup {
     "sim_threshold_lsh_tau08" -> (simThresholdLshTau08 _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_topk_ivf_pq" -> (simTopkIvfPq _),
     "dedup_embed" -> (dedupEmbed _)
   )
 

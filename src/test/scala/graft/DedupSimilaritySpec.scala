@@ -122,6 +122,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap.nonEmpty, "IVF shares no neighbor with brute force")
   }
 
+  test("sim_topk_ivf_pq: int8 detour costs no recall vs float IVF at equal nprobe") {
+    val brute = SparkEntry.queries("sim_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_topk_ivf")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("sim_topk_ivf_pq")(spark, sf001).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same coarse cells + exact rescore of a 3x over-fetch: the int8
+    // approximation must not lose brute-force overlap vs the float probe
+    assert((pqSet & brute).size >= (ivf & brute).size,
+      s"pq overlap ${(pqSet & brute).size} < ivf overlap ${(ivf & brute).size}")
+  }
+
   test("sim_threshold_lsh agrees with the exact bounded kernel (subset + recall)") {
     // exact all-pairs over vec_id < 300 is the ground-truth anchor
     val exact = SparkEntry.queries("sim_threshold")(spark, sf001)
