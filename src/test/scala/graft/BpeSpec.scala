@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** Determinism + correctness of the in-engine BPE tokenizer
+  * (tokenize_bpe / pack_sequences_bpe — VERDICT r6 #2). */
+class BpeSpec extends SparkSpec {
+
+  // the classic Sennrich et al. toy corpus — merge order is hand-derivable
+  private val toy = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("known-answer: merge order on the classic toy corpus") {
+    // pair counts round 1: es=9, st=9, we=8, lo=7, ow=7, ne=6, ew=6,
+    // er=2, wi=3, id=3, de=3 → (e,s) wins the 9-tie lexicographically;
+    // round 2: (es,t)=9; round 3: (l,o)=7 beats (o,w) lexicographically
+    val merges = Bpe.train(toy, 3)
+    assert(merges == Vector(("e", "s"), ("es", "t"), ("l", "o")), merges)
+  }
+
+  test("training is deterministic and stops when fully merged") {
+    val a = Bpe.train(toy, 1000)
+    val b = Bpe.train(toy.reverse, 1000)
+    assert(a == b, "input order changed the learned merges")
+    // 4 words over a shared alphabet fully merge long before 1000
+    assert(a.length < 40, s"merge loop failed to terminate early: ${a.length}")
+    val rank = a.zipWithIndex.toMap
+    for ((w, _) <- toy) assert(Bpe.encode(w, rank) == Vector(w))
+  }
+
+  test("encode is lossless (concat round-trip) and handles OOV symbols") {
+    val rank = Bpe.train(toy, 3).zipWithIndex.toMap
+    for (w <- Seq("low", "lowest", "xyz", "wildest", "a", ""))
+      assert(Bpe.encode(w, rank).mkString == w)
+    // characters never seen in training are their own tokens
+    assert(Bpe.encode("xyz", rank) == Vector("x", "y", "z"))
+  }
+
+  test("tokenize_bpe: corpus-trained counts are consistent and lossless") {
+    val rows = SparkEntry.queries("tokenize_bpe")(spark, sf001).collect()
+    assert(rows.length == graft.core.Tables.documents(spark, sf001).count())
+    // every word is >= 1 token, so bpe_tokens >= ws_tokens; fertility >= 1
+    assert(rows.forall(r => r.getLong(2) >= r.getInt(1).toLong))
+    assert(rows.forall(r => r.getDouble(3) >= 1.0))
+    // driver-side recomputation of the whole operator: encode every doc
+    // with the same learned merges and compare counts exactly
+    val rank = graft.operators.TextOps.bpeMerges(spark, sf001).zipWithIndex.toMap
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows) {
+      val expected = docs(r.getLong(0)).split(" ", -1)
+        .map(w => Bpe.encode(w, rank).length.toLong).sum
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: spark ${r.getLong(2)} vs driver $expected")
+    }
+  }
+
+  test("pack_sequences_bpe: placement invariants hold per shard") {
+    val rows = SparkEntry.queries("pack_sequences_bpe")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    for ((_, shardRows) <- rows.groupBy(_._2)) {
+      val ordered = shardRows.sortBy(_._1)
+      // prefix-sum contiguity: each doc starts where the previous ended
+      ordered.foldLeft(0L) { case (expectedStart, (id, _, n, start, seq, off)) =>
+        assert(start == expectedStart, s"doc $id starts at $start, want $expectedStart")
+        assert(seq == start / 2048 && off == start % 2048)
+        start + n
+      }
+    }
+  }
+}
