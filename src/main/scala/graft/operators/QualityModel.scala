@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Text
+
+/** Learned quality-classifier gate (`text_quality_model`) — the
+  * fastText-filter shape of LLM corpus curation: distill a cheap
+  * heuristic (here the [[TextOps]] keep-score) into a logistic
+  * regression over hashed character-bigram frequencies, then gate the
+  * corpus with the MODEL. In production the weak labels come from a
+  * reference corpus ("looks like Wikipedia"); the training mechanics —
+  * weak labels, content-hash holdout, distributed gradient passes —
+  * are identical, and only those mechanics are under test here.
+  *
+  * Design for determinism (the property a reproducible data pipeline
+  * needs): zero-init weights, a FIXED iteration count, no sampling,
+  * and — the part worth copying — gradients are accumulated as
+  * FIXED-POINT LONGS (each per-doc component is `round(g·1e9)`; Spark
+  * sums longs exactly and order-free), so the learned weights are
+  * bit-identical on any partition layout or core count. A naive
+  * sum(double) gradient drifts by last-ulp with partition order and
+  * the drift compounds across iterations (same failure class the Num
+  * decimal-sum discipline exists for). Long capacity: |g|·1e9 ≤ 2e9
+  * per doc ⇒ exact up to ~4e9 docs per aggregation; beyond that the
+  * scale factor is the knob.
+  *
+  * Scale shape: featurization is one explode + two codegen hash
+  * aggregations (the distributed histogram), checkpointed ONCE; each
+  * of the 30 gradient steps is then a single 66-column sum over the
+  * cached features — no shuffle, no driver-side data, weights ride as
+  * literals. Declared no-oracle (iterative learned pipeline, same
+  * class as text_langid); QualityModelSpec asserts holdout accuracy
+  * beats the majority class and training determinism.
+  */
+object QualityModel extends QueryGroup {
+
+  private val Dim = 66 // 64 hashed-bigram freqs + length + bias
+  private val Iters = 30
+  private val Lr = 4.0
+
+  /** doc_id, f (66-dim), label, split — checkpointed once per call
+    * chain; see trainedWeights for the per-(JVM, dir) cache. */
+  private[graft] def featurized(s: SparkSession, dir: String): DataFrame = {
+    val w = Text.words(col("text"))
+    val bgs = graft.plans.CharBigramsExpr.bigrams(lower(substring(col("text"), 1, 200)))
+    val quality = least(lit(1.0), size(w).cast("double") / 100.0) *
+      (lit(1.0) - size(filter(w, x => x.isin("the", "a", "of"))).cast("double") / size(w))
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (quality >= 0.5).cast("int").as("label"),
+      least(lit(1.0), size(w).cast("double") / 100.0).as("lenf"),
+      when(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < 4096,
+        "holdout").otherwise("train").as("split"),
+      bgs.as("bgs"),
+      size(bgs).as("nbg"))
+    // distributed bigram histogram: explode → codegen hash-agg twice;
+    // the per-doc map is ≤64 entries and the corpus never collects
+    val hist = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .select(col("doc_id"), pmod(xxhash64(col("bg")), lit(64)).cast("int").as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+    val freqs = transform(sequence(lit(0), lit(63)), i =>
+      coalesce(element_at(col("m"), i), lit(0L)).cast("double") /
+        greatest(col("nbg"), lit(1)).cast("double"))
+    base.join(hist, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"), col("split"),
+        concat(
+          coalesce(freqs, array_repeat(lit(0.0), 64)),
+          array(col("lenf"), lit(1.0))).as("f"))
+      .localCheckpoint()
+  }
+
+  private val weightCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  /** Full-batch logistic GD over the train split; exact fixed-point
+    * gradient sums make the result partition-layout-independent. */
+  private[graft] def train(feat: DataFrame): Array[Double] = {
+    val train = feat.filter(col("split") === "train")
+    val n = train.count().toDouble
+    val wts = Array.fill(Dim)(0.0)
+    for (_ <- 1 to Iters) {
+      val margin = aggregate(
+        zip_with(col("f"), typedlit(wts.toIndexedSeq), (a, b) => a * b),
+        lit(0.0), _ + _)
+      val resid = lit(1.0) / (lit(1.0) + exp(-margin)) - col("label").cast("double")
+      val gradCols = (0 until Dim).map(j =>
+        sum(round(resid * element_at(col("f"), j + 1) * 1e9).cast("long")).as(s"g$j"))
+      val g = train.agg(gradCols.head, gradCols.tail: _*).head()
+      var j = 0
+      while (j < Dim) {
+        wts(j) -= Lr / n * (g.getLong(j) / 1e9)
+        j += 1
+      }
+    }
+    wts
+  }
+
+  private def trainedWeights(s: SparkSession, dir: String, feat: DataFrame): Array[Double] =
+    weightCache.getOrElseUpdate(dir, train(feat))
+
+  /** Score every doc with the trained model; report probability,
+    * prediction, weak label and split so the holdout slice is
+    * directly auditable downstream. */
+  def textQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val feat = featurized(s, dir)
+    val wts = trainedWeights(s, dir, feat)
+    val margin = aggregate(
+      zip_with(col("f"), typedlit(wts.toIndexedSeq), (a, b) => a * b),
+      lit(0.0), _ + _)
+    feat.select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("prob"),
+      (lit(1.0) / (lit(1.0) + exp(-margin)) >= 0.5).cast("int").as("pred"),
+      col("label"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> (textQualityModel _))
+
+  /** No oracle: iterative learned pipeline (same declaration class as
+    * text_langid); QualityModelSpec holds the accuracy/determinism
+    * properties. */
+  val oracles: Map[String, String] = Map.empty
+}
