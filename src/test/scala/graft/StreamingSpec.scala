@@ -317,6 +317,70 @@ class StreamingSpec extends SparkSpec {
       (ts("11:00").getTime, ts("11:00").getTime, 1L)), s"got $got")
   }
 
+  test("sessionize survives a checkpoint restart on RocksDB: no lost or duplicated sessions") {
+    // The exactly-once story end to end: OPEN sessions live in the
+    // (RocksDB) state store when the query stops; a new query instance
+    // over the same checkpoint must recover them, skip the replayed
+    // committed batches, and emit each session exactly once when the
+    // watermark finally closes it. Losing state loses u7/u8's sessions;
+    // reprocessing the replayed batches would double-count u7's n=3.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      def start(mem: MemoryStream[StreamOps.SessEvent]) =
+        StreamOps.sessionize(mem.toDS())
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+      val batchA = Seq(StreamOps.SessEvent(1, 7, ts("10:00")),
+        StreamOps.SessEvent(2, 7, ts("10:10")), StreamOps.SessEvent(3, 8, ts("10:05")))
+      val batchB = Seq(StreamOps.SessEvent(4, 7, ts("10:20")),
+        StreamOps.SessEvent(5, 9, ts("11:30")))
+      val mem1 = MemoryStream[StreamOps.SessEvent]
+      mem1.addData(batchA: _*)
+      mem1.addData(batchB: _*)
+      q = start(mem1); q.processAllAvailable(); q.stop()
+      // nothing closed before the stop: every session is still state
+      assert(!new java.io.File(sink).exists() ||
+        s.read.parquet(sink).count() == 0, "sessions leaked before restart")
+      // new instance, same checkpoint; replayed batches line up the
+      // memory source's offsets and MUST NOT be reprocessed
+      val mem2 = MemoryStream[StreamOps.SessEvent]
+      mem2.addData(batchA: _*)
+      mem2.addData(batchB: _*)
+      mem2.addData(StreamOps.SessEvent(6, 9, ts("13:30"))) // wm 10:30 → 12:30
+      mem2.addData(StreamOps.SessEvent(7, 9, ts("15:00"))) // closes u7, u8, u9@11:30
+      mem2.addData(StreamOps.SessEvent(8, 9, ts("17:00"))) // closes u9@13:30; the
+      // post-batch no-data trigger then sees wm 16:00 and closes u9@15:00 too
+      q = start(mem2); q.processAllAvailable(); q.stop()
+      val got = s.read.parquet(sink)
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toList
+      assert(got.distinct.size == got.size, s"duplicated sessions: $got")
+      assert(got.toSet == Set(
+        (7L, ts("10:00").getTime, ts("10:20").getTime, 3L),
+        (8L, ts("10:05").getTime, ts("10:05").getTime, 1L),
+        (9L, ts("11:30").getTime, ts("11:30").getTime, 1L),
+        (9L, ts("13:30").getTime, ts("13:30").getTime, 1L),
+        (9L, ts("15:00").getTime, ts("15:00").getTime, 1L)), s"got $got")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming sessionize agrees with the batch twin on closed sessions") {
     val s = spark; import s.implicits._
     // Batch twin over the real events table restricted to a few users.
