@@ -26,6 +26,17 @@ object Explain {
         println(s"run $i: ${(System.nanoTime() - t0) / 1e9} s, $n rows")
       }
     }
+    // "time-full" measures what Bench measures: query CONSTRUCTION
+    // (driver-side collects, checkpoints, plan compilation) + count.
+    if (args.length > 2 && args(2) == "time-full") {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(s"full run $i: ${(System.nanoTime() - t0) / 1e9} s, $n rows")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
     spark.stop()
   }
 }

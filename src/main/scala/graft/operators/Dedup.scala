@@ -298,10 +298,10 @@ object Dedup extends QueryGroup {
     * The fixture corpus shares no natural 20-grams across docs, so
     * spans are PLANTED two ways (both mirrored verbatim in the DuckDB
     * oracle, so the operator stays hash-checked):
-    *  - cross-doc: ids 300000+i (i<10) concatenate the first 30 words
+    *  - cross-doc: ids 2^40+i (i<10) concatenate the first 30 words
     *    of docs i and i+10 — both sources gain a [0,29] span, the
     *    plant's two adjacent dirty regions must MERGE into one span;
-    *  - two-slice: ids 310000+i copy words [0,30) and [50,80) of one
+    *  - two-slice: ids 2^40+2^20+i copy words [0,30) and [50,80) of one
     *    ≥80-word source — the source's two dirty regions sit gap-40
     *    apart and must stay SEPARATE spans. */
   def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
@@ -312,11 +312,11 @@ object Dedup extends QueryGroup {
       concat_ws(" ", slice(Text.words(c), 1, 30))
     val crossDoc = d.as("a").filter(col("a.doc_id") < 10)
       .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 10)
-      .select((col("a.doc_id") + 300000L).as("doc_id"),
+      .select((col("a.doc_id") + (1L << 40)).as("doc_id"),
         concat_ws(" ", first30(col("a.text")), first30(col("b.text"))).as("text"))
     val twoSlice = d.select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(col("doc_id") < 40 && size(col("w")) >= 80)
-      .select((col("doc_id") + 310000L).as("doc_id"),
+      .select((col("doc_id") + (1L << 40) + (1L << 20)).as("doc_id"),
         concat_ws(" ",
           concat_ws(" ", slice(col("w"), 1, 30)),
           concat_ws(" ", slice(col("w"), 51, 30))).as("text"))
@@ -396,13 +396,13 @@ object Dedup extends QueryGroup {
       WITH all_docs AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT a.doc_id + 300000 AS doc_id,
+        SELECT a.doc_id + 1099511627776 AS doc_id,
           array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
           array_to_string(string_split(b.text, ' ')[1:30], ' ') AS text
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
         WHERE a.doc_id < 10
         UNION ALL
-        SELECT doc_id + 310000 AS doc_id,
+        SELECT doc_id + 1099512676352 AS doc_id,
           array_to_string(w[1:30], ' ') || ' ' ||
           array_to_string(w[51:80], ' ') AS text
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)

@@ -172,12 +172,19 @@ object Scans extends QueryGroup {
       // parquet FilterPredicates — row-group stats go unused and every
       // group decodes. DATE predicates convert, so the layout's whole
       // point (stat-based skipping) actually engages.
+      // 8 MiB row groups (not the 128 MiB default, not the 64 KiB of
+      // the first cut): small SFs land one group per range-partitioned
+      // file — skipping then happens at FILE granularity via the same
+      // min/max stats — while ×100's 60 M rows get ~30 groups per file
+      // for intra-file skipping. The 64 KiB first cut made the ×100
+      // write grind through ~100k tiny groups (48.7 s → measured
+      // 12.7× scale ratio driven by the write, not the read).
       Tables.lineitem(s, dir)
         .withColumn("l_shipdate", col("l_shipdate").cast("date"))
         .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
         .sortWithinPartitions("l_shipdate", "l_orderkey")
         .write.mode("overwrite")
-        .option("parquet.block.size", 64 * 1024)
+        .option("parquet.block.size", 8 * 1024 * 1024)
         .parquet(path)
       path
     })

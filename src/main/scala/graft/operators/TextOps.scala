@@ -324,6 +324,12 @@ object TextOps extends QueryGroup {
     // Materialize the prepared text before the per-element transform:
     // CollapseProject would otherwise inline lower(substring(...))
     // into every bigram element (see Text.shingles scaladoc).
+    // (Round 7: a data-sized coalesce before this checkpoint was tried
+    // and REVERTED — the profile explode below multiplies rows ×200,
+    // so shrinking partitions by doc count serialized the hot stage
+    // and cost 4.6× at the ×10 fixture. The r6 in-suite 9.48 s bench
+    // line did not reproduce under re-measurement — 2.64 s in-suite on
+    // identical code — root cause recorded in BASELINE.md.)
     val prepared = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         lower(substring(col("text"), 1, 200)).as("t"))

@@ -51,10 +51,10 @@ class DedupSimilaritySpec extends SparkSpec {
     def first30(t: String) = t.split(" ").take(30).mkString(" ")
     val plants =
       (0L until 10L).map(i =>
-        (i + 300000L) -> (first30(byId(i)) + " " + first30(byId(i + 10)))) ++
+        (i + (1L << 40)) -> (first30(byId(i)) + " " + first30(byId(i + 10)))) ++
       corpus.collect { case (id, t) if id < 40 && t.split(" ").length >= 80 =>
         val w = t.split(" ")
-        (id + 310000L) -> (w.slice(0, 30).mkString(" ") + " " + w.slice(50, 80).mkString(" "))
+        (id + (1L << 40) + (1L << 20)) -> (w.slice(0, 30).mkString(" ") + " " + w.slice(50, 80).mkString(" "))
       }
     val all = corpus ++ plants
     val wins = all.flatMap { case (id, t) =>
@@ -80,8 +80,8 @@ class DedupSimilaritySpec extends SparkSpec {
     for (i <- 0L until 10L
          if byId(i).split(" ").length >= 30 && byId(i + 10).split(" ").length >= 30) {
       assert(bySrc(i).exists(s => s._2 == 0 && s._3 >= 29), s"doc $i missing [0,29+]")
-      assert(bySrc(300000L + i).exists(s => s._2 == 0 && s._3 >= 59),
-        s"plant ${300000 + i}: ${bySrc(300000L + i)}")
+      assert(bySrc((1L << 40) + i).exists(s => s._2 == 0 && s._3 >= 59),
+        s"plant ${(1L << 40) + i}: ${bySrc((1L << 40) + i)}")
     }
     // spans within a doc never overlap or touch (maximal-merge invariant)
     for ((_, ss) <- bySrc; sorted = ss.toSeq.sortBy(_._2); w <- sorted.sliding(2)

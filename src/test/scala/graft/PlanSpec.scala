@@ -20,7 +20,7 @@ class PlanSpec extends SparkSpec {
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
       .repartition(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
-      .write.mode("overwrite").option("parquet.block.size", 64 * 1024)
+      .write.mode("overwrite").option("parquet.block.size", 8 * 1024 * 1024)
       .parquet(controlPath)
     // bare filter (no agg ⇒ no AQE wrapper): the scan node's
     // numOutputRows = rows DECODED from surviving row groups, i.e. the
