@@ -42,7 +42,13 @@ class DeterminismSpec extends SparkSpec {
     // explode+max path are all shapes partitioning could perturb
     "repair_diff", "stream_sessionize", "text_repetition",
     "sample_temperature", "pack_sequences", "sim_topk_filtered",
-    "join_asof_fwd", "scan_bucket_pruned", "repair_apply", "source_orc")
+    "join_asof_fwd", "scan_bucket_pruned", "repair_apply", "source_orc",
+    // round-7 set: the window-hash occurrence count + islands merge,
+    // the BPE encode (driver-trained, row-local apply), the int8
+    // probe's over-fetch rank, the learned gate's fixed-point training,
+    // and the stat-skipped scan are all partition-perturbable shapes
+    "dedup_substring", "tokenize_bpe", "pack_sequences_bpe",
+    "sim_topk_ivf_pq", "text_quality_model", "sink_sorted_stats")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
