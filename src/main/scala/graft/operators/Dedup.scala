@@ -304,9 +304,15 @@ object Dedup extends QueryGroup {
     *  - two-slice: ids 2^40+2^20+i copy words [0,30) and [50,80) of one
     *    ≥80-word source — the source's two dirty regions sit gap-40
     *    apart and must stay SEPARATE spans. */
-  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val K = 20
+  /** Window width (tokens) shared by the substring-dedup family. */
+  private val SubK = 20
+
+  /** The substring-dedup corpus: documents + the two planted span
+    * shapes (cross-doc and two-slice; 2^40-offset ids are collision-
+    * proof at any reachable corpus size). Shared by dedupSubstring
+    * and dedupSubstringApply; [[substringCorpusSql]] is its verbatim
+    * DuckDB mirror so both oracles stay in lockstep. */
+  private[graft] def substringCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     def first30(c: org.apache.spark.sql.Column) =
       concat_ws(" ", slice(Text.words(c), 1, 30))
@@ -320,11 +326,41 @@ object Dedup extends QueryGroup {
         concat_ws(" ",
           concat_ws(" ", slice(col("w"), 1, 30)),
           concat_ws(" ", slice(col("w"), 51, 30))).as("text"))
-    val all = d.unionByName(crossDoc).unionByName(twoSlice)
-    // (doc, pos, hash) per sliding window; the text never leaves the row
-    val wins = all.select(col("doc_id"),
-      posexplode(transform(Text.shingles(Text.words(col("text")), K), g => md5(g)))
+    d.unionByName(crossDoc).unionByName(twoSlice)
+  }
+
+  private val substringCorpusSql = """all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT a.doc_id + 1099511627776 AS doc_id,
+          array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
+          array_to_string(string_split(b.text, ' ')[1:30], ' ') AS text
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
+        WHERE a.doc_id < 10
+        UNION ALL
+        SELECT doc_id + 1099512676352 AS doc_id,
+          array_to_string(w[1:30], ' ') || ' ' ||
+          array_to_string(w[51:80], ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE doc_id < 40 AND len(w) >= 80)"""
+
+  /** (doc_id, pos, h) per sliding SubK-token window — the text never
+    * leaves the row. */
+  private def substringWindows(all: DataFrame): DataFrame =
+    all.select(col("doc_id"),
+      posexplode(transform(Text.shingles(Text.words(col("text")), SubK), g => md5(g)))
         .as(Seq("pos", "h")))
+
+  private val substringWindowsSql = """wins AS (
+        SELECT doc_id,
+          unnest([{'pos': i - 1, 'h': md5(array_to_string(w[i:i+19], ' '))}
+                  FOR i IN range(1, len(w) - 18)], recursive := true)
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs))"""
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = SubK
+    val wins = substringWindows(substringCorpus(s, dir))
     // corpus-wide occurrence count per hash: one shuffle on h (window
     // count, not groupBy+join-back — same result, half the shuffles)
     val dirty = wins
@@ -348,8 +384,61 @@ object Dedup extends QueryGroup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Substring dedup APPLIED — the removal step that makes
+    * [[dedupSubstring]]'s report actionable (Lee et al. keep ONE
+    * occurrence of each duplicated span and delete the rest): the
+    * canonical occurrence of a duplicated window is the globally first
+    * (min (doc_id, pos) — a deterministic, join-free rule); every
+    * OTHER occurrence marks its window for removal, per-doc removal
+    * windows merge into spans exactly like the report, and each doc's
+    * cleaned text drops the covered tokens. Output carries token
+    * counts and the md5 of the cleaned text, so the oracle hash
+    * catches a single mis-kept token.
+    *
+    * Scale shape: identical to the report (one shuffle on the window
+    * hash — the row_number canonical rule rides the SAME shuffle as
+    * the occurrence count — one per-doc merge), plus a row-local
+    * indexed-token filter; the span list per doc is small and rides a
+    * left join keyed on doc_id. */
+  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = SubK
+    val all = substringCorpus(s, dir)
+    val wh = Window.partitionBy("h")
+    val remove = substringWindows(all)
+      .withColumn("occ", count(lit(1)).over(wh))
+      .withColumn("rn", row_number().over(wh.orderBy("doc_id", "pos")))
+      .filter(col("occ") > 1 && col("rn") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = remove
+      .withColumn("gap", col("pos") - lag("pos", 1).over(byDoc))
+      .withColumn("brk", when(col("gap").isNull || col("gap") <= K, 0).otherwise(1))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("a"), (max("pos") + (K - 1)).as("b"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("a"), col("b")))).as("spans"))
+    val w = Text.words(col("text"))
+    val indexed = transform(w, (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(indexed, x =>
+      !exists(col("spans"), sp =>
+        x.getField("i") >= sp.getField("a") && x.getField("i") <= sp.getField("b")))
+    all.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<a:int,b:int>>")))
+      .select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        (size(w) - size(kept)).as("n_removed"),
+        md5(concat_ws(" ", transform(kept, x => x.getField("t")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_apply" -> (dedupSubstringApply _),
     "dedup_near" -> (dedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -392,26 +481,9 @@ object Dedup extends QueryGroup {
   val oracles: Map[String, String] = Map(
     // Same plants, same K=20 window hashes, same gaps-and-islands merge
     // as dedupSubstring — 0-based positions via i-1 to match posexplode.
-    "dedup_substring" -> """
-      WITH all_docs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT a.doc_id + 1099511627776 AS doc_id,
-          array_to_string(string_split(a.text, ' ')[1:30], ' ') || ' ' ||
-          array_to_string(string_split(b.text, ' ')[1:30], ' ') AS text
-        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 10
-        WHERE a.doc_id < 10
-        UNION ALL
-        SELECT doc_id + 1099512676352 AS doc_id,
-          array_to_string(w[1:30], ' ') || ' ' ||
-          array_to_string(w[51:80], ' ') AS text
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        WHERE doc_id < 40 AND len(w) >= 80),
-      wins AS (
-        SELECT doc_id,
-          unnest([{'pos': i - 1, 'h': md5(array_to_string(w[i:i+19], ' '))}
-                  FOR i IN range(1, len(w) - 18)], recursive := true)
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+    "dedup_substring" -> s"""
+      WITH $substringCorpusSql,
+      $substringWindowsSql,
       dirty AS (
         SELECT doc_id, pos FROM (
           SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM wins)
@@ -430,6 +502,45 @@ object Dedup extends QueryGroup {
         CAST(COUNT(*) AS BIGINT) AS n_windows
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
+    // Same corpus/windows; canonical = globally-first (doc_id, pos)
+    // occurrence per hash, every other occurrence's windows merge to
+    // removal spans, cleaned text drops the covered token indices.
+    "dedup_substring_apply" -> s"""
+      WITH $substringCorpusSql,
+      $substringWindowsSql,
+      marked AS (
+        SELECT doc_id, pos,
+          COUNT(*) OVER (PARTITION BY h) AS occ,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM wins),
+      rem AS (SELECT doc_id, pos FROM marked WHERE occ > 1 AND rn > 1),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(CASE WHEN gap IS NULL OR gap <= 20 THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+              FROM rem)),
+      spans AS (
+        SELECT doc_id, list(struct_pack(a := a, b := b) ORDER BY a) AS spans
+        FROM (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 19 AS b
+              FROM isl GROUP BY doc_id, island)
+        GROUP BY doc_id),
+      joined AS (
+        SELECT d.doc_id, string_split(d.text, ' ') AS w,
+          COALESCE(s.spans, []) AS sp
+        FROM all_docs d LEFT JOIN spans s ON d.doc_id = s.doc_id),
+      cleaned AS (
+        SELECT doc_id, w,
+          [w[i] FOR i IN range(1, len(w) + 1)
+           IF len(list_filter(sp, x -> i - 1 >= x.a AND i - 1 <= x.b)) = 0] AS kept
+        FROM joined)
+      SELECT doc_id,
+        CAST(len(w) AS INTEGER) AS n_tokens,
+        CAST(len(w) - len(kept) AS INTEGER) AS n_removed,
+        md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+      FROM cleaned ORDER BY doc_id""",
     "dedup_jaccard" -> s"""
       WITH $shCteSql
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -89,6 +89,56 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(w(1)._2 > w(0)._3 + 1, s"non-maximal spans: ${w.toSeq}")
   }
 
+  test("dedup_substring_apply equals brute-force removal; plants empty fully") {
+    import graft.core.Tables
+    val K = 20
+    val got = SparkEntry.queries("dedup_substring_apply")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val corpus = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val byId = corpus.toMap
+    def first30(t: String) = t.split(" ").take(30).mkString(" ")
+    val plants =
+      (0L until 10L).map(i =>
+        (i + (1L << 40)) -> (first30(byId(i)) + " " + first30(byId(i + 10)))) ++
+      corpus.collect { case (id, t) if id < 40 && t.split(" ").length >= 80 =>
+        val w = t.split(" ")
+        (id + (1L << 40) + (1L << 20)) ->
+          (w.slice(0, 30).mkString(" ") + " " + w.slice(50, 80).mkString(" "))
+      }
+    val all = corpus ++ plants
+    val wins = all.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 to w.length - K).map(p => ((id, p), w.slice(p, p + K).mkString(" ")))
+    }
+    val byGram = wins.groupBy(_._2)
+    // non-canonical occurrences of duplicated grams mark removal windows
+    val remove = byGram.values.filter(_.length > 1).flatMap { occs =>
+      val sorted = occs.map(_._1).sorted
+      sorted.drop(1)
+    }.toSeq.groupBy(_._1)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = all.map { case (id, t) =>
+      val w = t.split(" ")
+      val ps = remove.getOrElse(id, Nil).map(_._2).sorted
+      val covered = Array.fill(w.length)(false)
+      // islands merge is equivalent to directly covering each window
+      for (p <- ps; j <- p until math.min(p + K, w.length)) covered(j) = true
+      val kept = w.indices.filter(!covered(_)).map(w)
+      (id, w.length, w.length - kept.length, md5hex(kept.mkString(" ")))
+    }.toSet
+    assert(got == expected,
+      s"missed: ${(expected -- got).take(3)}, spurious: ${(got -- expected).take(3)}")
+    // cross-doc plants are pure copies of earlier text: fully emptied
+    for (i <- 0L until 10L
+         if byId(i).split(" ").length >= 30 && byId(i + 10).split(" ").length >= 30)
+      assert(got.contains((i + (1L << 40), 60, 60, md5hex(""))),
+        s"plant ${(1L << 40) + i} not fully removed")
+  }
+
   test("dedup_exact is idempotent and returns the dup-free corpus") {
     val once = SparkEntry.queries("dedup_exact")(spark, sf001)
     val n = graft.core.Tables.documents(spark, sf001).count()

@@ -47,8 +47,9 @@ class DeterminismSpec extends SparkSpec {
     // the BPE encode (driver-trained, row-local apply), the int8
     // probe's over-fetch rank, the learned gate's fixed-point training,
     // and the stat-skipped scan are all partition-perturbable shapes
-    "dedup_substring", "tokenize_bpe", "pack_sequences_bpe",
-    "sim_topk_ivf_pq", "text_quality_model", "sink_sorted_stats")
+    "dedup_substring", "dedup_substring_apply", "tokenize_bpe",
+    "pack_sequences_bpe", "sim_topk_ivf_pq", "text_quality_model",
+    "sink_sorted_stats")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
