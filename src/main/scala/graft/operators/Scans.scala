@@ -189,6 +189,57 @@ object Scans extends QueryGroup {
       path
     })
 
+  /** Z-ORDER layout — the 2-D upgrade over [[sortedLineitemPath]]'s
+    * linear sort: a lexicographic (date, key) sort only prunes on the
+    * LEADING column; interleaving the bits of both dimensions into a
+    * Morton code and range-partitioning + sorting on it gives every
+    * file/row-group a bounded rectangle in (date, key) space, so
+    * min/max stats prune on EITHER predicate alone. 12 bits per
+    * dimension: date = days since 1995-01-01 (fixture span ≈2500
+    * fits), key = l_orderkey scaled into 4096 buckets by its max (one
+    * bounded agg at build time). Pure long bit-ops ⇒ whole-stage
+    * codegen; build cached per (JVM, dir) like the other layouts. */
+  private val zorderLineitemPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def zorderLineitemPath(s: SparkSession, dir: String): String =
+    zorderLineitemPaths.getOrElseUpdate(dir, {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = graft.core.RunId.scratch(s"zorder/lineitem_$key")
+      val base = Tables.lineitem(s, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      val maxKey = base.agg(max("l_orderkey")).head().getLong(0)
+      val d = datediff(col("l_shipdate"), lit("1995-01-01")).cast("long")
+      val ob = floor(col("l_orderkey") * 4096L / (maxKey + 1)).cast("long")
+      val morton = (0 until 12).map { i =>
+        shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(ob, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      base.withColumn("_z", morton)
+        .repartitionByRange(16, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(path)
+      path
+    })
+
+  /** 2-D range aggregate answered from the z-ordered copy: BOTH the
+    * date predicate and the key predicate prune files/row-groups via
+    * column stats (PlanSpec measures each dimension alone against the
+    * linear-sorted layout, where the trailing column prunes nothing).
+    * Layout must be output-invisible ⇒ oracle runs on the original. */
+  def sinkZorderStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderLineitemPath(s, dir))
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-07-01" &&
+        col("l_orderkey") < 5000)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        graft.core.Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   /** Sorted-write layout + row-group skipping: write lineitem sorted
     * on (l_shipdate, l_orderkey), then answer a one-month date-range
     * aggregate from the sorted copy. The filter pushes to the parquet
@@ -274,7 +325,8 @@ object Scans extends QueryGroup {
     "source_json" -> (sourceJson _),
     "source_orc" -> (sourceOrc _),
     "sink_mv" -> (sinkMv _),
-    "sink_sorted_stats" -> (sinkSortedStats _)
+    "sink_sorted_stats" -> (sinkSortedStats _),
+    "sink_zorder" -> (sinkZorderStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,7 +372,15 @@ object Scans extends QueryGroup {
       FROM (SELECT CAST(l_shipdate AS DATE) AS l_shipdate,
                    l_quantity, l_extendedprice FROM lineitem)
       WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01'
-      GROUP BY l_shipdate ORDER BY l_shipdate"""
+      GROUP BY l_shipdate ORDER BY l_shipdate""",
+    "sink_zorder" -> s"""
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${graft.core.Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+        AND l_orderkey < 5000
+      GROUP BY l_returnflag ORDER BY l_returnflag"""
     // scan_token_range: no oracle (xxhash64 bucketing is engine-defined)
   )
 }

@@ -44,6 +44,33 @@ class PlanSpec extends SparkSpec {
       s"sorted layout failed to skip row groups: decoded $sortedScan of $total")
   }
 
+  test("sink_zorder: z-layout prunes on EITHER dimension; linear sort only on the leading one") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val zPath = graft.operators.Scans.zorderLineitemPath(spark, sf001)
+    val sortedPath = graft.operators.Scans.sortedLineitemPath(spark, sf001)
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val total = graft.core.Tables.lineitem(spark, sf001).count()
+    val maxKey = graft.core.Tables.lineitem(spark, sf001)
+      .agg(org.apache.spark.sql.functions.max("l_orderkey")).head().getLong(0)
+    // predicates aligned with a quarter of each dimension's range
+    val keyPred = col("l_orderkey") < maxKey / 4
+    val datePred = col("l_shipdate") < "1996-10-01"
+    // the TRAILING dimension of the linear sort prunes nothing...
+    assert(scanned(sortedPath, keyPred) == total,
+      "linear layout unexpectedly pruned on the trailing column")
+    // ...while the z-layout prunes on BOTH dimensions independently
+    val zKey = scanned(zPath, keyPred)
+    val zDate = scanned(zPath, datePred)
+    assert(zKey * 2 <= total, s"z-layout failed to prune on key: $zKey of $total")
+    assert(zDate * 2 <= total, s"z-layout failed to prune on date: $zDate of $total")
+  }
+
   test("scan_partition_lookup pushes the PK equality into the parquet scan") {
     val p = plan("scan_partition_lookup")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(l_orderkey,42)"), p.take(800))
