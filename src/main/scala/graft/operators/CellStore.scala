@@ -66,6 +66,61 @@ object CellStore extends QueryGroup {
       .select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
 
+  /** Generational compaction — the SSTable-merge maintenance job at
+    * the heart of the storage engine: three sorted runs (generations,
+    * split by event_id mod 3, each persisted repartitioned-by-PK and
+    * sorted — the sorted-string-table layout) are merged newest-wins
+    * INCLUDING tombstones, and a tombstone older than gc_grace is
+    * PURGED outright (its key vanishes — everything it shadowed is in
+    * this compaction, so nothing can resurrect), while a younger
+    * tombstone survives as a marker other replicas may still need.
+    * The generation split is output-invisible by construction, so the
+    * oracle states the postcondition directly on `events`. At scale:
+    * union of co-sorted runs + ONE keyed window — the merge itself is
+    * the shuffle, tombstone GC is row-local. */
+  def compactGenerations(s: SparkSession, dir: String): DataFrame = {
+    val gcGrace = "2024-01-10 00:00:00"
+    val root = RunId.scratch("compaction/events_gen")
+    val ev = Tables.events(s, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    (0 until 3).foreach { g =>
+      ev.filter(pmod(col("event_id"), lit(3)) === g)
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite").parquet(s"$root/g$g")
+    }
+    val merged = s.read.parquet((0 until 3).map(g => s"$root/g$g"): _*)
+    Lww.latest(merged, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .withColumn("is_tombstone", col("event_type") === "error")
+      .filter(!(col("is_tombstone") &&
+        col("ts") < lit(gcGrace).cast("timestamp_ntz")))
+      .select("user_id", "event_id", "event_type", "value", "is_tombstone")
+      .orderBy("user_id")
+  }
+
+  /** Point-in-time snapshot read — SELECT ... "as of T" over the
+    * persisted cell store: only cells written at or before T exist,
+    * LWW resolves among THOSE, and TTL expiry is evaluated at T (a
+    * cell expired by T acts as a tombstone at T even if a later read
+    * time would long have purged it). The consistency-point read a
+    * repair/debug workflow does against a wide-column store. */
+  def scanSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val T = "2024-01-10 00:00:00"
+    val path = RunId.scratch("cell_store/events_cells_snap")
+    cellTable(s, dir)
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "event_type", "_writetime")
+      .write.mode("overwrite").parquet(path)
+    val stored = s.read.parquet(path)
+      .filter(col("_writetime") <= unix_micros(lit(T).cast("timestamp")))
+    Lww.latest(stored, Seq("user_id", "event_type"),
+        Seq(col("_writetime").desc, col("event_id").desc))
+      .filter(col("_ttl_expires") > lit(T).cast("timestamp_ntz"))
+      .select("user_id", "event_type", "value", "_writetime")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Native MapType column round-tripped through parquet: the CQL
     * `map<text,int>` mapping. Built from the props JSON's `k` field +
     * a second entry, STORED as a real MapType column, read back and
@@ -305,6 +360,8 @@ object CellStore extends QueryGroup {
     "batch_apply" -> (batchApply _),
     "sink_cell_store" -> (sinkCellStore _),
     "tombstone_merge" -> (tombstoneMerge _),
+    "compact_generations" -> (compactGenerations _),
+    "scan_snapshot" -> (scanSnapshot _),
     "fn_map_stored" -> (fnMapStored _),
     "filter_collection_stored" -> (filterCollectionStored _),
     "udt_struct_stored" -> (udtStructStored _),
@@ -366,6 +423,33 @@ object CellStore extends QueryGroup {
                              ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) t
       WHERE rn = 1 AND ttl_expires > TIMESTAMP '$ReadTime'
+      ORDER BY user_id, event_type""",
+    // The generation split is a partition of `events`, so the merged
+    // LWW state equals the direct window over the whole table; the
+    // gc_grace clause is the tombstone-purge postcondition.
+    "compact_generations" -> """
+      SELECT user_id, event_id, event_type, value,
+        event_type = 'error' AS is_tombstone
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+        AND NOT (event_type = 'error' AND ts < TIMESTAMP '2024-01-10 00:00:00')
+      ORDER BY user_id""",
+    // sink_cell_store's oracle with BOTH clocks pinned to T: writes
+    // after T don't exist, TTL expiry is evaluated at T.
+    "scan_snapshot" -> """
+      SELECT user_id, event_type, value, _writetime FROM (
+        SELECT user_id, event_type, value,
+          epoch_us(ts) AS _writetime,
+          ts + to_days(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 14)
+            AS ttl_expires,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-10 00:00:00')) t
+      WHERE rn = 1 AND ttl_expires > TIMESTAMP '2024-01-10 00:00:00'
       ORDER BY user_id, event_type""",
     "tombstone_merge" -> """
       SELECT user_id, event_id, event_type, value FROM (

@@ -49,7 +49,7 @@ class DeterminismSpec extends SparkSpec {
     // and the stat-skipped scan are all partition-perturbable shapes
     "dedup_substring", "dedup_substring_apply", "tokenize_bpe",
     "pack_sequences_bpe", "sim_topk_ivf_pq", "text_quality_model",
-    "sink_sorted_stats", "sink_zorder")
+    "sink_sorted_stats", "sink_zorder", "compact_generations", "scan_snapshot")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
