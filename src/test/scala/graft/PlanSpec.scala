@@ -58,9 +58,11 @@ class PlanSpec extends SparkSpec {
     val total = graft.core.Tables.lineitem(spark, sf001).count()
     val maxKey = graft.core.Tables.lineitem(spark, sf001)
       .agg(org.apache.spark.sql.functions.max("l_orderkey")).head().getLong(0)
-    // predicates aligned with a quarter of each dimension's range
+    // predicates aligned with a quarter of each dimension's SCALED
+    // range, so two top Morton bits are fixed (a slice straddling a
+    // bit boundary constrains only one bit and halves the pruning)
     val keyPred = col("l_orderkey") < maxKey / 4
-    val datePred = col("l_shipdate") < "1996-10-01"
+    val datePred = col("l_shipdate") < "1996-09-01" // < 1/4 of 1995-01..2001-11
     // the TRAILING dimension of the linear sort prunes nothing...
     assert(scanned(sortedPath, keyPred) == total,
       "linear layout unexpectedly pruned on the trailing column")
