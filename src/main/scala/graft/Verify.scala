@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: restrict to named queries (iteration aid;
-    // the driver always passes exactly two args → full run)
+    // the driver always passes exactly two args → full run). Unknown
+    // names are fatal — a typo writing zero outputs and exiting 0
+    // would green-light a broken operator (same guard as Bench).
     val only = args.drop(2).toSet
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -24,4 +24,16 @@ object RunId {
   /** Scratch directory for this JVM, under java.io.tmpdir; deleted on
     * JVM exit. */
   def scratch(name: String): String = s"$root/$name"
+
+  /** Scratch path namespaced by an arbitrary key (usually the source
+    * dir): the key is MD5-hexed into the name, so two dirs processed
+    * in one JVM can never clobber each other's scratch tables — the
+    * convention every per-(JVM, dir) layout cache must follow (an
+    * eagerly-rewritten FIXED path under a still-lazy reader from the
+    * previous dir silently serves the wrong data). */
+  def scratchKeyed(prefix: String, key: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/${prefix}_$h"
+  }
 }

@@ -80,7 +80,7 @@ object CellStore extends QueryGroup {
     * the shuffle, tombstone GC is row-local. */
   def compactGenerations(s: SparkSession, dir: String): DataFrame = {
     val gcGrace = "2024-01-10 00:00:00"
-    val root = RunId.scratch("compaction/events_gen")
+    val root = RunId.scratchKeyed("compaction/events_gen", dir)
     val ev = Tables.events(s, dir)
       .select("user_id", "event_id", "event_type", "value", "ts")
     (0 until 3).foreach { g =>
@@ -107,7 +107,7 @@ object CellStore extends QueryGroup {
     * repair/debug workflow does against a wide-column store. */
   def scanSnapshot(s: SparkSession, dir: String): DataFrame = {
     val T = "2024-01-10 00:00:00"
-    val path = RunId.scratch("cell_store/events_cells_snap")
+    val path = RunId.scratchKeyed("cell_store/events_cells_snap", dir)
     cellTable(s, dir)
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "event_type", "_writetime")

@@ -222,9 +222,7 @@ object Dedup extends QueryGroup {
     // between the sf and ×10 dirs in one JVM would overwrite this
     // path under the other call's lazily-reading DataFrame (the same
     // bug class the IVF cache key fix removed).
-    val lblPath = RunId.scratch("dedup_cluster_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val lblPath = RunId.scratchKeyed("dedup_cluster", dir)
     labels.toDF("doc_id", "cluster_id")
       .write.mode("overwrite").parquet(lblPath)
     clusterLabelPaths(dir) = lblPath // reused by dedupSurvivor
@@ -357,6 +355,31 @@ object Dedup extends QueryGroup {
                   FOR i IN range(1, len(w) - 18)], recursive := true)
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs))"""
 
+  /** Gaps-and-islands interval merge over (doc_id, pos) dirty-window
+    * rows: window at pos p covers tokens [p, p+SubK-1]; consecutive
+    * windows merge iff gap ≤ SubK (overlap or adjacency), so an
+    * island breaks when gap > SubK. Shared by the report and apply
+    * operators; [[islandsSql]] is the verbatim mirror, so a merge-rule
+    * change edits exactly one Scala site and one SQL site. */
+  private def islands(dirty: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dirty
+      .withColumn("gap", col("pos") - lag("pos", 1).over(byDoc))
+      .withColumn("brk", when(col("gap").isNull || col("gap") <= SubK, 0).otherwise(1))
+      .withColumn("island",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def islandsSql(src: String) = s"""isl AS (
+        SELECT doc_id, pos,
+          SUM(CASE WHEN gap IS NULL OR gap <= $SubK THEN 0 ELSE 1 END)
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, pos,
+                pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+              FROM $src))"""
+
   def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = SubK
@@ -367,15 +390,7 @@ object Dedup extends QueryGroup {
       .withColumn("occ", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("occ") > 1)
       .select("doc_id", "pos")
-    // gaps-and-islands interval merge: window at pos p covers tokens
-    // [p, p+K-1]; consecutive dirty windows merge iff gap ≤ K
-    // (overlap or adjacency), so an island breaks when gap > K
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    dirty
-      .withColumn("gap", col("pos") - lag("pos", 1).over(byDoc))
-      .withColumn("brk", when(col("gap").isNull || col("gap") <= K, 0).otherwise(1))
-      .withColumn("island",
-        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands(dirty)
       .groupBy("doc_id", "island")
       .agg(min("pos").as("span_start"),
         (max("pos") + (K - 1)).as("span_end"),
@@ -410,12 +425,7 @@ object Dedup extends QueryGroup {
       .withColumn("rn", row_number().over(wh.orderBy("doc_id", "pos")))
       .filter(col("occ") > 1 && col("rn") > 1)
       .select("doc_id", "pos")
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = remove
-      .withColumn("gap", col("pos") - lag("pos", 1).over(byDoc))
-      .withColumn("brk", when(col("gap").isNull || col("gap") <= K, 0).otherwise(1))
-      .withColumn("island",
-        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands(remove)
       .groupBy("doc_id", "island")
       .agg(min("pos").as("a"), (max("pos") + (K - 1)).as("b"))
       .groupBy("doc_id")
@@ -488,14 +498,7 @@ object Dedup extends QueryGroup {
         SELECT doc_id, pos FROM (
           SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS occ FROM wins)
         WHERE occ > 1),
-      isl AS (
-        SELECT doc_id, pos,
-          SUM(CASE WHEN gap IS NULL OR gap <= 20 THEN 0 ELSE 1 END)
-            OVER (PARTITION BY doc_id ORDER BY pos
-                  ROWS UNBOUNDED PRECEDING) AS island
-        FROM (SELECT doc_id, pos,
-                pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
-              FROM dirty))
+      ${islandsSql("dirty")}
       SELECT doc_id,
         CAST(MIN(pos) AS INTEGER) AS span_start,
         CAST(MAX(pos) + 19 AS INTEGER) AS span_end,
@@ -514,14 +517,7 @@ object Dedup extends QueryGroup {
           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
         FROM wins),
       rem AS (SELECT doc_id, pos FROM marked WHERE occ > 1 AND rn > 1),
-      isl AS (
-        SELECT doc_id, pos,
-          SUM(CASE WHEN gap IS NULL OR gap <= 20 THEN 0 ELSE 1 END)
-            OVER (PARTITION BY doc_id ORDER BY pos
-                  ROWS UNBOUNDED PRECEDING) AS island
-        FROM (SELECT doc_id, pos,
-                pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
-              FROM rem)),
+      ${islandsSql("rem")},
       spans AS (
         SELECT doc_id, list(struct_pack(a := a, b := b) ORDER BY a) AS spans
         FROM (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 19 AS b

@@ -69,18 +69,22 @@ object QualityModel extends QueryGroup {
     // partition count to the DATA (≥64k feature rows per partition),
     // not to the core count — 30 iterations × 32 near-empty partitions
     // was 960 no-op tasks and the #1 line of the whole bench (17.8 s →
-    // ~2 s). At real scale the same rule yields real parallelism.
+    // ~2 s). At real scale the same rule yields real parallelism. The
+    // corpus count is cached per dir (immutable for the run, like the
+    // weight cache) so scoring calls don't pay an extra full scan.
     val parts = math.max(1, math.min(
       s.sparkContext.defaultParallelism,
-      (Tables.documents(s, dir).count() / 65536L).toInt + 1))
+      (docCountCache.getOrElseUpdate(dir,
+        Tables.documents(s, dir).count()) / 65536L).toInt + 1))
     base.join(hist, Seq("doc_id"), "left")
       .select(col("doc_id"), col("label"), col("split"),
-        concat(
-          coalesce(freqs, array_repeat(lit(0.0), 64)),
-          array(col("lenf"), lit(1.0))).as("f"))
+        concat(freqs, array(col("lenf"), lit(1.0))).as("f"))
       .coalesce(parts)
       .localCheckpoint()
   }
+
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private val weightCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]

@@ -163,9 +163,7 @@ object Scans extends QueryGroup {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def sortedLineitemPath(s: SparkSession, dir: String): String =
     sortedLineitemPaths.getOrElseUpdate(dir, {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = graft.core.RunId.scratch(s"sorted/lineitem_$key")
+      val path = graft.core.RunId.scratchKeyed("sorted/lineitem", dir)
       // The sort key is stored as DATE, not TIMESTAMP_NTZ: lineitem
       // shipdates are date-grained, and (measured, Spark 4.1) NTZ
       // predicates are LISTED in PushedFilters but never converted to
@@ -203,9 +201,7 @@ object Scans extends QueryGroup {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def zorderLineitemPath(s: SparkSession, dir: String): String =
     zorderLineitemPaths.getOrElseUpdate(dir, {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = graft.core.RunId.scratch(s"zorder/lineitem_$key")
+      val path = graft.core.RunId.scratchKeyed("zorder/lineitem", dir)
       val base = Tables.lineitem(s, dir)
         .withColumn("l_shipdate", col("l_shipdate").cast("date"))
       // BOTH dimensions scale into the full 12-bit space by their max:

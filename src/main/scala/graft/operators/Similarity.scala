@@ -330,10 +330,8 @@ object Similarity extends QueryGroup {
       }
       // Hashing is fine HERE (scratch paths just need to be short and
       // distinct per build); only the TrieMap key must be collision-proof.
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val centPath = RunId.scratch(s"ivf_${key}_centroids")
-      val assignPath = RunId.scratch(s"ivf_${key}_assigned")
+      val centPath = RunId.scratchKeyed("ivf_centroids", cacheKey)
+      val assignPath = RunId.scratchKeyed("ivf_assigned", cacheKey)
       val centsF = cents.map(_.map(_.toFloat).toSeq)
       s.createDataFrame(centsF.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
         .toDF("cent_cell", "cent")
@@ -389,9 +387,7 @@ object Similarity extends QueryGroup {
     val cacheKey = ivfCacheKey(s, dir)
     ivfCodesDirs.getOrElseUpdate(cacheKey, {
       val (_, assignPath) = ivfIndexPaths(s, dir)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = RunId.scratch(s"ivf_${key}_codes")
+      val path = RunId.scratchKeyed("ivf_codes", cacheKey)
       def xd(x: org.apache.spark.sql.Column) = x.cast("double")
       // same round-half-away int8 kernel as embeddingQuantize
       s.read.parquet(assignPath)

@@ -378,6 +378,13 @@ class StreamingSpec extends SparkSpec {
         case Some(p) => s.conf.set(key, p)
         case None => s.conf.unset(key)
       }
+      // checkpoint + RocksDB SSTs + sink parquet are not under RunId's
+      // shutdown hook — delete them so repeated runs don't pile up /tmp
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
     }
   }
 
