@@ -446,7 +446,53 @@ object Dedup extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Incremental (delta-vs-corpus) dedup — the admission gate a
+    * production pipeline runs on every new crawl shard: the standing
+    * corpus is already deduped, and a delta document is admitted only
+    * if its content is globally novel (absent from the corpus AND
+    * first-by-id within the delta itself, the dedup_exact survivor
+    * convention).
+    *
+    * Split is deterministic (corpus = doc_id % 10 < 8, delta = the
+    * rest) and the delta additionally re-submits copies of docs
+    * 0-29 at +2^40 ids, so BOTH rejection paths carry traffic:
+    * corpus-collision (copies of % 10 < 8 docs) and intra-delta
+    * collision (copies of % 10 ≥ 8 docs, where the original delta row
+    * must win by id). Planted ids at +2^40 per the collision-proof
+    * offset rule (VERDICT r6).
+    *
+    * Scale shape — the whole point of the operator: the corpus side
+    * reduces to DISTINCT content hashes before the join, so the
+    * standing 100 TB of text never rides the shuffle — only its
+    * 32-byte hashes do — and the anti-join output is delta-sized. With
+    * the corpus hash set bucketed on hash (the layout a standing
+    * dedup index would keep), each shard admission is a bucket-local
+    * probe; a bloom prefilter (join_bloom_prefilter's move) cuts the
+    * shuffled delta further when novelty dominates. */
+  /** Admission kernel: delta(doc_id, text) rows whose content hash is
+    * absent from corpus(text), first-by-id within the delta. Exposed
+    * for the spec's idempotence test (admitting an already-admitted
+    * shard admits nothing). */
+  private[graft] def admit(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val corpusSha = corpus
+      .select(sha2(col("text"), 256).as("text_sha")).distinct()
+    delta.select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+      .join(corpusSha, Seq("text_sha"), "left_anti")
+      .groupBy("text_sha").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text_sha")
+  }
+
+  def dedupDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .unionByName(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+    admit(d.filter(pmod(col("doc_id"), lit(10)) < 8), delta)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_delta" -> (dedupDelta _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_apply" -> (dedupSubstringApply _),
     "dedup_near" -> (dedupNear _),
@@ -489,6 +535,18 @@ object Dedup extends QueryGroup {
               FROM reach GROUP BY id)"""
 
   val oracles: Map[String, String] = Map(
+    // Same split, same +2^40 plants; NOT IN is safe (text is never
+    // NULL) and states the anti-join directly.
+    "dedup_delta" -> """
+      WITH delta AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+        UNION ALL
+        SELECT doc_id + 1099511627776 AS doc_id, text
+        FROM documents WHERE doc_id < 30)
+      SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha
+      FROM delta
+      WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 10 < 8)
+      GROUP BY text ORDER BY doc_id""",
     // Same plants, same K=20 window hashes, same gaps-and-islands merge
     // as dedupSubstring — 0-based positions via i-1 to match posexplode.
     "dedup_substring" -> s"""

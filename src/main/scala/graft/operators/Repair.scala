@@ -119,9 +119,57 @@ object Repair extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** READ repair (SURVEY.md §1.2) — the per-query sibling of
+    * anti-entropy: a coordinator reading at CL=TWO gets each key's
+    * newest state from both replicas, detects divergence (the digest
+    * mismatch — here the state-tuple inequality the digests stand in
+    * for), answers with the LWW-merged newest, and reports which side
+    * needs the heal written back.
+    *
+    * Replica model: writes fan out to both replicas but each drops a
+    * deterministic slice (A misses event_id % 983 == 0, B misses
+    * % 991 == 0), so either replica can be AHEAD on a given key —
+    * unlike [[repairDiff]]'s one-stale-side pair — and the merge
+    * direction varies per key.
+    *
+    * Scale shape: ONE groupBy(user_id) with two filtered `max_by`
+    * partial aggregates — each replica's newest state per key in a
+    * single shuffle of (key, state) pairs, no window, no self-join.
+    * The heal decision and merged answer are row-local on the
+    * aggregate. At 100 TB this is exactly the coordinator's cost:
+    * proportional to keys read, never to history length. */
+  def readRepair(s: SparkSession, dir: String): DataFrame = {
+    def replicaState(miss: Int) = expr(
+      s"""max_by(struct(ts, event_id, event_type, value), struct(ts, event_id))
+          FILTER (WHERE event_id % $miss != 0)""")
+    val states = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(replicaState(983).as("sa"), replicaState(991).as("sb"))
+    val newer = when(col("sb").isNull, col("sa"))
+      .when(col("sa").isNull, col("sb"))
+      .when(struct(col("sa.ts"), col("sa.event_id")) >=
+              struct(col("sb.ts"), col("sb.event_id")), col("sa"))
+      .otherwise(col("sb"))
+    states
+      // a key every replica missed entirely has no read to repair (and
+      // would be absent from the oracle's replica CTEs)
+      .filter(col("sa").isNotNull || col("sb").isNotNull)
+      .withColumn("m", newer)
+      .select(
+        col("user_id"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        col("m.value").as("value"),
+        when(col("sa") <=> col("sb"), lit("in_sync"))
+          .when(col("m") <=> col("sa"), lit("heal_b"))
+          .otherwise(lit("heal_a")).as("repair"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repair_diff" -> (repairDiff _),
-    "repair_apply" -> (repairApply _)
+    "repair_apply" -> (repairApply _),
+    "read_repair" -> (readRepair _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +190,40 @@ object Repair extends QueryGroup {
       ORDER BY event_id""",
     // Postcondition stated directly: healed B == A, byte for byte.
     "repair_apply" -> """
-      SELECT event_id, value FROM events ORDER BY event_id"""
+      SELECT event_id, value FROM events ORDER BY event_id""",
+    // Each replica's newest state via a window, full-outer on the key,
+    // merge + heal direction decided by (ts, event_id) row comparison.
+    "read_repair" -> """
+      WITH ra AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 983 <> 0),
+      rb AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 991 <> 0)
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        CASE WHEN b.user_id IS NULL THEN a.event_id
+             WHEN a.user_id IS NULL THEN b.event_id
+             WHEN (a.ts, a.event_id) >= (b.ts, b.event_id) THEN a.event_id
+             ELSE b.event_id END AS event_id,
+        CASE WHEN b.user_id IS NULL THEN a.event_type
+             WHEN a.user_id IS NULL THEN b.event_type
+             WHEN (a.ts, a.event_id) >= (b.ts, b.event_id) THEN a.event_type
+             ELSE b.event_type END AS event_type,
+        CASE WHEN b.user_id IS NULL THEN a.value
+             WHEN a.user_id IS NULL THEN b.value
+             WHEN (a.ts, a.event_id) >= (b.ts, b.event_id) THEN a.value
+             ELSE b.value END AS value,
+        CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                  AND a.event_id = b.event_id THEN 'in_sync'
+             WHEN b.user_id IS NULL OR (a.user_id IS NOT NULL
+                  AND (a.ts, a.event_id) >= (b.ts, b.event_id)) THEN 'heal_b'
+             ELSE 'heal_a' END AS repair
+      FROM (SELECT * FROM ra WHERE rn = 1) a
+      FULL JOIN (SELECT * FROM rb WHERE rn = 1) b ON a.user_id = b.user_id
+      ORDER BY user_id"""
   )
 }

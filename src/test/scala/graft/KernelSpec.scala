@@ -316,6 +316,61 @@ class KernelSpec extends SparkSpec {
       "regenerated corpus did not reach the IVF index — stale cache")
   }
 
+  test("read repair: merge direction per key, both-missed keys absent") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("read_repair").toString
+    // user 1: newest event 983 is missed by replica A → B is ahead → heal_a
+    // user 2: newest event 991 is missed by replica B → A is ahead → heal_b
+    // user 3: both replicas hold the newest (3) → in_sync
+    // user 4: only event 0, missed by BOTH replicas → no state to read
+    Seq(
+      (983L, "2024-01-02 00:00:00", 1L, "click", 1.0, "{}"),
+      (1L,   "2024-01-01 00:00:00", 1L, "view",  2.0, "{}"),
+      (991L, "2024-01-02 00:00:00", 2L, "click", 3.0, "{}"),
+      (2L,   "2024-01-01 00:00:00", 2L, "view",  4.0, "{}"),
+      (3L,   "2024-01-02 00:00:00", 3L, "click", 5.0, "{}"),
+      (4L,   "2024-01-01 00:00:00", 3L, "view",  6.0, "{}"),
+      (0L,   "2024-01-02 00:00:00", 4L, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Repair.readRepair(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(4)))).toMap
+    assert(got == Map(
+      1L -> ((983L, "heal_a")),
+      2L -> ((991L, "heal_b")),
+      3L -> ((3L, "in_sync"))))
+  }
+
+  test("dedup_delta: corpus collisions rejected, admission is idempotent") {
+    val s = spark; import s.implicits._
+    import graft.operators.Dedup
+    // Kernel: min-id survivor within the delta, corpus text rejected.
+    val corpus = Seq("a", "b").toDF("text")
+    val delta = Seq((1L, "a"), (2L, "c"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.admit(corpus, delta).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(admitted == Seq(2L, 4L))
+    // Idempotence: once the admitted texts join the corpus, re-running
+    // the same shard admits nothing — the incremental-dedup invariant.
+    val corpus2 = corpus.unionByName(Seq("c", "d").toDF("text"))
+    assert(Dedup.admit(corpus2, delta).count() == 0)
+    // Fixture-level: no surviving sha may exist in the corpus side,
+    // and a planted +2^40 copy never beats its in-delta original.
+    val survivors = SparkEntry.queries("dedup_delta")(spark, sf001)
+    val corpusSha = graft.core.Tables.documents(spark, sf001)
+      .filter(pmod(col("doc_id"), lit(10)) < 8)
+      .select(sha2(col("text"), 256).as("text_sha")).distinct()
+    assert(survivors.join(corpusSha, "text_sha").count() == 0)
+    val deltaOrigSha = graft.core.Tables.documents(spark, sf001)
+      .filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .select(sha2(col("text"), 256).as("text_sha")).distinct()
+    assert(survivors.filter(col("doc_id") >= (1L << 40))
+      .join(deltaOrigSha, "text_sha").count() == 0,
+      "a planted copy survived over its in-delta original")
+  }
+
   test("repair digests: identical replicas agree on every bucket, divergence localizes") {
     import graft.operators.Repair
     val a = Repair.replicaA(spark, sf001)
