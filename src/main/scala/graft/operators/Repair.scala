@@ -166,10 +166,57 @@ object Repair extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Hinted handoff (SURVEY.md §1.2) — the WRITE-path member of the
+    * repair family (anti-entropy = scheduled, read repair = per-query,
+    * hints = per-write): while a replica is down, the coordinator
+    * buffers each missed mutation as a hint and replays the buffer
+    * when the replica returns.
+    *
+    * Outage model over `events` (ts spans 2024-01-01..30): replica B
+    * is down for [01-10, 01-15). Coordinators stop writing hints once
+    * the outage exceeds the hint window (Cassandra's
+    * `max_hint_window`) — modeled as the first 2 days — so writes in
+    * [01-10, 01-12) are hinted and writes in [01-12, 01-15) are LOST
+    * until anti-entropy ([[repairDiff]]) finds them. The connection
+    * also flaps: B durably applied every `event_id % 3 == 0` outage
+    * write but the ACK was lost, so those mutations are BOTH present
+    * on B and hinted — replay must be idempotent, which the anti-join
+    * states structurally (a replayed hint is one whose key B does not
+    * already hold) rather than by re-deriving the flap predicate.
+    *
+    * Scale shape: the hint store is bounded by outage duration ×
+    * write rate, never by table size, and the idempotence anti-join
+    * runs hint-window rows against hint-window rows (B's directly-held
+    * keys OUTSIDE the window cannot collide with a hint, so the probe
+    * side prunes to the window first — both join inputs are
+    * outage-sized, broadcast-able at any corpus scale). The healed
+    * replica is emitted as direct ∪ replayed with provenance. */
+  def hintReplay(s: SparkSession, dir: String): DataFrame = {
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    val hintEnd = lit("2024-01-12 00:00:00").cast("timestamp_ntz")
+    val t2 = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    val ev = Tables.events(s, dir).select("event_id", "ts", "user_id", "value")
+    // What B holds when it returns: everything outside the outage,
+    // plus the flap-applied slice inside it.
+    val direct = ev.filter(col("ts") < t1 || col("ts") >= t2 ||
+      col("event_id") % 3 === 0)
+    val hints = ev.filter(col("ts") >= t1 && col("ts") < hintEnd)
+    val replayed = hints.join(
+      direct.filter(col("ts") >= t1 && col("ts") < hintEnd)
+        .select("event_id"),
+      Seq("event_id"), "left_anti")
+    direct.select(col("event_id"), col("user_id"), col("value"),
+        lit("direct").as("via"))
+      .unionByName(replayed.select(col("event_id"), col("user_id"),
+        col("value"), lit("replayed").as("via")))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repair_diff" -> (repairDiff _),
     "repair_apply" -> (repairApply _),
-    "read_repair" -> (readRepair _)
+    "read_repair" -> (readRepair _),
+    "hint_replay" -> (hintReplay _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +271,23 @@ object Repair extends QueryGroup {
              ELSE 'heal_a' END AS repair
       FROM (SELECT * FROM ra WHERE rn = 1) a
       FULL JOIN (SELECT * FROM rb WHERE rn = 1) b ON a.user_id = b.user_id
-      ORDER BY user_id"""
+      ORDER BY user_id""",
+    // direct = outside-outage plus the flap-applied slice; replayed =
+    // hinted (first 2 outage days) minus already-held; lost rows
+    // ([01-12, 01-15) with event_id % 3 != 0) are absent by design.
+    // NOT IN is safe: event_id is never NULL.
+    "hint_replay" -> """
+      WITH direct AS (
+        SELECT event_id, user_id, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+           OR ts >= TIMESTAMP '2024-01-15 00:00:00'
+           OR event_id % 3 = 0)
+      SELECT event_id, user_id, value, 'direct' AS via FROM direct
+      UNION ALL
+      SELECT event_id, user_id, value, 'replayed' AS via FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+        AND event_id NOT IN (SELECT event_id FROM direct)
+      ORDER BY event_id"""
   )
 }

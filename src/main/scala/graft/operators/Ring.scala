@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.CassandraMurmur3
+import graft.plans.CassTokenExpr
+
+/** Token-ring topology operations (SURVEY.md §1.1 partition-key ring):
+  * what `nodetool`-class cluster maintenance computes when membership
+  * changes. A Cassandra cluster assigns each node a set of vnode
+  * tokens on the Murmur3 ring; the node owning range `(prev, t]` is
+  * the one holding `t` (successor ownership, wrapping). When a node
+  * bootstraps, each of its new tokens splits an existing range and the
+  * joining node STREAMS exactly that slice from the old owner — the
+  * rest of the cluster's data does not move.
+  *
+  * The engine-side value is the streaming PLAN: which ranges move,
+  * from whom, and how many rows ride each transfer. Because
+  * [[CassTokenExpr]] is the real Murmur3Partitioner placement
+  * function, the ranges this operator emits are the ranges a live
+  * cluster would stream.
+  *
+  * Scale shape: the ring itself is a bounded driver-side domain
+  * (nodes × vnodes tokens — here 4×4 + 4 joining), the moved-range
+  * table is broadcast, and row accounting is one scan with a
+  * broadcast range join + partial aggregation. Nothing driver-side
+  * grows with data; at 100 TB the plan costs one pruned pass over the
+  * keys in the moved slices (in a real layout, only the SSTables whose
+  * token span intersects a moved range are read at all).
+  */
+object Ring extends QueryGroup {
+
+  private val vnodesPerNode = 4
+  private[graft] val joiningNode = 4
+
+  /** Deterministic vnode tokens: node n's v-th vnode sits at the REAL
+    * Murmur3 token of seed n*1000+v (seeds are arbitrary but fixed —
+    * what `initial_token` pins in a real cluster). Sorted ring order. */
+  private[graft] def vnodeTokens(nodes: Seq[Int]): Seq[(Long, Int)] =
+    (for { n <- nodes; v <- 0 until vnodesPerNode }
+      yield (CassandraMurmur3.tokenOfLong(n * 1000L + v), n)).sortBy(_._1)
+
+  /** Successor ownership with wraparound: the owner of ring position
+    * `t` is the node holding the smallest vnode token >= t, wrapping
+    * to the globally smallest token. */
+  private[graft] def ownerOf(ring: Seq[(Long, Int)], t: Long): Int =
+    ring.find(_._1 >= t).getOrElse(ring.head)._2
+
+  /** Bootstrap streaming plan: for each vnode token t of the joining
+    * node, the slice `(pred_after(t), t]` (predecessor taken in the
+    * POST-join ring, so two new tokens in one old range split it
+    * correctly) moves from the pre-join owner of t to the joiner. No
+    * other range changes hands — the Cassandra bootstrap invariant. */
+  private[graft] def plan(before: Seq[(Long, Int)], newNode: Int)
+      : Seq[(Long, Long, Int, Int)] = {
+    val newTokens = vnodeTokens(Seq(newNode))
+    val after = (before ++ newTokens).sortBy(_._1)
+    newTokens.map { case (t, _) =>
+      val idx = after.indexWhere(_._1 == t)
+      val pred = after((idx - 1 + after.size) % after.size)._1
+      (pred, t, ownerOf(before, t), newNode)
+    }
+  }
+
+  /** Plan rows with wraparound ranges split in two, so every range is
+    * a plain `start < tok AND tok <= end` conjunction. MinValue as an
+    * open lower bound is exact: Murmur3Partitioner normalizes
+    * Long.MinValue to MaxValue, so no key ever sits AT MinValue. */
+  private[graft] def movedRanges: Seq[(Long, Long, Int, Int)] =
+    plan(vnodeTokens(0 until joiningNode), joiningNode).flatMap {
+      case (start, end, from, to) =>
+        if (start < end) Seq((start, end, from, to))
+        else Seq((start, Long.MaxValue, from, to),
+                 (Long.MinValue, end, from, to))
+    }
+
+  /** The streaming plan with per-range row counts over `events`
+    * (partition key = event_id, its real ring position via
+    * `cass_token`). Ranges that happen to hold zero keys stay in the
+    * plan with n_rows = 0 — the transfer still exists. */
+  def ringRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val moves = movedRanges
+      .toDF("range_start", "range_end", "from_node", "to_node")
+    val toks = Tables.events(s, dir)
+      .select(CassTokenExpr.token(col("event_id")).as("tok"))
+    val counts = toks
+      .join(broadcast(moves),
+        col("tok") > col("range_start") && col("tok") <= col("range_end"))
+      .groupBy("range_start", "range_end", "from_node", "to_node")
+      .agg(count(lit(1)).as("n_rows"))
+    moves.join(counts,
+        Seq("range_start", "range_end", "from_node", "to_node"), "left_outer")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .orderBy("range_start", "range_end")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ring_rebalance" -> (ringRebalance _)
+  )
+
+  // No oracle: range bounds are murmur3-128 token values, which DuckDB
+  // cannot compute (same declaration as fn_token / scan_token_range).
+  // KernelSpec verifies the plan against an independent brute-force
+  // owner computation and a row-conservation law.
+  val oracles: Map[String, String] = Map.empty
+}

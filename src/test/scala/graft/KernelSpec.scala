@@ -371,6 +371,64 @@ class KernelSpec extends SparkSpec {
       "a planted copy survived over its in-delta original")
   }
 
+  test("hint replay: flapped acks not duplicated, unhinted outage writes lost") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hint_replay").toString
+    // Outage [01-10, 01-15), hint window [01-10, 01-12), flap = id % 3 == 0.
+    Seq(
+      (1L, "2024-01-05 00:00:00", 1L, "view", 1.0, "{}"), // pre-outage → direct
+      (2L, "2024-01-10 12:00:00", 1L, "view", 2.0, "{}"), // hinted only → replayed
+      (3L, "2024-01-11 00:00:00", 1L, "view", 3.0, "{}"), // flap: applied AND hinted → direct, exactly once
+      (5L, "2024-01-13 00:00:00", 1L, "view", 4.0, "{}"), // past hint window, no flap → LOST
+      (7L, "2024-01-20 00:00:00", 1L, "view", 5.0, "{}")) // post-outage → direct
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Repair.hintReplay(spark, dir).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(
+      1L -> "direct", 2L -> "replayed", 3L -> "direct", 7L -> "direct"))
+    assert(rows.length == got.size, "a flapped hint was replayed twice")
+  }
+
+  test("ring rebalance: plan matches brute-force ownership, rows conserved") {
+    import graft.operators.Ring
+    import graft.functions.CassandraMurmur3
+    val before = Ring.vnodeTokens(0 until Ring.joiningNode)
+    val after = Ring.vnodeTokens(0 to Ring.joiningNode)
+    val moves = Ring.movedRanges
+    assert(moves.forall(_._4 == Ring.joiningNode))
+    val sorted = moves.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"overlapping ranges: $a $b")
+      case _ =>
+    }
+    // Independent check per real key: ownership changes exactly on the
+    // moved slices, old owner = from_node, and nowhere else.
+    val toks = graft.core.Tables.events(spark, sf001)
+      .select("event_id").collect()
+      .map(r => CassandraMurmur3.tokenOfLong(r.getLong(0)))
+    def inMove(t: Long) = moves.find(m => t > m._1 && t <= m._2)
+    toks.foreach { t =>
+      val bo = Ring.ownerOf(before, t)
+      val ao = Ring.ownerOf(after, t)
+      inMove(t) match {
+        case Some((_, _, from, to)) =>
+          assert(ao == to && bo == from,
+            s"token $t: plan says $from→$to but ring says $bo→$ao")
+        case None =>
+          assert(ao == bo, s"token $t changed owner $bo→$ao outside the plan")
+      }
+    }
+    // The operator's per-range accounting equals brute force.
+    val got = graft.operators.Ring.ringRebalance(spark, sf001).collect()
+    got.foreach { r =>
+      val c = toks.count(t => t > r.getLong(0) && t <= r.getLong(1))
+      assert(c == r.getLong(4), s"range ${r.getLong(0)}..${r.getLong(1)}")
+    }
+    assert(got.map(_.getLong(4)).sum == toks.count(t => inMove(t).isDefined))
+  }
+
   test("repair digests: identical replicas agree on every bucket, divergence localizes") {
     import graft.operators.Repair
     val a = Repair.replicaA(spark, sf001)
