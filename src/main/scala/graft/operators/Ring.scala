@@ -63,26 +63,48 @@ object Ring extends QueryGroup {
     }
   }
 
-  /** Plan rows with wraparound ranges split in two, so every range is
-    * a plain `start < tok AND tok <= end` conjunction. MinValue as an
-    * open lower bound is exact: Murmur3Partitioner normalizes
+  /** Decommission plan — the inverse move: when `leaving` exits, each
+    * of its ranges `(pred(t), t]` merges into the successor range and
+    * streams TO the post-removal owner of t. Everything the leaver
+    * held moves; nothing else does. */
+  private[graft] def decommissionPlan(all: Seq[(Long, Int)], leaving: Int)
+      : Seq[(Long, Long, Int, Int)] = {
+    val after = all.filterNot(_._2 == leaving)
+    all.filter(_._2 == leaving).map { case (t, _) =>
+      val idx = all.indexWhere(_._1 == t)
+      val pred = all((idx - 1 + all.size) % all.size)._1
+      (pred, t, leaving, ownerOf(after, t))
+    }
+  }
+
+  /** Wraparound ranges split in two, so every range is a plain
+    * `start < tok AND tok <= end` conjunction. MinValue as an open
+    * lower bound is exact: Murmur3Partitioner normalizes
     * Long.MinValue to MaxValue, so no key ever sits AT MinValue. */
-  private[graft] def movedRanges: Seq[(Long, Long, Int, Int)] =
-    plan(vnodeTokens(0 until joiningNode), joiningNode).flatMap {
-      case (start, end, from, to) =>
-        if (start < end) Seq((start, end, from, to))
-        else Seq((start, Long.MaxValue, from, to),
-                 (Long.MinValue, end, from, to))
+  private[graft] def wrapSplit(ranges: Seq[(Long, Long, Int, Int)])
+      : Seq[(Long, Long, Int, Int)] =
+    ranges.flatMap { case (start, end, from, to) =>
+      if (start < end) Seq((start, end, from, to))
+      else Seq((start, Long.MaxValue, from, to),
+               (Long.MinValue, end, from, to))
     }
 
-  /** The streaming plan with per-range row counts over `events`
-    * (partition key = event_id, its real ring position via
-    * `cass_token`). Ranges that happen to hold zero keys stay in the
-    * plan with n_rows = 0 — the transfer still exists. */
-  def ringRebalance(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def movedRanges: Seq[(Long, Long, Int, Int)] =
+    wrapSplit(plan(vnodeTokens(0 until joiningNode), joiningNode))
+
+  private[graft] def decommissionRanges: Seq[(Long, Long, Int, Int)] =
+    wrapSplit(decommissionPlan(vnodeTokens(0 until joiningNode), leavingNode))
+
+  private[graft] val leavingNode = 3
+
+  /** Per-range row counts over `events` (partition key = event_id, its
+    * real ring position via `cass_token`). Ranges that happen to hold
+    * zero keys stay in the plan with n_rows = 0 — the transfer still
+    * exists. */
+  private def withCounts(s: SparkSession, dir: String,
+      ranges: Seq[(Long, Long, Int, Int)]): DataFrame = {
     import s.implicits._
-    val moves = movedRanges
-      .toDF("range_start", "range_end", "from_node", "to_node")
+    val moves = ranges.toDF("range_start", "range_end", "from_node", "to_node")
     val toks = Tables.events(s, dir)
       .select(CassTokenExpr.token(col("event_id")).as("tok"))
     val counts = toks
@@ -96,8 +118,17 @@ object Ring extends QueryGroup {
       .orderBy("range_start", "range_end")
   }
 
+  /** Bootstrap: node 4 joins the 4-node ring. */
+  def ringRebalance(s: SparkSession, dir: String): DataFrame =
+    withCounts(s, dir, movedRanges)
+
+  /** Decommission: node 3 leaves the 4-node ring. */
+  def ringDecommission(s: SparkSession, dir: String): DataFrame =
+    withCounts(s, dir, decommissionRanges)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ring_rebalance" -> (ringRebalance _)
+    "ring_rebalance" -> (ringRebalance _),
+    "ring_decommission" -> (ringDecommission _)
   )
 
   // No oracle: range bounds are murmur3-128 token values, which DuckDB

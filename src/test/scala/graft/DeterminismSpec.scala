@@ -49,7 +49,11 @@ class DeterminismSpec extends SparkSpec {
     // and the stat-skipped scan are all partition-perturbable shapes
     "dedup_substring", "dedup_substring_apply", "tokenize_bpe",
     "pack_sequences_bpe", "sim_topk_ivf_pq", "text_quality_model",
-    "sink_sorted_stats", "sink_zorder", "compact_generations", "scan_snapshot")
+    "sink_sorted_stats", "sink_zorder", "compact_generations", "scan_snapshot",
+    // round-7 additions: the filtered max_by merge, the two anti-join
+    // admission gates, and the broadcast range-join accounting
+    "read_repair", "dedup_delta", "hint_replay",
+    "ring_rebalance", "ring_decommission")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -429,6 +429,39 @@ class KernelSpec extends SparkSpec {
     assert(got.map(_.getLong(4)).sum == toks.count(t => inMove(t).isDefined))
   }
 
+  test("ring decommission: leaver's data all moves, nothing else does") {
+    import graft.operators.Ring
+    import graft.functions.CassandraMurmur3
+    val all = Ring.vnodeTokens(0 until Ring.joiningNode)
+    val after = all.filterNot(_._2 == Ring.leavingNode)
+    val moves = Ring.decommissionRanges
+    assert(moves.forall(_._3 == Ring.leavingNode))
+    assert(moves.forall(_._4 != Ring.leavingNode))
+    val toks = graft.core.Tables.events(spark, sf001)
+      .select("event_id").collect()
+      .map(r => CassandraMurmur3.tokenOfLong(r.getLong(0)))
+    def inMove(t: Long) = moves.find(m => t > m._1 && t <= m._2)
+    toks.foreach { t =>
+      val bo = Ring.ownerOf(all, t)
+      val ao = Ring.ownerOf(after, t)
+      inMove(t) match {
+        case Some((_, _, _, to)) =>
+          assert(bo == Ring.leavingNode && ao == to,
+            s"token $t: plan says ${Ring.leavingNode}→$to but ring says $bo→$ao")
+        case None =>
+          assert(bo != Ring.leavingNode, s"token $t owned by leaver but unmoved")
+          assert(ao == bo, s"token $t changed owner $bo→$ao outside the plan")
+      }
+    }
+    val got = graft.operators.Ring.ringDecommission(spark, sf001).collect()
+    got.foreach { r =>
+      val c = toks.count(t => t > r.getLong(0) && t <= r.getLong(1))
+      assert(c == r.getLong(4), s"range ${r.getLong(0)}..${r.getLong(1)}")
+    }
+    assert(got.map(_.getLong(4)).sum ==
+      toks.count(t => Ring.ownerOf(all, t) == Ring.leavingNode))
+  }
+
   test("repair digests: identical replicas agree on every bucket, divergence localizes") {
     import graft.operators.Repair
     val a = Repair.replicaA(spark, sf001)
