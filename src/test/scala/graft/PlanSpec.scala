@@ -245,4 +245,38 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("read_repair merges replicas in ONE keyed shuffle, no window, no self-join") {
+    // The coordinator-cost claim: both replica states come out of a
+    // single groupBy via filtered max_by partials — two scans or a
+    // window would double the shuffle volume at 100 TB.
+    val p = plan("read_repair")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(1500))
+  }
+
+  test("hint_replay's idempotence anti-join broadcasts the hint-window keys") {
+    // Both anti-join inputs are pruned to the hint window before the
+    // join, so the runtime plan must broadcast — a shuffled anti-join
+    // here would mean the window pruning regressed and the full
+    // replica rides the shuffle.
+    val df = SparkEntry.queries("hint_replay")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p.take(1500))
+    val anti = p.substring(p.indexOf("LeftAnti") - 60, p.length.min(p.indexOf("LeftAnti") + 200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500) + "\n...\n" + anti)
+  }
+
+  test("ring plans broadcast the bounded range table, never shuffle the keys") {
+    // The range join is non-equi by nature; correctness at scale rests
+    // on the ranges side being ring-domain-bounded and broadcast. The
+    // token scan itself must ride codegen'd cass_token.
+    for (name <- Seq("ring_rebalance", "ring_decommission")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(1200)}")
+      assert(p.toLowerCase.contains("casstokenexpr"), s"$name: ${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1200)}")
+    }
+  }
 }
