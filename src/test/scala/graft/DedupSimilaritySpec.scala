@@ -223,6 +223,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.999), "planted exact copies must score ~1")
   }
 
+  test("sim_knn_join_lsh recovers every planted twin at rank 1, both directions") {
+    // Exact copies collide in every SRP band, so for each planted
+    // vector (id + 2^40) the twin is guaranteed in the candidate set;
+    // cosine 1.0 beats every genuine pair (max ≈0.51), so it must
+    // surface at rank 1 in BOTH directions with score ~1.
+    val rank1 = SparkEntry.queries("sim_knn_join_lsh")(spark, sf001)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val n = graft.core.Tables.embeddings(spark, sf001).count()
+    (0L until n by 100L).foreach { i =>
+      val p = i + (1L << 40)
+      assert(rank1.get(i).exists(t => t._1 == p && t._2 >= 0.999),
+        s"original $i did not rank its planted twin first: ${rank1.get(i)}")
+      assert(rank1.get(p).exists(t => t._1 == i && t._2 >= 0.999),
+        s"planted $p did not rank its original first: ${rank1.get(p)}")
+    }
+    // k discipline: no key may carry more than 3 rows.
+    val counts = SparkEntry.queries("sim_knn_join_lsh")(spark, sf001)
+      .groupBy("id_a").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 3))
+  }
+
+  test("sim_knn_join_lsh scores agree with the exact kernel on shared pairs") {
+    val exact = SparkEntry.queries("sim_knn_join")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SparkEntry.queries("sim_knn_join_lsh")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = exact.keySet & lsh.keySet
+    assert(shared.nonEmpty, "LSH k-NN shares no pair with the exact kernel")
+    assert(shared.forall(k => exact(k) == lsh(k)), "scores differ between paths")
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

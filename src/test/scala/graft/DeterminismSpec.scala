@@ -53,7 +53,9 @@ class DeterminismSpec extends SparkSpec {
     // round-7 additions: the filtered max_by merge, the two anti-join
     // admission gates, and the broadcast range-join accounting
     "read_repair", "dedup_delta", "hint_replay",
-    "ring_rebalance", "ring_decommission")
+    "ring_rebalance", "ring_decommission",
+    // the per-row top-k join in both its exact and banded forms
+    "sim_knn_join", "sim_knn_join_lsh")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

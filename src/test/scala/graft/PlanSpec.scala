@@ -268,6 +268,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500) + "\n...\n" + anti)
   }
 
+  test("sim_knn_join_lsh's per-row top-k gets the WindowGroupLimit rewrite") {
+    // rank ≤ k over candidates must push a partial top-k below the
+    // final per-key sort — without it every candidate of a hot vector
+    // rides the window sort at full width.
+    assert(plan("sim_knn_join_lsh").contains("WindowGroupLimit"))
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
