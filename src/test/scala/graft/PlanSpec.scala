@@ -40,7 +40,12 @@ class PlanSpec extends SparkSpec {
     assert(m1 == m2 && m1 > 0, s"layouts disagree on matches: $m1 vs $m2")
     assert(controlScan == total,
       s"control layout unexpectedly pruned: decoded $controlScan of $total")
-    assert(sortedScan * 4 <= total,
+    // threshold 1/3, not 1/4: with 8 range partitions a one-month
+    // filter lands in 1-2 groups (12.5-25%), but repartitionByRange
+    // samples with an rddId-derived seed, so boundaries jitter by a
+    // few rows across JVM histories (full suite vs isolated run) and
+    // 25% + jitter flaked at exactly 1513/6000. Control stays at 100%.
+    assert(sortedScan * 3 <= total,
       s"sorted layout failed to skip row groups: decoded $sortedScan of $total")
   }
 
