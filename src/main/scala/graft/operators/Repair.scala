@@ -212,11 +212,53 @@ object Repair extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Quorum read at RF=3 — [[readRepair]]'s coordinator extended to
+    * the full replica set with consistency-level accounting. Cassandra
+    * reconciles replica responses by TIMESTAMP (last-write-wins), not
+    * by majority vote: the answer is the newest state among however
+    * many replicas replied, and the per-key bookkeeping records what
+    * consistency the read actually achieved (`all`/`quorum`/`one` =
+    * 3/2/1 replies) and how many replicas returned stale-or-missing
+    * data and therefore need read repair (`n_stale`).
+    *
+    * Replica r's visible history drops `event_id % p_r == 0` (primes
+    * 7/11/13 — per-replica delivery gaps), so a replica that missed
+    * the newest write still answers with its older surviving state.
+    * The merge is `array_sort(filter(array(sa,sb,sc), not-null))[-1]`
+    * on (ts, event_id)-led structs — row-local on the one keyed
+    * aggregate, so the cost at 100 TB is exactly the coordinator's:
+    * proportional to keys read, never to history length or RF². */
+  def consistencyQuorum(s: SparkSession, dir: String): DataFrame = {
+    def replicaState(miss: Int) = expr(
+      s"""max_by(struct(ts, event_id, event_type, value), struct(ts, event_id))
+          FILTER (WHERE event_id % $miss != 0)""")
+    val all = array(col("sa"), col("sb"), col("sc"))
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(replicaState(7).as("sa"), replicaState(11).as("sb"),
+        replicaState(13).as("sc"))
+      .withColumn("avail", array_sort(filter(all, _.isNotNull)))
+      .filter(size(col("avail")) >= 1)
+      .withColumn("m", element_at(col("avail"), -1))
+      .select(
+        col("user_id"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        col("m.value").as("value"),
+        size(col("avail")).cast("long").as("replies"),
+        (lit(3) - size(filter(all, _ <=> col("m")))).cast("long").as("n_stale"),
+        when(size(col("avail")) === 3, "all")
+          .when(size(col("avail")) === 2, "quorum")
+          .otherwise("one").as("cl"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repair_diff" -> (repairDiff _),
     "repair_apply" -> (repairApply _),
     "read_repair" -> (readRepair _),
-    "hint_replay" -> (hintReplay _)
+    "hint_replay" -> (hintReplay _),
+    "consistency_quorum" -> (consistencyQuorum _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,6 +330,56 @@ object Repair extends QueryGroup {
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts <  TIMESTAMP '2024-01-12 00:00:00'
         AND event_id NOT IN (SELECT event_id FROM direct)
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+    // Three replica windows, two chained full-outer joins, then the
+    // SAME list merge the engine does: sort the non-null states (the
+    // (ts, event_id)-led struct order) and take the last. Stale count
+    // compares each replica's state against the winner null-safely.
+    "consistency_quorum" -> """
+      WITH ra AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 7 <> 0),
+      rb AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 11 <> 0),
+      rc AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 13 <> 0),
+      j AS (
+        SELECT COALESCE(a.user_id, b.user_id, c.user_id) AS user_id,
+          CASE WHEN a.user_id IS NULL THEN NULL ELSE
+            {'ts': a.ts, 'event_id': a.event_id,
+             'event_type': a.event_type, 'value': a.value} END AS sa,
+          CASE WHEN b.user_id IS NULL THEN NULL ELSE
+            {'ts': b.ts, 'event_id': b.event_id,
+             'event_type': b.event_type, 'value': b.value} END AS sb,
+          CASE WHEN c.user_id IS NULL THEN NULL ELSE
+            {'ts': c.ts, 'event_id': c.event_id,
+             'event_type': c.event_type, 'value': c.value} END AS sc
+        FROM (SELECT * FROM ra WHERE rn = 1) a
+        FULL JOIN (SELECT * FROM rb WHERE rn = 1) b ON a.user_id = b.user_id
+        FULL JOIN (SELECT * FROM rc WHERE rn = 1) c
+          ON COALESCE(a.user_id, b.user_id) = c.user_id),
+      m AS (
+        SELECT user_id, sa, sb, sc,
+          list_sort(list_filter([sa, sb, sc], x -> x IS NOT NULL)) AS avail
+        FROM j)
+      SELECT user_id,
+        avail[-1].event_id AS event_id,
+        avail[-1].event_type AS event_type,
+        avail[-1].value AS value,
+        CAST(len(avail) AS BIGINT) AS replies,
+        CAST(3 - len(list_filter([sa, sb, sc],
+          x -> x IS NOT DISTINCT FROM avail[-1])) AS BIGINT) AS n_stale,
+        CASE len(avail) WHEN 3 THEN 'all' WHEN 2 THEN 'quorum'
+          ELSE 'one' END AS cl
+      FROM m WHERE len(avail) >= 1
+      ORDER BY user_id"""
   )
 }

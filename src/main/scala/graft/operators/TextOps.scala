@@ -534,7 +534,66 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global shuffle — reproducible training-data order.
+    * Epoch order must be a pure function of (seed, doc_id): identical
+    * across re-runs, cluster sizes and input layouts, so a run can be
+    * resumed or replayed bit-for-bit. Order key = md5(seed ":" id);
+    * the global position is computed WITHOUT a global window (which
+    * would funnel 100 TB through one task): phase 1 buckets rows by
+    * the first 16 bits of the key and collects the ≤65536 per-bucket
+    * counts to the driver (bounded at ANY data size — same discipline
+    * as the BPE merge table); phase 2 takes a per-bucket row_number
+    * and adds the broadcast cumulative offset. One shuffle on the
+    * bucket, ~1.5 GB per bucket at 100 TB, no driver bottleneck. */
+  def shuffleDeterministic(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val seed = "42"
+    val bucketed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("b", conv(substring(col("skey"), 1, 4), 16, 10).cast("int"))
+    val counts = bucketed.groupBy("b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    bucketed
+      .join(broadcast(offsets.toDF("b", "off")), "b")
+      .withColumn("position", (col("off") +
+        row_number().over(Window.partitionBy("b").orderBy("skey", "doc_id")))
+        .cast("long"))
+      .select("doc_id", "skey", "position")
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-size overlapping chunking — the RAG / context-window prep
+    * stage: each document's whitespace tokens split into windows of
+    * [[ChunkWindow]] tokens every [[ChunkStride]] (16-token overlap
+    * carries context across boundaries). Pure row-local explode — a
+    * narrow plan with NO shuffle at any scale; chunk identity is
+    * (doc_id, chunk_id) and the emitted surface is the chunk's md5,
+    * offsets and length, so the row stays small however long the
+    * source text is. */
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("start",
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(col("n") - col("start"), lit(ChunkWindow)).cast("long")
+          .as("chunk_len"),
+        md5(array_join(slice(col("w"), col("start") + 1, lit(ChunkWindow)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shuffle_deterministic" -> (shuffleDeterministic _),
+    "chunk_documents" -> (chunkDocuments _),
     "text_contamination" -> (textContamination _),
     "text_pii_scrub" -> (textPiiScrub _),
     "pipeline_curation" -> (pipelineCuration _),
@@ -557,6 +616,25 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // The two-phase bucketed rank must equal the plain global rank.
+    "shuffle_deterministic" -> """
+      SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey,
+        ROW_NUMBER() OVER (
+          ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS position
+      FROM documents ORDER BY doc_id""",
+    "chunk_documents" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      s AS (
+        SELECT doc_id, w, len(w) AS n,
+               unnest(generate_series(0, len(w) - 1, 48)) AS start
+        FROM t)
+      SELECT doc_id, start // 48 AS chunk_id, start,
+        least(n - start, 64) AS chunk_len,
+        md5(coalesce(array_to_string(w[start + 1 : start + 64], ' '), ''))
+          AS chunk_md5
+      FROM s ORDER BY doc_id, chunk_id""",
     "text_contamination" -> """
       WITH all_docs AS (
         SELECT doc_id, text FROM documents

@@ -55,7 +55,11 @@ class DeterminismSpec extends SparkSpec {
     "read_repair", "dedup_delta", "hint_replay",
     "ring_rebalance", "ring_decommission",
     // the per-row top-k join in both its exact and banded forms
-    "sim_knn_join", "sim_knn_join_lsh")
+    "sim_knn_join", "sim_knn_join_lsh",
+    // late round 7: the two-phase bucketed global rank (offset map is
+    // collected — layout must not leak into positions), the row-local
+    // chunk explode, and the RF=3 LWW merge with reply accounting
+    "shuffle_deterministic", "chunk_documents", "consistency_quorum")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -481,4 +481,76 @@ class KernelSpec extends SparkSpec {
     assert(dirty > 0 && dirty < total,
       s"divergence did not localize: $dirty dirty of $total buckets")
   }
+
+  test("consistency_quorum: LWW winner, reply count and stale accounting per key") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quorum").toString
+    // Replica misses: A drops id%7==0, B id%11==0, C id%13==0.
+    // user 1: newest 7 missed by A only → winner 7, 1 stale, CL all
+    // user 2: newest 77 missed by A AND B (both fall back to 2) →
+    //         winner 77 via LWW even though the STALE state has the
+    //         majority — the Cassandra reconcile is timestamp, not vote
+    // user 3: only event 77 → A and B have no row → replies 1, CL one
+    // user 4: only event 1001 (7·11·13) → no replica replies → absent
+    // user 5: events 3, 4 → everyone agrees on 4 → 0 stale
+    // user 6: only event 7 → A empty → replies 2, CL quorum
+    Seq(
+      (7L,    "2024-01-02 00:00:00", 1L, "click", 1.0, "{}"),
+      (1L,    "2024-01-01 00:00:00", 1L, "view",  2.0, "{}"),
+      (77L,   "2024-01-02 00:00:00", 2L, "click", 3.0, "{}"),
+      (2L,    "2024-01-01 00:00:00", 2L, "view",  4.0, "{}"),
+      (77L,   "2024-01-02 00:00:00", 3L, "click", 5.0, "{}"),
+      (1001L, "2024-01-02 00:00:00", 4L, "click", 6.0, "{}"),
+      (3L,    "2024-01-01 00:00:00", 5L, "view",  7.0, "{}"),
+      (4L,    "2024-01-02 00:00:00", 5L, "click", 8.0, "{}"),
+      (7L,    "2024-01-02 00:00:00", 6L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Repair.consistencyQuorum(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(got == Map(
+      1L -> ((7L, 3L, 1L, "all")),
+      2L -> ((77L, 3L, 2L, "all")),
+      3L -> ((77L, 1L, 2L, "one")),
+      5L -> ((4L, 3L, 0L, "all")),
+      6L -> ((7L, 2L, 1L, "quorum"))), got.toString)
+  }
+
+  test("shuffle_deterministic: bucketed two-phase rank equals the global rank") {
+    val rows = graft.operators.TextOps.shuffleDeterministic(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // positions are exactly the permutation 1..n
+    assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // and agree with a driver-side global sort by (skey, doc_id)
+    val expected = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, _, pos) =>
+      assert(pos == expected(id), s"doc $id: $pos vs ${expected(id)}") }
+  }
+
+  test("chunk_documents: window/stride placement, tail clamp, overlap carry") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    val toks = (0 until 100).map(i => s"t$i")
+    Seq((1L, toks.mkString(" "), "en", "web", 1L),
+        (2L, (0 until 10).map(i => s"u$i").mkString(" "), "en", "web", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = graft.operators.TextOps.chunkDocuments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: 100 tokens → starts 0/48/96, lens 64/52/4; chunk 1 overlaps
+    // chunk 0 by 16 tokens (the context carry); the tail clamps to 4.
+    assert(got == Map(
+      (1L, 0L) -> ((0L, 64L, md5hex(toks.slice(0, 64).mkString(" ")))),
+      (1L, 1L) -> ((48L, 52L, md5hex(toks.slice(48, 100).mkString(" ")))),
+      (1L, 2L) -> ((96L, 4L, md5hex(toks.slice(96, 100).mkString(" ")))),
+      (2L, 0L) -> ((0L, 10L,
+        md5hex((0 until 10).map(i => s"u$i").mkString(" "))))), got.toString)
+  }
 }
