@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Text
+
+/** Full-text relevance search over `documents` — the DSE-Search /
+  * SASI-index surface of the reference (keyword queries answered by an
+  * inverted index + relevance ranking), re-expressed Spark-first: the
+  * "index build" IS the postings aggregation (one shuffle keyed on
+  * (doc, term), volume bounded by docs-containing-query-terms, never
+  * corpus size), document frequencies are a tiny broadcast, scoring is
+  * row-local arithmetic, and the per-query top-k runs through
+  * WindowGroupLimit so only k rows per query survive each partition.
+  *
+  * Scoring is BM25 (k1 = 1.2, b = 0.75) with the RATIONAL idf
+  * `(N − df + ½)/(df + ½)` — the Robertson–Spärck-Jones odds ratio
+  * without the log. It is a monotone transform of the classic
+  * `ln(1 + ·)` idf per term (identical single-term ranking, slightly
+  * more weight on rare terms in multi-term sums) chosen because it
+  * keeps every arithmetic step an IEEE-754 operation on exactly
+  * representable integers: with k1 = 6/5 and b = 3/4 the whole term
+  * score reduces to one integer-product ratio,
+  *
+  *   score(t,d) = 44·tf·(2N − 2df + 1)·ΣD
+  *              / [(2df + 1)·(20·tf·ΣD + 6·ΣD + 18·dl·N)]
+  *
+  * (ΣD = total corpus tokens, dl = doc length), so Spark and DuckDB
+  * compute bit-identical doubles from the same formula string — the
+  * oracle hash-matches with no float tolerance. Per-term scores are
+  * quantized to longs (×10¹²) before the per-doc sum so the sum is
+  * order-independent on any partition layout.
+  */
+object Search extends QueryGroup {
+
+  /** The benchmark query set: three keyword queries over the fixture
+    * vocabulary. Literal and tiny — broadcast, never shuffled. */
+  private val QueryTerms: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "stream", 1 -> "join",
+    2 -> "vector", 2 -> "hash",
+    3 -> "customer", 3 -> "order", 3 -> "query")
+  private val TermSet: Seq[String] = QueryTerms.map(_._2).distinct
+  private val TopK = 10
+
+  /** The BM25 term-score formula, shared VERBATIM between the Spark
+    * plan (`expr`) and the DuckDB oracle so both engines parse the
+    * same precedence/associativity and produce identical IEEE doubles.
+    * Free identifiers: tf, df, dl, n_docs, sum_dl (all BIGINT). */
+  private val TermScoreSql: String =
+    """(44e0 * tf * (2e0 * n_docs - 2e0 * df + 1e0) * sum_dl) /
+       ((2e0 * df + 1e0) *
+        (20e0 * tf * sum_dl + 6e0 * sum_dl + 18e0 * dl * n_docs))"""
+
+  /** tf per (doc_id, term) restricted to the query vocabulary, plus
+    * doc length — the postings list. The only corpus-sized work: one
+    * explode + filter (row-local) and one aggregate keyed on
+    * (doc_id, term). */
+  private def postings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .filter(col("term").isin(TermSet: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Top-10 documents per keyword query, BM25-ranked. */
+  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val post = postings(s, dir)
+    val stats = Tables.documents(s, dir)
+      .select(size(Text.words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val terms = QueryTerms.toDF("query_id", "term")
+    val rank = Window.partitionBy("query_id")
+      .orderBy(col("sq").desc, col("doc_id"))
+    post
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(terms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sq", floor(expr(TermScoreSql) * lit(1e12)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("sq").as("sq"), count(lit(1)).cast("long").as("n_terms"))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("doc_id"), (col("sq").cast("double") / lit(1e12)).as("score"),
+        col("n_terms"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Boolean AND retrieval — the SASI-index lookup without ranking:
+    * documents containing EVERY term of the query. Rides the same
+    * postings aggregate; a doc qualifies when its distinct matched
+    * terms count equals the query's term count. */
+  def searchMatchAll(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val terms = QueryTerms.toDF("query_id", "term")
+    val need = QueryTerms.groupBy(_._1).map { case (q, ts) => q -> ts.size }
+    val needed = need.toSeq.toDF("query_id", "n_need")
+    postings(s, dir)
+      .join(broadcast(terms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct("term").cast("long").as("n_hit"),
+        sum("tf").cast("long").as("total_tf"))
+      .join(broadcast(needed), "query_id")
+      .filter(col("n_hit") === col("n_need"))
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("total_tf"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25" -> (searchBm25 _),
+    "search_match_all" -> (searchMatchAll _)
+  )
+
+  private val TermsValues: String =
+    QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+  private val TermInList: String =
+    TermSet.map(t => s"'$t'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    // Same formula string, same quantize-then-exact-sum discipline.
+    "search_bm25" -> s"""
+      WITH dd AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
+               string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+      post AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+        WHERE term IN ($TermInList)
+        GROUP BY 1, 2, 3),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      terms(query_id, term) AS (VALUES $TermsValues),
+      scored AS (
+        SELECT t.query_id, p.doc_id,
+               CAST(floor(($TermScoreSql) * 1e12) AS BIGINT) AS sq
+        FROM post p
+        JOIN dfreq USING (term) JOIN terms t USING (term) CROSS JOIN stats),
+      perdoc AS (
+        SELECT query_id, doc_id, sum(sq) AS sq,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM scored GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, sq, n_terms,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sq DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM perdoc)
+      SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+             CAST(sq AS DOUBLE) / 1e12 AS score, n_terms
+      FROM ranked WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+    "search_match_all" -> s"""
+      WITH dd AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
+               string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      post AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM dd)
+        WHERE term IN ($TermInList)
+        GROUP BY 1, 2),
+      terms(query_id, term) AS (VALUES $TermsValues),
+      need AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_need
+        FROM terms GROUP BY 1),
+      hits AS (
+        SELECT t.query_id, p.doc_id,
+               CAST(count(DISTINCT p.term) AS BIGINT) AS n_hit,
+               CAST(sum(p.tf) AS BIGINT) AS total_tf
+        FROM post p JOIN terms t USING (term)
+        GROUP BY 1, 2)
+      SELECT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id, h.total_tf
+      FROM hits h JOIN need USING (query_id)
+      WHERE n_hit = n_need
+      ORDER BY query_id, doc_id"""
+  )
+}

@@ -59,7 +59,10 @@ class DeterminismSpec extends SparkSpec {
     // late round 7: the two-phase bucketed global rank (offset map is
     // collected — layout must not leak into positions), the row-local
     // chunk explode, and the RF=3 LWW merge with reply accounting
-    "shuffle_deterministic", "chunk_documents", "consistency_quorum")
+    "shuffle_deterministic", "chunk_documents", "consistency_quorum",
+    // BM25 ranking: quantized per-term longs summed per doc — the rank
+    // must not depend on which partition summed first
+    "search_bm25", "search_match_all")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -553,4 +553,53 @@ class KernelSpec extends SparkSpec {
       (2L, 0L) -> ((0L, 10L,
         md5hex((0 until 10).map(i => s"u$i").mkString(" "))))), got.toString)
   }
+
+  test("search_bm25: independent BM25 reimplementation on a known corpus") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    val texts = Map(
+      1L -> "spark stream join spark", // all three q1 terms, spark twice
+      2L -> "spark table",             // one q1 term, short doc
+      3L -> "join join join stream",   // high tf join, no spark
+      4L -> "vector")                  // q2 term only
+    texts.toSeq.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // The formula recomputed in plain Scala doubles, same association
+    // order as the shared SQL string (left-assoc products).
+    val n = 4.0
+    val sumdl = texts.values.map(_.split(" ").length).sum.toDouble
+    def dfOf(t: String) = texts.values.count(_.split(" ").contains(t)).toDouble
+    def tscore(tf: Double, df: Double, dl: Double) =
+      (44.0 * tf * (2.0 * n - 2.0 * df + 1.0) * sumdl) /
+        ((2.0 * df + 1.0) * (20.0 * tf * sumdl + 6.0 * sumdl + 18.0 * dl * n))
+    def score(docId: Long, terms: Seq[String]): Double = {
+      val w = texts(docId).split(" ")
+      val sq = terms.flatMap { t =>
+        val tf = w.count(_ == t)
+        if (tf == 0) None
+        else Some(math.floor(tscore(tf, dfOf(t), w.length) * 1e12).toLong)
+      }.sum
+      sq.toDouble / 1e12
+    }
+    val q1 = Seq("spark", "stream", "join")
+    val got = graft.operators.Search.searchBm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4))))
+    val forQ1 = got.collect { case ((1L, rank), v) => rank -> v }.toMap
+    // doc 1 matches all three terms, doc 3 two, doc 2 one; exact scores
+    // from the independent reimplementation, bit-for-bit.
+    assert(forQ1 == Map(
+      1L -> ((1L, score(1L, q1), 3L)),
+      2L -> ((3L, score(3L, q1), 2L)),
+      3L -> ((2L, score(2L, q1), 1L))), forQ1.toString)
+    assert(score(1L, q1) > score(3L, q1) && score(3L, q1) > score(2L, q1))
+    // q2 = (vector, hash): doc 4 matches vector only; q3 matches nothing
+    val q2q3 = got.collect { case ((q, _), v) if q != 1L => q -> v._1 }.toSet
+    assert(q2q3 == Set(2L -> 4L), q2q3.toString)
+    // boolean AND: only doc 1 has every q1 term; no doc satisfies q2/q3
+    val andGot = graft.operators.Search.searchMatchAll(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(andGot == Set((1L, 1L, 4L)), andGot.toString)
+  }
 }
