@@ -75,7 +75,13 @@ object Search extends QueryGroup {
       .select(size(Text.words(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("dl").cast("long").as("sum_dl"))
-    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    // df references tf (vacuously — tf ≥ 1 by construction) so column
+    // pruning can NOT drop the tf aggregate from this branch: both
+    // consumers of `post` then canonicalize to the SAME subtree and
+    // ReuseExchange materializes the postings shuffle once instead of
+    // exploding the corpus a second time (PlanSpec asserts the reuse).
+    val dfreq = post.groupBy("term")
+      .agg(count(when(col("tf") > 0, 1)).cast("long").as("df"))
     val terms = QueryTerms.toDF("query_id", "term")
     val rank = Window.partitionBy("query_id")
       .orderBy(col("sq").desc, col("doc_id"))

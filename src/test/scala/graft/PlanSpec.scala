@@ -280,6 +280,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("sim_knn_join_lsh").contains("WindowGroupLimit"))
   }
 
+  test("search_bm25: WindowGroupLimit top-k, broadcast df/terms/stats, postings exchange reused") {
+    val df = SparkEntry.queries("search_bm25")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // per-query top-k must not sort every scored doc at full width
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    // df / query-terms / corpus-stats are all broadcast, never shuffled
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // the postings shuffle must be materialized ONCE and reused for
+    // the df aggregate — not recomputed by exploding the corpus again
+    val reused = "ReusedExchange".r.findAllIn(p).size
+    assert(reused >= 1, s"postings recomputed ($reused reused exchanges)\n${p.take(1500)}")
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
