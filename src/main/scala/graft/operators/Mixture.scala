@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Text
+
+/** Corpus-assembly stages of a pre-training pipeline: carving a fixed
+  * token budget out of a shuffled corpus, and scheduling a weighted
+  * mixture across sources. Both are ORDERING problems at 100 TB, and
+  * both use the same discipline as `shuffle_deterministic`: the order
+  * key is a pure function of (seed, doc_id) — md5("42:" + id) — and
+  * any global rank/prefix-sum is computed two-phase (bucket by the
+  * key's first 16 bits, collect the ≤65536 bounded per-bucket totals,
+  * broadcast cumulative offsets, finish with a per-bucket window) so
+  * NO global single-task window exists at any data size.
+  */
+object Mixture extends QueryGroup {
+
+  private val Seed = "42"
+  private def skeyCol = md5(concat_ws(":", lit(Seed), col("doc_id").cast("string")))
+  private def bucketCol = conv(substring(col("skey"), 1, 4), 16, 10).cast("int")
+
+  /** Token-budget subset — "give me the first N tokens of the shuffled
+    * corpus, reproducibly": documents in deterministic shuffle order,
+    * kept while the running token total fits the budget. The running
+    * total is a distributed prefix sum: phase 1 aggregates per-bucket
+    * token counts (bounded at 65536 rows, collected + broadcast as
+    * cumulative offsets), phase 2 adds a per-bucket running window.
+    * The kept set is a clean prefix: the first document that would
+    * cross the budget blocks everything after it. */
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val budget = 10000L
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), skeyCol.as("skey"),
+        size(Text.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("b", bucketCol)
+    val counts = base.groupBy("b").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    base
+      .join(broadcast(offsets.toDF("b", "off")), "b")
+      .withColumn("cum_end", col("off") +
+        sum("n_tokens").over(Window.partitionBy("b").orderBy("skey", "doc_id")))
+      .filter(col("cum_end") <= budget)
+      .select("doc_id", "skey", "n_tokens", "cum_end")
+      .orderBy("doc_id")
+  }
+
+  /** Weighted mixture schedule — the "sample source A 4× as often as
+    * source C" interleave of pre-training data loading, as a
+    * deterministic ordering: each document gets a per-source shuffle
+    * rank r (two-phase, bucketed WITHIN source so a 90%-of-corpus
+    * source never funnels through one task) and a virtual time r/w.
+    * Merging all sources by vtime yields the weighted round-robin
+    * order; weights are powers of two so every vtime is an exact
+    * double and the schedule is bit-reproducible anywhere. */
+  def mixSources(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val weight = when(col("source") === "src0", lit(4.0))
+      .when(col("source") === "src1", lit(2.0)).otherwise(lit(1.0))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), skeyCol.as("skey"))
+      .withColumn("b", bucketCol)
+    val counts = base.groupBy("source", "b").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+    // per-source cumulative offsets: each (source, bucket)'s offset is
+    // the count of that source's rows in all LOWER buckets
+    val offsets = counts.groupBy(_._1._1).toSeq.flatMap { case (_, cs) =>
+      val sorted = cs.sortBy(_._1._2)
+      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _))
+        .map { case ((src, b), off) => (src, b, off) }
+    }
+    base
+      .join(broadcast(offsets.toDF("source", "b", "off")), Seq("source", "b"))
+      .withColumn("r", (col("off") + row_number().over(
+        Window.partitionBy("source", "b").orderBy("skey", "doc_id"))).cast("long"))
+      .withColumn("vtime", col("r").cast("double") / weight)
+      .select("doc_id", "source", "r", "vtime")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (sampleTokenBudget _),
+    "mix_sources" -> (mixSources _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Plain global running sum over the same shuffle order.
+    "sample_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id,
+               md5('42:' || CAST(doc_id AS VARCHAR)) AS skey,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, skey, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY skey, doc_id) AS cum_end
+        FROM t)
+      SELECT doc_id, skey, n_tokens, CAST(cum_end AS BIGINT) AS cum_end
+      FROM c WHERE cum_end <= 10000 ORDER BY doc_id""",
+    // Plain per-source ROW_NUMBER over the same order; weights are
+    // powers of two so r/w is exact in both engines.
+    "mix_sources" -> """
+      WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents)
+      SELECT doc_id, source, CAST(r AS BIGINT) AS r,
+             CAST(r AS DOUBLE) /
+               (CASE source WHEN 'src0' THEN 4e0 WHEN 'src1' THEN 2e0
+                ELSE 1e0 END) AS vtime
+      FROM r ORDER BY doc_id"""
+  )
+}

@@ -62,7 +62,9 @@ class DeterminismSpec extends SparkSpec {
     "shuffle_deterministic", "chunk_documents", "consistency_quorum",
     // BM25 ranking: quantized per-term longs summed per doc — the rank
     // must not depend on which partition summed first
-    "search_bm25", "search_match_all")
+    "search_bm25", "search_match_all",
+    // two-phase prefix sum / per-source rank — offset maps collected
+    "sample_token_budget", "mix_sources")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -602,4 +602,49 @@ class KernelSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(andGot == Set((1L, 1L, 4L)), andGot.toString)
   }
+
+  test("sample_token_budget: clean prefix in shuffle order, boundary doc excluded") {
+    val rows = graft.operators.Mixture.sampleTokenBudget(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every kept doc's cumulative end fits the budget
+    assert(rows.forall(_._4 <= 10000L))
+    // the kept set is EXACTLY the budget-fitting prefix of the global
+    // (skey, doc_id) order: recompute driver-side and compare ids
+    val all = graft.core.Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions
+          .concat_ws(":", org.apache.spark.sql.functions.lit("42"),
+            org.apache.spark.sql.functions.col("doc_id").cast("string"))).as("skey"),
+        org.apache.spark.sql.functions.size(
+          Text.words(org.apache.spark.sql.functions.col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val expected = all.scanLeft((0L, 0L, "", 0L)) { case ((_, cum, _, _), (id, k, n)) =>
+      (id, cum + n, k, n) }.tail.takeWhile(_._2 <= 10000L)
+      .map(t => (t._1, t._3, t._4, t._2))
+    assert(rows.sortBy(t => (t._2, t._1)).toSeq == expected.toSeq)
+    // and the cut is real: the full corpus exceeds the budget
+    assert(all.map(_._3).sum > 10000L)
+  }
+
+  test("mix_sources: per-source ranks are dense permutations, vtime = r/w exact") {
+    val rows = graft.operators.Mixture.mixSources(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = rows.groupBy(_._2)
+    for ((src, rs) <- bySrc) {
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$src ranks not a dense permutation")
+      val w = src match { case "src0" => 4.0; case "src1" => 2.0; case _ => 1.0 }
+      assert(rs.forall(t => t._4 == t._3 / w), s"$src vtime mismatch")
+    }
+    // weighted round-robin property: in vtime order, src0 appears ~4x
+    // as often as an unweighted source within the first positions
+    val firstN = rows.sortBy(t => (t._4, t._2)).take(100)
+    val c0 = firstN.count(_._2 == "src0")
+    val cOther = bySrc.keys.filter(s => s != "src0" && s != "src1")
+      .map(s => firstN.count(_._2 == s)).maxOption.getOrElse(0)
+    assert(c0 > 2 * cOther, s"src0 $c0 vs other $cOther in first 100")
+  }
 }
