@@ -30,9 +30,23 @@ import graft.functions.Text
   *
   * (ΣD = total corpus tokens, dl = doc length), so Spark and DuckDB
   * compute bit-identical doubles from the same formula string — the
-  * oracle hash-matches with no float tolerance. Per-term scores are
-  * quantized to longs (×10¹²) before the per-doc sum so the sum is
-  * order-independent on any partition layout.
+  * oracle hash-matches with no float tolerance. The raw term score
+  * grows like ~1.5·N (tf=1, df=1 ⇒ idf ≈ ⅔N), so it is NORMALIZED by
+  * n_docs before quantization: the normalized score lives in
+  * [0, ~1.5] at ANY corpus size, and the ×10¹² long quantization has
+  * fixed headroom (≤8 query terms ⇒ |sq-sum| ≤ 1.2e13 ≪ 2^63) — no
+  * saturating-cast divergence between Spark (non-ANSI, saturates) and
+  * DuckDB (raises) is reachable. Normalization by a per-query
+  * constant preserves ranking exactly. Per-term scores are quantized
+  * to longs before the per-doc sum so the sum is order-independent on
+  * any partition layout.
+  *
+  * Scale shape: NO broadcast hints — dfreq (≤ query-vocab rows) and
+  * stats (1 row) are data-dependent aggregates, and the project
+  * invariant (PlanSpec, VERDICT r2 #4) is that such relations are
+  * never force-broadcast; AQE sees their runtime size and broadcasts
+  * them on its own, while ReuseExchange still materializes the
+  * postings shuffle once for both consumers.
   */
 object Search extends QueryGroup {
 
@@ -50,9 +64,9 @@ object Search extends QueryGroup {
     * same precedence/associativity and produce identical IEEE doubles.
     * Free identifiers: tf, df, dl, n_docs, sum_dl (all BIGINT). */
   private val TermScoreSql: String =
-    """(44e0 * tf * (2e0 * n_docs - 2e0 * df + 1e0) * sum_dl) /
+    """((44e0 * tf * (2e0 * n_docs - 2e0 * df + 1e0) * sum_dl) /
        ((2e0 * df + 1e0) *
-        (20e0 * tf * sum_dl + 6e0 * sum_dl + 18e0 * dl * n_docs))"""
+        (20e0 * tf * sum_dl + 6e0 * sum_dl + 18e0 * dl * n_docs))) / n_docs"""
 
   /** tf per (doc_id, term) restricted to the query vocabulary, plus
     * doc length — the postings list. The only corpus-sized work: one
@@ -86,9 +100,9 @@ object Search extends QueryGroup {
     val rank = Window.partitionBy("query_id")
       .orderBy(col("sq").desc, col("doc_id"))
     post
-      .join(broadcast(dfreq), "term")
+      .join(dfreq, "term")
       .join(broadcast(terms), "term")
-      .crossJoin(broadcast(stats))
+      .crossJoin(stats)
       .withColumn("sq", floor(expr(TermScoreSql) * lit(1e12)).cast("long"))
       .groupBy("query_id", "doc_id")
       .agg(sum("sq").as("sq"), count(lit(1)).cast("long").as("n_terms"))
