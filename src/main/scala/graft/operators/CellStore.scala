@@ -78,17 +78,25 @@ object CellStore extends QueryGroup {
     * oracle states the postcondition directly on `events`. At scale:
     * union of co-sorted runs + ONE keyed window — the merge itself is
     * the shuffle, tombstone GC is row-local. */
+  private val compactionRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def compactGenerations(s: SparkSession, dir: String): DataFrame = {
     val gcGrace = "2024-01-10 00:00:00"
-    val root = RunId.scratchKeyed("compaction/events_gen", dir)
-    val ev = Tables.events(s, dir)
-      .select("user_id", "event_id", "event_type", "value", "ts")
-    (0 until 3).foreach { g =>
-      ev.filter(pmod(col("event_id"), lit(3)) === g)
-        .repartition(col("user_id"))
-        .sortWithinPartitions("user_id", "ts")
-        .write.mode("overwrite").parquet(s"$root/g$g")
-    }
+    // layout built once per (JVM, dir) — a second call must not race a
+    // still-lazy reader of the first call's parquet with an overwrite
+    val root = compactionRoots.getOrElseUpdate(dir, {
+      val r = RunId.scratchKeyed("compaction/events_gen", dir)
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+      (0 until 3).foreach { g =>
+        ev.filter(pmod(col("event_id"), lit(3)) === g)
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "ts")
+          .write.mode("overwrite").parquet(s"$r/g$g")
+      }
+      r
+    })
     val merged = s.read.parquet((0 until 3).map(g => s"$root/g$g"): _*)
     Lww.latest(merged, Seq("user_id"),
         Seq(col("ts").desc, col("event_id").desc))
@@ -105,13 +113,19 @@ object CellStore extends QueryGroup {
     * cell expired by T acts as a tombstone at T even if a later read
     * time would long have purged it). The consistency-point read a
     * repair/debug workflow does against a wide-column store. */
+  private val snapPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def scanSnapshot(s: SparkSession, dir: String): DataFrame = {
     val T = "2024-01-10 00:00:00"
-    val path = RunId.scratchKeyed("cell_store/events_cells_snap", dir)
-    cellTable(s, dir)
-      .repartition(col("user_id"))
-      .sortWithinPartitions("user_id", "event_type", "_writetime")
-      .write.mode("overwrite").parquet(path)
+    val path = snapPaths.getOrElseUpdate(dir, {
+      val p = RunId.scratchKeyed("cell_store/events_cells_snap", dir)
+      cellTable(s, dir)
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "event_type", "_writetime")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
     val stored = s.read.parquet(path)
       .filter(col("_writetime") <= unix_micros(lit(T).cast("timestamp")))
     Lww.latest(stored, Seq("user_id", "event_type"),

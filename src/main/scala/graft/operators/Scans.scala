@@ -209,12 +209,17 @@ object Scans extends QueryGroup {
       // skewed, the range partitioner's equal-frequency cuts then stop
       // aligning with bit boundaries, and the rectangles degrade
       // (measured: a 25% date slice decoded ~50% unscaled vs ~25% scaled).
-      val (maxKey, maxD) = {
-        val r = base.agg(max("l_orderkey"),
-          max(datediff(col("l_shipdate"), lit("1995-01-01")))).head()
-        (r.getLong(0), r.getInt(1).toLong)
+      // epoch = min(l_shipdate) from the same bounded agg, so d ≥ 0 by
+      // construction — a fixed epoch would sign-extend into every
+      // interleaved bit (one max-Morton rectangle) if the fixture's
+      // date floor ever moved below it
+      val (maxKey, epoch, maxD) = {
+        val r = base.agg(max("l_orderkey"), min("l_shipdate"),
+          max("l_shipdate")).head()
+        val lo = r.getDate(1).toLocalDate
+        (r.getLong(0), lo.toString, r.getDate(2).toLocalDate.toEpochDay - lo.toEpochDay)
       }
-      val d = floor(datediff(col("l_shipdate"), lit("1995-01-01")) *
+      val d = floor(datediff(col("l_shipdate"), lit(epoch)) *
         4096L / (maxD + 1)).cast("long")
       val ob = floor(col("l_orderkey") * 4096L / (maxKey + 1)).cast("long")
       val morton = (0 until 12).map { i =>
