@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Text
+
+/** LM-perplexity quality gate — the canonical CCNet-style corpus
+  * filter (score each document under an n-gram language model trained
+  * on the corpus itself; gibberish, OCR noise and boilerplate-free
+  * junk score high-perplexity and are dropped). This is the one
+  * member of the quality family (heuristic / repetition / rarity /
+  * learned classifier) that ranks documents by an actual language
+  * model rather than surface statistics.
+  *
+  * Model: add-1 smoothed word TRIGRAM LM over a 1024-word vocabulary
+  * with `<unk>` for out-of-vocab words and `<s>` left-padding, trained
+  * on the deterministic split `doc_id % 5 != 0` and scored over ALL
+  * documents:  p(w3 | w1 w2) = (c3 + 1) / (c2 + V),  V = 1026.
+  *
+  * Determinism discipline (the search_bm25 precedent): each trigram's
+  * log-prob is quantized to a long, `floor(ln(p)·1e6)`, BEFORE the
+  * per-doc sum, so the sum is order-independent on any partition
+  * layout; the per-doc average is one double division + floor. The
+  * quantized-ln surface is empirically exact across engines — Java
+  * Math.log / StrictMath.log and DuckDB's ln differ by ≤1 ulp on these
+  * rationals, which never moves a ×1e6 floor (probed over 300k
+  * (c3, c2) pairs) — so the oracle shares the formula string verbatim
+  * and hash-matches with no float tolerance.
+  *
+  * Scale shape: vocab is the ONLY driver-side state (top-1024 word
+  * counts, the tokenize_bpe bounded-aggregate discipline; ties broken
+  * by word so the table is unique). The trigram model itself stays
+  * DISTRIBUTED — c3/c2 are relations joined on their n-gram keys,
+  * never collected or broadcast by hint (AQE may broadcast them when
+  * runtime-small). Work is one doc_id window over the token stream
+  * (its exchange is materialized once and reused by the training
+  * branch), one partial-aggregable trigram count, two linear joins
+  * keyed on (w1,w2,w3)/(w1,w2), and one per-doc aggregate — all
+  * corpus-linear, no driver-side model at any corpus size.
+  */
+object Perplexity extends QueryGroup {
+
+  private val VocabK = 1024
+  /** Smoothing denominator: vocab + `<unk>` + `<s>`. */
+  private val V = 1026
+  /** Keep threshold on the quantized avg neg log-prob (×1e6 nats per
+    * trigram); e^6.3 ≈ perplexity 545 — drops the high-perplexity
+    * tail (~16% of the fixture), the CCNet "tail" bucket. */
+  private val KeepQ = 6300000L
+
+  /** Per-trigram quantized log-prob, shared VERBATIM with the DuckDB
+    * oracle. Free identifiers: c3v, c2v (coalesced BIGINT counts). */
+  private val LqSql: String =
+    s"floor(ln((c3v + 1.0e0) / (c2v + $V.0e0)) * 1e6)"
+  /** Per-doc quantized average; free identifiers sum_lq, n_tri. */
+  private val AvgSql: String =
+    "floor(-cast(sum_lq as double) / n_tri)"
+
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(Text.words(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    // bounded vocab: top-1024 training-split words, count-desc / word-asc
+    val vocab: Seq[String] = tok
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(VocabK)
+      .collect().map(_.getString(0)).toSeq
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val tri = tok
+      .withColumn("w3", when(col("w").isin(vocab: _*), col("w")).otherwise("<unk>"))
+      .withColumn("w2", lag(col("w3"), 1, "<s>").over(byPos))
+      .withColumn("w1", lag(col("w3"), 2, "<s>").over(byPos))
+      .select("doc_id", "w1", "w2", "w3")
+    val c3 = tri.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("c3"))
+    // context counts derived from c3 (model-sized input, not the stream)
+    val c2 = c3.groupBy("w1", "w2").agg(sum("c3").cast("long").as("c2"))
+    tri
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .withColumn("c3v", coalesce(col("c3"), lit(0L)))
+      .withColumn("c2v", coalesce(col("c2"), lit(0L)))
+      .withColumn("lq", expr(LqSql).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tri"), sum("lq").as("sum_lq"))
+      .withColumn("avg_nlq", expr(AvgSql).cast("long"))
+      .withColumn("keep", col("avg_nlq") <= KeepQ)
+      .select("doc_id", "n_tri", "sum_lq", "avg_nlq", "keep")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (textPerplexity _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same split, same vocab rule, same formula strings.
+    "text_perplexity" -> s"""
+      WITH dd AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': w[i]}
+                       FOR i IN range(1, len(w) + 1)], recursive := true)
+        FROM dd),
+      vocab AS (
+        SELECT w FROM (
+          SELECT w, count(*) AS c FROM tok WHERE doc_id % 5 <> 0
+          GROUP BY w ORDER BY c DESC, w ASC LIMIT $VocabK)),
+      m AS (
+        SELECT doc_id, pos,
+               CASE WHEN w IN (SELECT w FROM vocab) THEN w
+                    ELSE '<unk>' END AS w3
+        FROM tok),
+      tri AS (
+        SELECT doc_id,
+               coalesce(lag(w3, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+                        '<s>') AS w1,
+               coalesce(lag(w3, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                        '<s>') AS w2,
+               w3
+        FROM m),
+      c3 AS (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+        FROM tri WHERE doc_id % 5 <> 0 GROUP BY 1, 2, 3),
+      c2 AS (
+        SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2 FROM c3 GROUP BY 1, 2),
+      scored AS (
+        SELECT t.doc_id,
+               CAST($LqSql AS BIGINT) AS lq
+        FROM (SELECT tri.*,
+                     CAST(coalesce(c3.c3, 0) AS BIGINT) AS c3v,
+                     CAST(coalesce(c2.c2, 0) AS BIGINT) AS c2v
+              FROM tri
+              LEFT JOIN c3 USING (w1, w2, w3)
+              LEFT JOIN c2 USING (w1, w2)) t),
+      perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+               CAST(sum(lq) AS BIGINT) AS sum_lq
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_tri, sum_lq,
+             CAST($AvgSql AS BIGINT) AS avg_nlq,
+             CAST($AvgSql AS BIGINT) <= $KeepQ AS keep
+      FROM perdoc ORDER BY doc_id"""
+  )
+}

@@ -261,6 +261,32 @@ object TextOps extends QueryGroup {
       graft.functions.Bpe.train(wf, 48)
     })
 
+  /** Persisted merge table — the FROZEN tokenizer vocabulary. Real
+    * pipelines never retrain per batch: the vocab is trained once,
+    * shipped as an artifact, and every later corpus slice is encoded
+    * against it unchanged. The artifact is (rank, left, right), ≤48
+    * rows, written once per (JVM, dir). */
+  private val bpeVocabPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def bpeVocabPath(s: SparkSession, dir: String): String =
+    bpeVocabPaths.getOrElseUpdate(dir, {
+      val sp = s; import sp.implicits._
+      val p = graft.core.RunId.scratchKeyed("bpe/merges", dir)
+      bpeMerges(s, dir).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Reload the frozen merges, rank-ordered — the encode-only entry
+    * point. BpeSpec asserts encoding against this table is
+    * byte-identical to encoding against the in-memory one. */
+  private[graft] def bpeMergesFrozen(s: SparkSession, dir: String): Vector[(String, String)] =
+    s.read.parquet(bpeVocabPath(s, dir))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toVector
+
   /** Row-local BPE token count over a word array; the ≤48-entry rank
     * map rides the UDF closure. A UDF is the right tool HERE: greedy
     * rank-ordered symbol merging is per-row imperative logic with no
@@ -285,6 +311,25 @@ object TextOps extends QueryGroup {
     val cnt = bpeCountUdf(bpeMerges(s, dir))
     val w = Text.words(col("text"))
     Tables.documents(s, dir)
+      .select(col("doc_id"), size(w).as("ws_tokens"), cnt(w).as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Encode-only tokenization against the FROZEN vocab: the nightly
+    * batch (held-out slice doc_id % 5 == 0 — rows the training job of
+    * a real deployment would not have seen) is encoded with the
+    * persisted merge table, never retrained. Characters outside the
+    * learned alphabet fall back to single-symbol tokens (the
+    * byte-fallback contract: ANY input encodes losslessly). Same
+    * fertility surface as tokenize_bpe; same no-oracle declaration
+    * (iterative BPE has no SQL form) — BpeSpec pins frozen == live. */
+  def tokenizeBpeFrozen(s: SparkSession, dir: String): DataFrame = {
+    val cnt = bpeCountUdf(bpeMergesFrozen(s, dir))
+    val w = Text.words(col("text"))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
       .select(col("doc_id"), size(w).as("ws_tokens"), cnt(w).as("bpe_tokens"))
       .withColumn("fertility",
         round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
@@ -604,6 +649,7 @@ object TextOps extends QueryGroup {
     "sample_temperature" -> (sampleTemperature _),
     "pack_sequences" -> (packSequences _),
     "tokenize_bpe" -> (tokenizeBpe _),
+    "tokenize_bpe_frozen" -> (tokenizeBpeFrozen _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),

@@ -56,6 +56,39 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("frozen merge artifact encodes byte-identically to the in-memory table") {
+    val live = graft.operators.TextOps.bpeMerges(spark, sf001)
+    val frozen = graft.operators.TextOps.bpeMergesFrozen(spark, sf001)
+    assert(frozen == live, "persisted merge table drifted from the trained one")
+    val liveRank = live.zipWithIndex.toMap
+    val frozenRank = frozen.zipWithIndex.toMap
+    // corpus words + OOV with characters outside the learned alphabet
+    // (byte-fallback: they must encode as single-char tokens, lossless)
+    val corpus = graft.core.Tables.documents(spark, sf001)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1)).distinct
+    for (w <- corpus ++ Seq("naïve", "Σσ", "zzzqqq", "")) {
+      val a = Bpe.encode(w, liveRank)
+      val b = Bpe.encode(w, frozenRank)
+      assert(a == b, s"'$w': live $a vs frozen $b")
+      assert(b.mkString == w, s"'$w' not lossless: $b")
+    }
+  }
+
+  test("tokenize_bpe_frozen covers exactly the held-out slice with live-table counts") {
+    val rows = SparkEntry.queries("tokenize_bpe_frozen")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 5 == 0), "encoded a training-split doc")
+    val rank = graft.operators.TextOps.bpeMerges(spark, sf001).zipWithIndex.toMap
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows) {
+      val expected = docs(r.getLong(0)).split(" ", -1)
+        .map(w => Bpe.encode(w, rank).length.toLong).sum
+      assert(r.getLong(2) == expected)
+    }
+  }
+
   test("pack_sequences_bpe: placement invariants hold per shard") {
     val rows = SparkEntry.queries("pack_sequences_bpe")(spark, sf001)
       .collect()

@@ -570,9 +570,11 @@ class KernelSpec extends SparkSpec {
     val n = 4.0
     val sumdl = texts.values.map(_.split(" ").length).sum.toDouble
     def dfOf(t: String) = texts.values.count(_.split(" ").contains(t)).toDouble
+    // normalized by n (corpus size) exactly as the shared SQL string:
+    // ((A)/(B)) / n_docs, same association order
     def tscore(tf: Double, df: Double, dl: Double) =
-      (44.0 * tf * (2.0 * n - 2.0 * df + 1.0) * sumdl) /
-        ((2.0 * df + 1.0) * (20.0 * tf * sumdl + 6.0 * sumdl + 18.0 * dl * n))
+      ((44.0 * tf * (2.0 * n - 2.0 * df + 1.0) * sumdl) /
+        ((2.0 * df + 1.0) * (20.0 * tf * sumdl + 6.0 * sumdl + 18.0 * dl * n))) / n
     def score(docId: Long, terms: Seq[String]): Double = {
       val w = texts(docId).split(" ")
       val sq = terms.flatMap { t =>

@@ -294,6 +294,24 @@ class PlanSpec extends SparkSpec {
     assert(reused >= 1, s"postings recomputed ($reused reused exchanges)\n${p.take(1500)}")
   }
 
+  test("sink_shards: no single-task stage anywhere; one data file per shard") {
+    val df = SparkEntry.queries("sink_shards")(spark, sf001)
+    df.collect()
+    // neither the manifest nor the (already executed) write path may
+    // funnel the corpus through one task — the global order comes from
+    // the two-phase bucketed rank, not a global window/sort
+    assert(!plan("sink_shards").contains("SinglePartition"),
+      plan("sink_shards").take(1200))
+    val root = new java.io.File(graft.operators.Shards.shardRoot(spark, sf001))
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(shardDirs.nonEmpty)
+    for (d <- shardDirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: ${files.length} files — shard must be one bounded file")
+    }
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
