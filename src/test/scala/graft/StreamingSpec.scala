@@ -388,6 +388,115 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful counters survive a checkpoint restart on RocksDB: state recovered, replays skipped") {
+    // The other custom-state shape (mapGroupsWithState counters,
+    // stream_stateful): counters accumulated before the stop must
+    // carry into the restarted query — losing state restarts u7 at
+    // n=1, reprocessing the replayed batch double-counts to n=4. The
+    // sink is the production foreachBatch idiom: one idempotent
+    // overwrite per batchId, so a replayed batch can never duplicate.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cnt_ckpt").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      def start(mem: MemoryStream[StreamOps.EventRow]) =
+        StreamOps.statefulCounts(mem.toDS())
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.UserCount], id: Long) =>
+            df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+          }
+          .start()
+      val batchA = Seq(StreamOps.EventRow(1, 7, "click", 1.0),
+        StreamOps.EventRow(2, 7, "click", 2.0),
+        StreamOps.EventRow(3, 8, "view", 5.0))
+      val mem1 = MemoryStream[StreamOps.EventRow]
+      mem1.addData(batchA: _*)
+      q = start(mem1); q.processAllAvailable(); q.stop()
+      // new instance, same checkpoint; the replayed batch lines up the
+      // source offsets and MUST NOT be reprocessed
+      val mem2 = MemoryStream[StreamOps.EventRow]
+      mem2.addData(batchA: _*)
+      mem2.addData(StreamOps.EventRow(4, 7, "view", 4.0))
+      q = start(mem2); q.processAllAvailable(); q.stop()
+      val got = s.read.parquet(sink)
+        .select("batch", "user_id", "n", "sum_value")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        (0, 7L, 2L, 3.0), (0, 8L, 1L, 5.0),
+        (1, 7L, 3L, 7.0)), s"got $got")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("stream-stream join survives a checkpoint restart: buffered side recovered from state") {
+    // The third custom-state shape (stream_join): an unmatched click
+    // buffered in the join state before the stop must still attribute
+    // a purchase that arrives only AFTER the restart. Lost state ⇒ no
+    // output ever; a reprocessed replay would re-buffer and duplicate.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_ckpt").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      def start(mem: MemoryStream[SEvent]) =
+        StreamOps.attributionJoin(mem.toDF())
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+      val batchA = Seq(
+        SEvent(1, ts("10:30"), 1, "click", 0.0),  // will match after restart
+        SEvent(2, ts("10:45"), 2, "click", 0.0))  // other user, never matches
+      val mem1 = MemoryStream[SEvent]
+      mem1.addData(batchA: _*)
+      q = start(mem1); q.processAllAvailable(); q.stop()
+      assert(!new java.io.File(sink).exists() ||
+        s.read.parquet(sink).count() == 0, "join emitted before any purchase")
+      val mem2 = MemoryStream[SEvent]
+      mem2.addData(batchA: _*)
+      mem2.addData(SEvent(3, ts("11:00"), 1, "purchase", 5.0))
+      q = start(mem2); q.processAllAvailable(); q.stop()
+      val got = s.read.parquet(sink)
+        .select("purchase_id", "click_id", "user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      assert(got == List((3L, 1L, 1L)), s"got $got")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("streaming sessionize agrees with the batch twin on closed sessions") {
     val s = spark; import s.implicits._
     // Batch twin over the real events table restricted to a few users.
