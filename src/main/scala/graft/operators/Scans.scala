@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -236,6 +236,61 @@ object Scans extends QueryGroup {
       path
     })
 
+  /** Hilbert index at `order` bits per dimension — the
+    * locality-better alternative to the Morton interleave (every step
+    * along the curve moves one cell, so a sort range maps to one
+    * contiguous rectangle run instead of Morton's seam jumps).
+    * Delegates to the codegen'd [[graft.plans.HilbertExpr]]: the
+    * stateful xy2d rotation has no bounded Column form (an unrolled
+    * when()-chain grows ~3^order nodes), so it joins cass_token and
+    * the dot product in the native-Expression tier. */
+  private[graft] def hilbertCol(x0: Column, y0: Column, order: Int): Column =
+    graft.plans.HilbertExpr.hilbert(x0, y0, order)
+
+  /** lineitem clustered along the 12+12-bit HILBERT curve over
+    * (shipdate, orderkey) — same scaled dimensions, same row-group
+    * budget as the Morton layout, so the PlanSpec skip measurement
+    * compares the two curves directly. */
+  private val hilbertLineitemPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def hilbertLineitemPath(s: SparkSession, dir: String): String =
+    hilbertLineitemPaths.getOrElseUpdate(dir, {
+      val path = graft.core.RunId.scratchKeyed("hilbert/lineitem", dir)
+      val base = Tables.lineitem(s, dir)
+        .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+      val (maxKey, epoch, maxD) = {
+        val r = base.agg(max("l_orderkey"), min("l_shipdate"),
+          max("l_shipdate")).head()
+        val lo = r.getDate(1).toLocalDate
+        (r.getLong(0), lo.toString, r.getDate(2).toLocalDate.toEpochDay - lo.toEpochDay)
+      }
+      val d = floor(datediff(col("l_shipdate"), lit(epoch)) *
+        4096L / (maxD + 1)).cast("long")
+      val ob = floor(col("l_orderkey") * 4096L / (maxKey + 1)).cast("long")
+      base.withColumn("_h", hilbertCol(d, ob, 12))
+        .repartitionByRange(16, col("_h"))
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(path)
+      path
+    })
+
+  /** 2-D range aggregate answered from the Hilbert-clustered copy —
+    * the sink_zorder surface on the better curve (different slice so
+    * the two queries aren't duplicates). Layout is output-invisible ⇒
+    * oracle runs the same aggregate on the original table. */
+  def sinkHilbertStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(hilbertLineitemPath(s, dir))
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1997-07-01" &&
+        col("l_orderkey") < 5000)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        graft.core.Num.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   /** 2-D range aggregate answered from the z-ordered copy: BOTH the
     * date predicate and the key predicate prune files/row-groups via
     * column stats (PlanSpec measures each dimension alone against the
@@ -337,7 +392,8 @@ object Scans extends QueryGroup {
     "source_orc" -> (sourceOrc _),
     "sink_mv" -> (sinkMv _),
     "sink_sorted_stats" -> (sinkSortedStats _),
-    "sink_zorder" -> (sinkZorderStats _)
+    "sink_zorder" -> (sinkZorderStats _),
+    "sink_hilbert" -> (sinkHilbertStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +446,14 @@ object Scans extends QueryGroup {
         ${graft.core.Num.sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem
       WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+        AND l_orderkey < 5000
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sink_hilbert" -> s"""
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${graft.core.Num.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
         AND l_orderkey < 5000
       GROUP BY l_returnflag ORDER BY l_returnflag"""
     // scan_token_range: no oracle (xxhash64 bucketing is engine-defined)

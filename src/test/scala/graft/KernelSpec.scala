@@ -554,6 +554,39 @@ class KernelSpec extends SparkSpec {
         md5hex((0 until 10).map(i => s"u$i").mkString(" "))))), got.toString)
   }
 
+  test("hilbertCol matches the driver xy2d reference: 64x64 bijection + unit-step adjacency") {
+    val s = spark; import s.implicits._
+    val order = 6
+    // independent driver-side reimplementation of the iterative xy2d
+    def xy2d(x0: Long, y0: Long): Long = {
+      var x = x0; var y = y0; var d = 0L
+      var sBit = (1L << order) / 2
+      while (sBit > 0) {
+        val rx = if ((x & sBit) > 0) 1L else 0L
+        val ry = if ((y & sBit) > 0) 1L else 0L
+        d += sBit * sBit * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = sBit - 1 - x; y = sBit - 1 - y }
+          val t = x; x = y; y = t
+        }
+        sBit /= 2
+      }
+      d
+    }
+    val n = 1L << order
+    val grid = (for { x <- 0L until n; y <- 0L until n } yield (x, y)).toDF("x", "y")
+    val got = grid
+      .withColumn("d", graft.operators.Scans.hilbertCol(col("x"), col("y"), order))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((x, y), d) <- got) assert(d == xy2d(x, y), s"($x,$y): $d vs ${xy2d(x, y)}")
+    val byD = got.toSeq.sortBy(_._2)
+    assert(byD.map(_._2) == (0L until n * n), "not a bijection onto 0..n^2-1")
+    byD.sliding(2).foreach { case Seq(((x1, y1), _), ((x2, y2), _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
   test("search_bm25: independent BM25 reimplementation on a known corpus") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bm25").toString

@@ -76,6 +76,14 @@ class PlanSpec extends SparkSpec {
     val zDate = scanned(zPath, datePred)
     assert(zKey * 2 <= total, s"z-layout failed to prune on key: $zKey of $total")
     assert(zDate * 2 <= total, s"z-layout failed to prune on date: $zDate of $total")
+    // third layout: the Hilbert curve must clear the same per-dimension
+    // bar as Morton (its locality edge shows up in 2-D rectangles; on
+    // single-dimension slices the two curves prune comparably)
+    val hPath = graft.operators.Scans.hilbertLineitemPath(spark, sf001)
+    val hKey = scanned(hPath, keyPred)
+    val hDate = scanned(hPath, datePred)
+    assert(hKey * 2 <= total, s"hilbert layout failed to prune on key: $hKey of $total")
+    assert(hDate * 2 <= total, s"hilbert layout failed to prune on date: $hDate of $total")
   }
 
   test("scan_partition_lookup pushes the PK equality into the parquet scan") {
