@@ -574,7 +574,89 @@ object Similarity extends QueryGroup {
       .orderBy("vec_id")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space coarsely, then inside each cluster drop any
+    * vector whose cosine to a LOWER-ID cluster member exceeds τ=0.96 —
+    * the paper's exact keep rule ("drop i if max_{j<i} sim(i,j) > τ",
+    * so no transitive-closure pass is needed; the smallest id of each
+    * near-dup group is the survivor by construction).
+    *
+    * Spark shape, scale-first:
+    *  - The clusters are the PERSISTED IVF cells ([[ivfIndexPaths]]):
+    *    the index a 100 TB deployment already maintains for ANN doubles
+    *    as the SemDeDup partition — one bounded driver collect of the
+    *    16 centroids, one distributed assignment scan for the corpus
+    *    union. In production k scales with the corpus (the paper runs
+    *    50 k clusters on LAION) so occupancy stays bounded.
+    *  - WITHIN a cell, candidate pairs come from the same 8-band SRP
+    *    bucketing as sim_threshold_lsh_tau08 (occupancy 4): at τ=0.96
+    *    the pairs being hunted are near-identical and collide in every
+    *    band at any width, so candidates/vector stay ≈ bands·occupancy
+    *    — linear in n — even if a cell grows huge. Cell-id rides the
+    *    band key, so a candidate never crosses cells (the paper's
+    *    "only compare within cluster" economy).
+    *  - The exact fdot verifies every candidate; precision is 1.0 and
+    *    only recall is approximate (identical copies are never missed
+    *    — same-bucket by construction).
+    *
+    * The fixture corpus has no pairs above 0.96 (max pairwise cosine
+    * ≈0.51, FIXTURES.md), so the query plants one exact copy per 100
+    * vectors at +2^40 ids (the sim_threshold_lsh_tau08 planting —
+    * scale-proportional, collision-proof at any corpus size); those
+    * copies, and only those, must be dropped. Declared no-oracle (the
+    * cell layout is engine-defined float k-means);
+    * DedupSimilaritySpec asserts the dropped set equals the
+    * within-cell brute-force rule and that every planted copy is
+    * dropped with max_prior_sim = 1.0. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.96
+    val (centPath, _) = ivfIndexPaths(s, dir)
+    // 16×64 floats — bounded planning state, same class as the IVF
+    // build's own centroid collect.
+    val cents = s.read.parquet(centPath).orderBy("cent_cell")
+      .collect().map(r => r.getSeq[Float](1))
+    val cellExpr = array_max(array(cents.zipWithIndex.toIndexedSeq.map {
+      case (c, i) =>
+        struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
+          lit(-i).as("negcell"))
+    }: _*))
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val corpus = base.unionByName(
+        base.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding")))
+      .withColumn("cell", -cellExpr.getField("negcell"))
+      .localCheckpoint()
+    val bands = thresholdBands(corpus.count(), occupancy = 4)
+    // (id, cell, band, bucket) — embeddings never ride the band shuffle
+    val banded = corpus.select(
+        col("vec_id"), col("cell"),
+        posexplode(Vectors.srpBuckets(col("embedding"), bands))
+          .as(Seq("band", "bucket")))
+      .localCheckpoint()
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.cell") === col("b.cell") && col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val priors = candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("score", round(Vectors.fdot(col("va"), col("vb")), 6))
+      .filter(col("score") > tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_prior_dups"), max(col("score")).as("max_prior_sim"))
+    corpus.select("vec_id", "cell")
+      .join(priors, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        coalesce(col("max_prior_sim"), lit(0.0)).as("max_prior_sim"),
+        col("n_prior_dups").isNotNull.as("dropped"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "embedding_quantize" -> (embeddingQuantize _),
     "sim_topk" -> (simTopk _),
     "sim_topk_filtered" -> (simTopkFiltered _),

@@ -255,6 +255,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shared.forall(k => exact(k) == lsh(k)), "scores differ between paths")
   }
 
+  test("dedup_semantic drops exactly the planted copies; agrees with within-cell brute force") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, sf001).collect()
+    val dropped = out.filter(_.getAs[Boolean]("dropped")).map(_.getLong(0)).toSet
+    val planted = out.map(_.getLong(0)).filter(_ >= (1L << 40)).toSet
+    assert(planted.nonEmpty, "no planted copies in the corpus union")
+    assert(planted.subsetOf(dropped),
+      s"planted copies kept: ${planted -- dropped}")
+    out.filter(r => planted(r.getLong(0))).foreach { r =>
+      assert(r.getAs[Double]("max_prior_sim") == 1.0,
+        s"planted ${r.getLong(0)} max_prior_sim ${r.getAs[Double]("max_prior_sim")}") }
+    // brute force: the paper's rule over ALL within-cell pairs (not
+    // just band candidates) must produce the same dropped set.
+    val cellOf = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = graft.core.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val all = (base ++ base.filter(_._1 % 100 == 0)
+      .map { case (id, v) => (id + (1L << 40)) -> v }).sortBy(_._1)
+    // mirror DotProductExpr: float products, each widened to double
+    def sim(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i) * b(i)).toDouble).sum
+    val bf = (for {
+      (i, vi) <- all
+      if all.exists { case (j, vj) =>
+        j < i && cellOf(j) == cellOf(i) && math.round(sim(vi, vj) * 1e6) / 1e6 > 0.96 }
+    } yield i).toSet
+    assert(dropped == bf,
+      s"missed: ${bf -- dropped}, spurious: ${dropped -- bf}")
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -64,7 +64,11 @@ class DeterminismSpec extends SparkSpec {
     // must not depend on which partition summed first
     "search_bm25", "search_match_all",
     // two-phase prefix sum / per-source rank — offset maps collected
-    "sample_token_budget", "mix_sources")
+    "sample_token_budget", "mix_sources",
+    // round-8: cell-local banded candidates + left-join drop flags —
+    // the candidate dedup and max/count aggregates must not depend on
+    // partition layout (centroids are built once per JVM)
+    "dedup_semantic")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
