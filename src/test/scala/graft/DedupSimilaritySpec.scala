@@ -255,6 +255,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shared.forall(k => exact(k) == lsh(k)), "scores differ between paths")
   }
 
+  test("dedup_delta_near: precise rejections, planted mutants caught, >=0.9 pairs never missed") {
+    import graft.functions.Text
+    val out = SparkEntry.queries("dedup_delta_near")(spark, sf001).collect()
+    val planted = out.filter(_.getLong(0) >= (1L << 40))
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(!r.getAs[Boolean]("admitted"), s"planted ${r.getLong(0)} admitted")
+      assert(r.getAs[Double]("match_jaccard") >= 0.6)
+    }
+    assert(out.exists(_.getAs[Boolean]("admitted")), "nothing admitted at all")
+    // brute-force exact jaccard delta×corpus (500 docs at sf0.001):
+    // ground truth for precision and the near-identical recall bar
+    val d = graft.core.Tables.documents(spark, sf001).select("doc_id", "text")
+    val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10)) < 8 && col("doc_id") < 20)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    def shingled(df: org.apache.spark.sql.DataFrame, id: String, sh: String) =
+      df.select(col("doc_id").as(id),
+        array_distinct(Text.shingles(Text.words(col("text")), 3)).as(sh))
+    val brute = shingled(delta, "doc_id", "sha")
+      .crossJoin(shingled(d.filter(pmod(col("doc_id"), lit(10)) < 8), "corpus_id", "shb"))
+      .withColumn("j", round(Text.jaccard(col("sha"), col("shb")), 6))
+      .filter(col("j") >= 0.6)
+      .groupBy("doc_id").agg(max(struct(col("j"), (-col("corpus_id")).as("negid"))).as("m"))
+      .select(col("doc_id"), col("m.j").as("j"), (-col("m.negid")).as("best_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(1)))).toMap
+    val rejected = out.filter(!_.getAs[Boolean]("admitted"))
+    // precision 1.0: every rejection is backed by a real >=0.6 pair,
+    // and the reported best match IS the brute-force best
+    rejected.foreach { r =>
+      val bf = brute.get(r.getLong(0))
+      assert(bf.isDefined, s"${r.getLong(0)} rejected with no >=0.6 corpus pair")
+      assert((r.getAs[Long]("match_id"), r.getAs[Double]("match_jaccard")) == bf.get,
+        s"${r.getLong(0)}: reported ${(r.getAs[Long]("match_id"), r.getAs[Double]("match_jaccard"))} vs brute ${bf.get}")
+    }
+    // recall bar: near-identical pairs (>=0.9) collide in some band —
+    // none may slip through the gate
+    val rejectedIds = rejected.map(_.getLong(0)).toSet
+    brute.filter(_._2._2 >= 0.9).keys.foreach { id =>
+      assert(rejectedIds(id), s"near-identical $id (j=${brute(id)._2}) admitted") }
+  }
+
   test("dedup_semantic drops exactly the planted copies; agrees with within-cell brute force") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sf001).collect()
     val dropped = out.filter(_.getAs[Boolean]("dropped")).map(_.getLong(0)).toSet

@@ -68,7 +68,10 @@ class DeterminismSpec extends SparkSpec {
     // round-8: cell-local banded candidates + left-join drop flags —
     // the candidate dedup and max/count aggregates must not depend on
     // partition layout (centroids are built once per JVM)
-    "dedup_semantic")
+    "dedup_semantic",
+    // band-join admission against the persisted index + struct-max
+    // best-match — candidate generation must not depend on layout
+    "dedup_delta_near")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
