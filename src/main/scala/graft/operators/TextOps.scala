@@ -610,6 +610,46 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering — shortest-first length curriculum with a
+    * deterministic shuffle inside each stage (the standard "easy
+    * examples first, random within difficulty" schedule; length is
+    * the classic difficulty proxy, Bengio et al. 2009). Stage =
+    * word-count band (<25, <50, <75, rest — integer thresholds, so
+    * the bucket edge can never split between engines); within a
+    * stage the order is md5(seed:id), the shuffle_deterministic key.
+    *
+    * The global position is computed WITHOUT a global window: phase 1
+    * groups by (stage, first 12 bits of the shuffle key) — ≤ 4·4096 =
+    * 16384 groups at ANY corpus size — and collects the bounded group
+    * counts; phase 2 adds the broadcast cumulative offset to a
+    * per-group row_number. Same two-phase discipline as
+    * shuffle_deterministic, with the stage riding ahead of the key so
+    * the concatenated order IS the curriculum. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val seed = "42"
+    val bucketed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n_words"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("stage", least(lit(3), (col("n_words") / lit(25)).cast("int")))
+      .withColumn("sub", conv(substring(col("skey"), 1, 3), 16, 10).cast("int"))
+    val counts = bucketed.groupBy("stage", "sub").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .map { case ((st, sb), off) => (st, sb, off) }.toSeq
+    bucketed
+      .join(broadcast(offsets.toDF("stage", "sub", "off")), Seq("stage", "sub"))
+      .withColumn("position", (col("off") +
+        row_number().over(
+          Window.partitionBy("stage", "sub").orderBy("skey", "doc_id")))
+        .cast("long"))
+      .select("doc_id", "stage", "n_words", "position")
+      .orderBy("doc_id")
+  }
+
   /** Fixed-size overlapping chunking — the RAG / context-window prep
     * stage: each document's whitespace tokens split into windows of
     * [[ChunkWindow]] tokens every [[ChunkStride]] (16-token overlap
@@ -638,6 +678,7 @@ object TextOps extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shuffle_deterministic" -> (shuffleDeterministic _),
+    "curriculum_order" -> (curriculumOrder _),
     "chunk_documents" -> (chunkDocuments _),
     "text_contamination" -> (textContamination _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -668,6 +709,17 @@ object TextOps extends QueryGroup {
         ROW_NUMBER() OVER (
           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS position
       FROM documents ORDER BY doc_id""",
+    "curriculum_order" -> """
+      WITH t AS (
+        SELECT doc_id,
+          len(string_split(coalesce(text, ''), ' ')) AS n_words,
+          md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents)
+      SELECT doc_id,
+        least(3, n_words // 25) AS stage, n_words,
+        ROW_NUMBER() OVER (
+          ORDER BY least(3, n_words // 25), skey, doc_id) AS position
+      FROM t ORDER BY doc_id""",
     "chunk_documents" -> """
       WITH t AS (
         SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w

@@ -71,7 +71,9 @@ class DeterminismSpec extends SparkSpec {
     "dedup_semantic",
     // band-join admission against the persisted index + struct-max
     // best-match — candidate generation must not depend on layout
-    "dedup_delta_near")
+    "dedup_delta_near",
+    // two-phase (stage, sub) rank — another collected offset map
+    "curriculum_order")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
