@@ -107,6 +107,49 @@ object CellStore extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** TTL compaction pass — the expiry half of the maintenance story
+    * ([[compactGenerations]] covers tombstone GC): per PK the LWW
+    * winner is classified at compaction time [[ReadTime]] as
+    *  - `live` (expiry in the future): kept, with remaining-TTL
+    *    seconds — the localDeletionTime accounting a compactor
+    *    rewrites into each cell;
+    *  - `expired_marker` (expired, but within gc_grace): the cell's
+    *    value is GONE but the expiry survives as a deletion marker
+    *    other replicas may still need (an expired cell IS a tombstone
+    *    with its expiry as the delete timestamp);
+    *  - purged (expired before the gc_grace floor): dropped outright —
+    *    every shadowed version is in this compaction, nothing can
+    *    resurrect.
+    * One keyed window over the cell table, classification row-local —
+    * the same scale shape as the generation merge. */
+  def ttlCompact(s: SparkSession, dir: String): DataFrame = {
+    // Pinned mid-stream so all three classes carry traffic at every
+    // fixture SF (the events timeline spans Jan 13 – Feb 13; [[ReadTime]]
+    // predates it and would leave the marker/purge branches dead).
+    val compactTs = "2024-02-05 00:00:00"
+    val grace = "2024-01-28 00:00:00"
+    // epoch ms of compactTs, computed once driver-side (NTZ values are
+    // interpreted as UTC by Tables.epochMs; session tz is pinned UTC)
+    val compactMs = java.time.Instant.parse("2024-02-05T00:00:00Z")
+      .getEpochSecond * 1000L
+    Lww.latest(cellTable(s, dir), Seq("user_id", "event_type"),
+        Seq(col("_writetime").desc, col("event_id").desc))
+      .withColumn("state",
+        when(col("_ttl_expires") > lit(compactTs).cast("timestamp_ntz"), lit("live"))
+          .when(col("_ttl_expires") >= lit(grace).cast("timestamp_ntz"),
+            lit("expired_marker"))
+          .otherwise(lit("purged")))
+      .filter(col("state") =!= "purged")
+      .select(col("user_id"), col("event_type"), col("state"),
+        when(col("state") === "live", col("value")).as("value"),
+        // the ms delta is exact in double below 2^53; the division
+        // truncates via the long cast, matching DuckDB's epoch // 1000
+        when(col("state") === "live",
+          floor((Tables.epochMs(col("_ttl_expires")) - lit(compactMs)) / lit(1000L))
+            .cast("long")).as("ttl_remaining_s"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Point-in-time snapshot read — SELECT ... "as of T" over the
     * persisted cell store: only cells written at or before T exist,
     * LWW resolves among THOSE, and TTL expiry is evaluated at T (a
@@ -375,6 +418,7 @@ object CellStore extends QueryGroup {
     "sink_cell_store" -> (sinkCellStore _),
     "tombstone_merge" -> (tombstoneMerge _),
     "compact_generations" -> (compactGenerations _),
+    "ttl_compact" -> (ttlCompact _),
     "scan_snapshot" -> (scanSnapshot _),
     "fn_map_stored" -> (fnMapStored _),
     "filter_collection_stored" -> (filterCollectionStored _),
@@ -437,6 +481,25 @@ object CellStore extends QueryGroup {
                              ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) t
       WHERE rn = 1 AND ttl_expires > TIMESTAMP '$ReadTime'
+      ORDER BY user_id, event_type""",
+    "ttl_compact" -> """
+      WITH c AS (
+        SELECT user_id, event_type, value, event_id, ts,
+          ts + to_days(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 14)
+            AS ttl_expires,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type,
+        CASE WHEN ttl_expires > TIMESTAMP '2024-02-05 00:00:00'
+             THEN 'live' ELSE 'expired_marker' END AS state,
+        CASE WHEN ttl_expires > TIMESTAMP '2024-02-05 00:00:00'
+             THEN value END AS value,
+        CASE WHEN ttl_expires > TIMESTAMP '2024-02-05 00:00:00'
+             THEN (epoch_ms(ttl_expires) - epoch_ms(TIMESTAMP '2024-02-05 00:00:00')) // 1000
+             END AS ttl_remaining_s
+      FROM c
+      WHERE rn = 1 AND ttl_expires >= TIMESTAMP '2024-01-28 00:00:00'
       ORDER BY user_id, event_type""",
     // The generation split is a partition of `events`, so the merged
     // LWW state equals the direct window over the whole table; the

@@ -73,7 +73,9 @@ class DeterminismSpec extends SparkSpec {
     // best-match — candidate generation must not depend on layout
     "dedup_delta_near",
     // two-phase (stage, sub) rank — another collected offset map
-    "curriculum_order")
+    "curriculum_order",
+    // LWW window + TTL classification — the Lww merge shape again
+    "ttl_compact")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
