@@ -279,6 +279,7 @@ object Joins extends QueryGroup {
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_asof" -> (joinAsof _),
     "join_asof_fwd" -> (joinAsofForward _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "scan_bucket_pruned" -> (scanBucketPruned _)
   )
 
@@ -306,6 +307,60 @@ object Joins extends QueryGroup {
       .withColumn("next_orderkey", last("okey", ignoreNulls = true).over(w))
       .filter(col("pri") === 1)
       .select(col("event_id"), col("k").as("user_id"), col("next_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of join — the bidirectional member of the as-of
+    * family: each event matched to the closest order of its customer
+    * in EITHER direction (backward t ≤ ts inclusive, forward t > ts
+    * strict; ties in |Δt| go backward — the match you'd attribute
+    * to). The gap-to-schedule lookup for sensor alignment and
+    * event-to-order attribution when "nearest context" beats "last
+    * context".
+    *
+    * Scale shape: BOTH directions ride ONE shuffle — the union is
+    * sorted once per customer key and two frames of the same window
+    * spec (preceding-last / following-first over null-masked order
+    * columns) resolve the two candidates; Spark plans a single
+    * Exchange+Sort with two Window operators over it, no per-pair
+    * blowup at any scale. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").cast("timestamp_ntz").as("t"),
+      lit(0).as("pri"), col("o_orderkey").as("okey"),
+      lit(null).cast("long").as("event_id"))
+    val e = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("pri"), lit(null).cast("long").as("okey"),
+      col("event_id"))
+    // One ordering serves both directions: equal-t orders sort BEFORE
+    // the event row (pri 0 < 1), so the preceding frame sees them
+    // (backward inclusive) and the following frame does not (forward
+    // strict); okey asc makes preceding-last = max okey and
+    // following-first = min okey, the two directional tiebreaks.
+    val spec = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("pri").asc, col("okey").asc_nulls_first)
+    val back = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = spec.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val oT = when(col("pri") === 0, col("t"))
+    val dtb = Tables.epochMs(col("t")) - Tables.epochMs(col("back_t"))
+    val dtf = Tables.epochMs(col("fwd_t")) - Tables.epochMs(col("t"))
+    val takeBack = col("back_key").isNotNull &&
+      (col("fwd_key").isNull || dtb <= dtf)
+    o.unionByName(e)
+      .withColumn("back_key", last("okey", ignoreNulls = true).over(back))
+      .withColumn("back_t", last(oT, ignoreNulls = true).over(back))
+      .withColumn("fwd_key", first("okey", ignoreNulls = true).over(fwd))
+      .withColumn("fwd_t", first(oT, ignoreNulls = true).over(fwd))
+      .filter(col("pri") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(takeBack, col("back_key")).otherwise(col("fwd_key"))
+          .as("nearest_orderkey"),
+        when(takeBack, lit("back"))
+          .when(col("fwd_key").isNotNull, lit("fwd")).as("direction"),
+        when(takeBack, floor(dtb / lit(1000L)))
+          .when(col("fwd_key").isNotNull, floor(dtf / lit(1000L)))
+          .cast("long").as("dt_s"))
       .orderBy("event_id")
   }
 
@@ -411,6 +466,29 @@ object Joins extends QueryGroup {
         WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
       ORDER BY e.event_id""",
+    "join_asof_nearest" -> """
+      WITH j AS (
+        SELECT e.event_id, e.user_id,
+          b.o_orderkey AS bk, f.o_orderkey AS fk,
+          epoch_ms(e.ts) - epoch_ms(CAST(b.o_orderdate AS TIMESTAMP)) AS dtb,
+          epoch_ms(CAST(f.o_orderdate AS TIMESTAMP)) - epoch_ms(e.ts) AS dtf
+        FROM events e
+        LEFT JOIN LATERAL (
+          SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) b ON TRUE
+        LEFT JOIN LATERAL (
+          SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) > e.ts
+          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) f ON TRUE)
+      SELECT event_id, user_id,
+        CASE WHEN bk IS NOT NULL AND (fk IS NULL OR dtb <= dtf)
+             THEN bk ELSE fk END AS nearest_orderkey,
+        CASE WHEN bk IS NOT NULL AND (fk IS NULL OR dtb <= dtf) THEN 'back'
+             WHEN fk IS NOT NULL THEN 'fwd' END AS direction,
+        CASE WHEN bk IS NOT NULL AND (fk IS NULL OR dtb <= dtf) THEN dtb // 1000
+             WHEN fk IS NOT NULL THEN dtf // 1000 END AS dt_s
+      FROM j ORDER BY event_id""",
     // the oracle is the PLAIN join: the bloom prefilter must be
     // output-invisible (false positives die in the exact join)
     "join_bloom_prefilter" -> """

@@ -75,7 +75,10 @@ class DeterminismSpec extends SparkSpec {
     // two-phase (stage, sub) rank — another collected offset map
     "curriculum_order",
     // LWW window + TTL classification — the Lww merge shape again
-    "ttl_compact")
+    "ttl_compact",
+    // two frames over one window sort — frame resolution must not
+    // depend on partition layout
+    "join_asof_nearest")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

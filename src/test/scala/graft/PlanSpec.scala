@@ -320,6 +320,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_asof_nearest: both directions over ONE data shuffle") {
+    val p = plan("join_asof_nearest")
+    // one hash exchange feeds every window; anything more means the
+    // two directions stopped sharing the per-customer sort (the only
+    // other exchange is the final output range sort)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx in:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
