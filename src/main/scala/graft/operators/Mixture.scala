@@ -84,12 +84,73 @@ object Mixture extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus statistics — the data-map a mixture schedule is
+    * planned FROM (how many tokens does each source hold, how long are
+    * its documents, how language-diverse is it): doc/token totals,
+    * max, language count, and an EXACT lower-median token length per
+    * source.
+    *
+    * The median is the scale problem: a naive percentile aggregate
+    * buffers every group member (100 TB of lengths on one reducer for
+    * a dominant source). Here it rides a bounded-domain HISTOGRAM —
+    * groupBy (source, n_words) partial-aggregates to ≤ sources ×
+    * max-doc-length rows (domain-sized, not corpus-sized), and the
+    * median is read off the histogram's running count with one tiny
+    * window: min n_words whose cumulative count reaches ⌈n/2⌉. Every
+    * output is an integer — no float surface at all — and the oracle
+    * shares the histogram formula. */
+  def statsCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(coalesce(col("text"), lit("")), " ")).as("n_words"))
+    val agg = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words").cast("long")).as("n_tokens"),
+      max("n_words").as("max_tokens"),
+      countDistinct("lang").as("n_langs"))
+    val hist = d.groupBy("source", "n_words").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("source").orderBy("n_words")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum("c").over(wcum))
+      .join(agg.select(col("source"), col("n_docs")), "source")
+      .filter(col("cum") >= expr("(n_docs + 1) div 2"))
+      .groupBy("source").agg(min("n_words").as("median_tokens"))
+    agg.join(med, "source")
+      .select("source", "n_docs", "n_tokens", "median_tokens",
+        "max_tokens", "n_langs")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_token_budget" -> (sampleTokenBudget _),
-    "mix_sources" -> (mixSources _)
+    "mix_sources" -> (mixSources _),
+    "stats_corpus" -> (statsCorpus _)
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_corpus" -> """
+      WITH d AS (
+        SELECT source, lang,
+          len(string_split(coalesce(text, ''), ' ')) AS n_words
+        FROM documents),
+      a AS (
+        SELECT source, count(*) AS n_docs, sum(n_words) AS n_tokens,
+               max(n_words) AS max_tokens, count(DISTINCT lang) AS n_langs
+        FROM d GROUP BY source),
+      h AS (
+        SELECT source, n_words, count(*) AS c
+        FROM d GROUP BY source, n_words),
+      cum AS (
+        SELECT source, n_words,
+          sum(c) OVER (PARTITION BY source ORDER BY n_words) AS cum
+        FROM h),
+      m AS (
+        SELECT cum.source, min(n_words) AS median_tokens
+        FROM cum JOIN a ON cum.source = a.source
+        WHERE cum.cum >= (a.n_docs + 1) // 2
+        GROUP BY cum.source)
+      SELECT a.source, n_docs, n_tokens, median_tokens, max_tokens, n_langs
+      FROM a JOIN m ON a.source = m.source ORDER BY a.source""",
     // Plain global running sum over the same shuffle order.
     "sample_token_budget" -> """
       WITH t AS (

@@ -78,7 +78,9 @@ class DeterminismSpec extends SparkSpec {
     "ttl_compact",
     // two frames over one window sort — frame resolution must not
     // depend on partition layout
-    "join_asof_nearest")
+    "join_asof_nearest",
+    // histogram-median: partial agg + running-count window
+    "stats_corpus")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
