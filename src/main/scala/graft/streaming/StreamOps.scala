@@ -79,6 +79,49 @@ object StreamOps {
       }
   }
 
+  final case class CellMut(user_id: Long, event_type: String, value: Double,
+    writetime: Long, event_id: Long)
+  final case class CellState(value: Double, writetime: Long, event_id: Long)
+  final case class CellOut(user_id: Long, event_type: String, value: Double,
+    writetime: Long, applied: Boolean)
+
+  /** Streaming LWW cell reconciliation — the wide-column WRITE PATH as
+    * a stream: mutations arrive in ARBITRARY order (replica relay,
+    * hint replay, retries) and the newest (writetime, event_id) wins
+    * per PK; a stale mutation — older than the standing cell — is
+    * SKIPPED, never applied, exactly Cassandra's reconciliation rule.
+    * mapGroupsWithState keyed on the PK holds one CellState per key
+    * (state ∝ key cardinality, not stream length — the same bound as
+    * statefulCounts); each batch emits the key's current cell plus
+    * whether this batch changed it (`applied=false` IS the stale-write
+    * observation). Batch twins: win_lww / sink_cell_store — the merge
+    * rule is the same `Lww.latest` ordering; StreamingSpec asserts
+    * agreement, stale-skip, and checkpoint-restart recovery (the
+    * standing cell must survive a restart for the stale rule to hold
+    * across it). */
+  def lwwCells(muts: Dataset[CellMut]): Dataset[CellOut] = {
+    import muts.sparkSession.implicits._
+    muts
+      .groupByKey(m => (m.user_id, m.event_type))
+      .mapGroupsWithState[CellState, CellOut](GroupStateTimeout.NoTimeout) {
+        case ((user, etype), rows, state) =>
+          var cur = state.getOption
+          var applied = false
+          rows.foreach { m =>
+            val newer = cur.forall(c => m.writetime > c.writetime ||
+              (m.writetime == c.writetime && m.event_id > c.event_id))
+            if (newer) {
+              cur = Some(CellState(m.value, m.writetime, m.event_id))
+              applied = true
+            }
+          }
+          // rows is non-empty on every data invocation and the timeout
+          // is NoTimeout, so cur is defined here
+          state.update(cur.get)
+          CellOut(user, etype, cur.get.value, cur.get.writetime, applied)
+      }
+  }
+
   final case class SessEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
   final case class SessInterval(startMs: Long, endMs: Long, n: Long)
   final case class SessState(intervals: Seq[SessInterval])

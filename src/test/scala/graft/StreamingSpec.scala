@@ -497,6 +497,82 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming LWW cells skip stale writes across a checkpoint restart") {
+    // The write-path state shape (StreamOps.lwwCells): the standing
+    // cell set before the stop must survive the restart, because the
+    // stale-write rule is ABOUT the standing cell — losing state would
+    // let an out-of-order old mutation (wt=50) overwrite the newer
+    // value the key already holds (wt=100). Idempotent per-batchId
+    // foreachBatch sink, per the counters precedent.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww_ckpt").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      def start(mem: MemoryStream[StreamOps.CellMut]) =
+        StreamOps.lwwCells(mem.toDS())
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.CellOut], id: Long) =>
+            df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+          }
+          .start()
+      // in-batch disorder: wt=90 arrives after wt=100 in the same
+      // batch and must not win
+      val batchA = Seq(
+        StreamOps.CellMut(1, "click", 10.0, 100L, 1),
+        StreamOps.CellMut(1, "click", 20.0, 90L, 2))
+      val mem1 = MemoryStream[StreamOps.CellMut]
+      mem1.addData(batchA: _*)
+      q = start(mem1); q.processAllAvailable(); q.stop()
+      // restart: replay batchA (must not reprocess), then a stale
+      // mutation for the standing key + a fresh key
+      val mem2 = MemoryStream[StreamOps.CellMut]
+      mem2.addData(batchA: _*)
+      mem2.addData(
+        StreamOps.CellMut(1, "click", 99.0, 50L, 3),
+        StreamOps.CellMut(2, "view", 7.0, 60L, 4))
+      q = start(mem2); q.processAllAvailable(); q.stop()
+      val got = s.read.parquet(sink)
+        .select("batch", "user_id", "event_type", "value", "writetime", "applied")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(got == Set(
+        (0, 1L, "click", 10.0, 100L, true),
+        (1, 1L, "click", 10.0, 100L, false), // stale wt=50 skipped, state intact
+        (1, 2L, "view", 7.0, 60L, true)), s"got $got")
+      // agreement with the batch twin: Lww ordering over ALL mutations
+      val all = (batchA ++ Seq(
+        StreamOps.CellMut(1, "click", 99.0, 50L, 3),
+        StreamOps.CellMut(2, "view", 7.0, 60L, 4))).toDF()
+      val batchFinal = graft.core.Lww.latest(all, Seq("user_id", "event_type"),
+          Seq(col("writetime").desc, col("event_id").desc))
+        .select("user_id", "event_type", "value", "writetime")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      // batch 1 emitted every key's CURRENT state, so it is the final
+      // cell set
+      val streamFinal = got.filter(_._1 == 1).map(x => (x._2, x._3, x._4, x._5))
+      assert(batchFinal == streamFinal, s"batch $batchFinal vs stream $streamFinal")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("streaming sessionize agrees with the batch twin on closed sessions") {
     val s = spark; import s.implicits._
     // Batch twin over the real events table restricted to a few users.
