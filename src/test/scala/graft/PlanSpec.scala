@@ -320,6 +320,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim_topk_ivf: probe scan is dynamically partition-pruned to the probed cells") {
+    // The 100 TB claim of the IVF index is that a probe READS only the
+    // nprobe matching cell partitions. That is Dynamic Partition
+    // Pruning: the cell-partitioned index scan must carry a
+    // dynamicpruning partition filter fed by the broadcast probe side
+    // — not a full scan filtered afterwards.
+    val df = SparkEntry.queries("sim_topk_ivf")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the probe scan:\n${p.take(1500)}")
+  }
+
   test("join_asof_nearest: both directions over ONE data shuffle") {
     val p = plan("join_asof_nearest")
     // one hash exchange feeds every window; anything more means the
