@@ -93,14 +93,51 @@ object Perplexity extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** CCNet's head/middle/tail split: rank every document by LM
+    * perplexity WITHIN its language and cut the distribution into
+    * terciles — "head" (most fluent) and "middle" feed training,
+    * "tail" is dropped. Cutoffs are histogram-exact (the stats_corpus
+    * discipline): avg_nlq is coarsened onto a BOUNDED grid
+    * (÷16384 ⇒ ≤ ~1300 cells for any corpus, since avg_nlq is capped
+    * by the smoothing floor ln(1/V)·1e6 ≈ 6.9e6 per trigram), the
+    * per-(lang, grid) histogram cumsums in a per-lang window over
+    * that bounded domain, and a doc's bucket is decided by comparing
+    * its own grid cell to the two cutoff cells — no global sort, no
+    * percentile approximation, bit-identical on any layout. */
+  def sampleCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val p = textPerplexity(s, dir).select("doc_id", "avg_nlq")
+    val j = Tables.documents(s, dir).select("doc_id", "lang")
+      .join(p, "doc_id")
+      .withColumn("grid", expr("avg_nlq div 16384"))
+    val n = j.groupBy("lang").agg(count(lit(1)).as("n"))
+    val hist = j.groupBy("lang", "grid").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("lang").orderBy("grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist.withColumn("cum", sum("c").over(wcum))
+      .join(n, "lang")
+      .groupBy("lang").agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("grid")))
+          .as("head_cut"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("grid")))
+          .as("tail_cut"))
+    j.join(cuts, "lang")
+      .select(col("doc_id"), col("lang"), col("avg_nlq"),
+        when(col("grid") <= col("head_cut"), "head")
+          .when(col("grid") <= col("tail_cut"), "middle")
+          .otherwise("tail").as("bucket"),
+        (col("grid") <= col("tail_cut")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_perplexity" -> (textPerplexity _)
+    "text_perplexity" -> (textPerplexity _),
+    "sample_ccnet_buckets" -> (sampleCcnetBuckets _)
   )
 
-  val oracles: Map[String, String] = Map(
-    // Same split, same vocab rule, same formula strings.
-    "text_perplexity" -> s"""
-      WITH dd AS (
+  /** Shared CTE chain (documents → tokens → trigram model → per-doc
+    * quantized sums) — the single source both oracles compose, so the
+    * model surface cannot drift between them. */
+  private val PerpCte: String = s"""dd AS (
         SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
         FROM documents),
       tok AS (
@@ -142,10 +179,40 @@ object Perplexity extends QueryGroup {
       perdoc AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
                CAST(sum(lq) AS BIGINT) AS sum_lq
-        FROM scored GROUP BY doc_id)
+        FROM scored GROUP BY doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    // Same split, same vocab rule, same formula strings.
+    "text_perplexity" -> s"""
+      WITH $PerpCte
       SELECT doc_id, n_tri, sum_lq,
              CAST($AvgSql AS BIGINT) AS avg_nlq,
              CAST($AvgSql AS BIGINT) <= $KeepQ AS keep
-      FROM perdoc ORDER BY doc_id"""
+      FROM perdoc ORDER BY doc_id""",
+    // Same model CTE, same grid/cutoff arithmetic as the Spark side.
+    "sample_ccnet_buckets" -> s"""
+      WITH $PerpCte,
+      p AS (
+        SELECT doc_id, CAST($AvgSql AS BIGINT) AS avg_nlq FROM perdoc),
+      j AS (
+        SELECT p.doc_id, d.lang, p.avg_nlq, p.avg_nlq // 16384 AS grid
+        FROM p JOIN documents d USING (doc_id)),
+      n AS (SELECT lang, count(*) AS n FROM j GROUP BY lang),
+      h AS (SELECT lang, grid, count(*) AS c FROM j GROUP BY lang, grid),
+      cum AS (
+        SELECT lang, grid,
+               sum(c) OVER (PARTITION BY lang ORDER BY grid) AS cum
+        FROM h),
+      cuts AS (
+        SELECT cum.lang,
+               min(CASE WHEN cum >= (n + 2) // 3 THEN grid END) AS head_cut,
+               min(CASE WHEN cum >= (2 * n + 2) // 3 THEN grid END) AS tail_cut
+        FROM cum JOIN n ON cum.lang = n.lang GROUP BY cum.lang)
+      SELECT j.doc_id, j.lang, j.avg_nlq,
+             CASE WHEN j.grid <= c.head_cut THEN 'head'
+                  WHEN j.grid <= c.tail_cut THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             j.grid <= c.tail_cut AS keep
+      FROM j JOIN cuts c ON j.lang = c.lang ORDER BY j.doc_id"""
   )
 }

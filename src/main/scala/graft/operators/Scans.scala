@@ -277,6 +277,63 @@ object Scans extends QueryGroup {
       path
     })
 
+  /** Manifest (file-level zone map) for the range-clustered lineitem
+    * copy — the Iceberg/Delta pattern one level ABOVE the parquet
+    * row-group stats the sorted/z-order layouts exploit: a tiny
+    * side table with one row per data file carrying the file's
+    * min/max of the cluster key. Planning reads the manifest (file
+    * count, not data, rows), selects only overlapping files, and the
+    * scan never OPENS the rest — at 100 TB that's the difference
+    * between listing a million footers and reading one manifest.
+    * The data layout is [[sortedLineitemPath]]'s range-clustered copy
+    * reused verbatim — same files, one extra bounded aggregate
+    * (`_metadata.file_path` groupBy: #files rows) for the manifest.
+    * Driver-side state is the SELECTED file list only (bounded by the
+    * file count; a petabyte deployment makes planning hierarchical —
+    * manifest-of-manifests — before this collect ever grows). */
+  private val manifestLineitemPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def manifestLineitemPath(s: SparkSession, dir: String): String =
+    manifestLineitemPaths.getOrElseUpdate(dir, {
+      val mf = graft.core.RunId.scratchKeyed("manifest/lineitem_files", dir)
+      s.read.parquet(sortedLineitemPath(s, dir))
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(min("l_shipdate").as("min_sd"), max("l_shipdate").as("max_sd"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(mf)
+      mf
+    })
+
+  /** Files of the clustered copy whose [min,max] zone intersects
+    * [lo, hi) — the planning step, shared with PlanSpec's
+    * strict-subset assertion. Returns (selected paths, total files). */
+  private[graft] def manifestSelect(
+      s: SparkSession, dir: String, lo: String, hi: String): (Seq[String], Long) = {
+    val mf = s.read.parquet(manifestLineitemPath(s, dir))
+    val selected = mf
+      .filter(col("max_sd") >= lit(lo).cast("date") && col("min_sd") < lit(hi).cast("date"))
+      .select("path").collect().map(_.getString(0)).toSeq
+    (selected, mf.count())
+  }
+
+  /** Date-range aggregate planned THROUGH the manifest: only files
+    * whose zone intersects the predicate are opened; the residual
+    * filter still runs (zones overlap range edges). Layout + manifest
+    * are output-invisible ⇒ oracle runs the same aggregate on the
+    * original table (the sink_sorted_stats discipline). */
+  def scanManifestPruned(s: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = ("1996-09-01", "1996-12-01")
+    val (files, _) = manifestSelect(s, dir, lo, hi)
+    s.read.parquet(files: _*)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        graft.core.Num.dsum(col("l_quantity")).as("sum_qty"),
+        graft.core.Num.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** 2-D range aggregate answered from the Hilbert-clustered copy —
     * the sink_zorder surface on the better curve (different slice so
     * the two queries aren't duplicates). Layout is output-invisible ⇒
@@ -392,6 +449,7 @@ object Scans extends QueryGroup {
     "source_orc" -> (sourceOrc _),
     "sink_mv" -> (sinkMv _),
     "sink_sorted_stats" -> (sinkSortedStats _),
+    "scan_manifest_pruned" -> (scanManifestPruned _),
     "sink_zorder" -> (sinkZorderStats _),
     "sink_hilbert" -> (sinkHilbertStats _)
   )
@@ -440,6 +498,15 @@ object Scans extends QueryGroup {
                    l_quantity, l_extendedprice FROM lineitem)
       WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01'
       GROUP BY l_shipdate ORDER BY l_shipdate""",
+    "scan_manifest_pruned" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${graft.core.Num.sqlDsum("l_quantity")} AS sum_qty,
+        ${graft.core.Num.sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
     "sink_zorder" -> s"""
       SELECT l_returnflag,
         CAST(COUNT(*) AS BIGINT) AS n_items,

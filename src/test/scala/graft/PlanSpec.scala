@@ -342,6 +342,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("scan_manifest_pruned: manifest planning opens a strict subset of files") {
+    val (selected, total) = graft.operators.Scans.manifestSelect(
+      spark, sf001, "1996-09-01", "1996-12-01")
+    assert(selected.nonEmpty, "manifest selected no files")
+    assert(selected.length * 2 <= total,
+      s"manifest failed to prune: ${selected.length} of $total files")
+    // the query's scan reads EXACTLY the selected files — pruning
+    // happened at planning, not post-open filtering
+    val df = SparkEntry.queries("scan_manifest_pruned")(spark, sf001)
+    assert(df.inputFiles.length == selected.length,
+      s"scan opened ${df.inputFiles.length} files, manifest selected ${selected.length}")
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
