@@ -676,7 +676,48 @@ object TextOps extends QueryGroup {
           .as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Content-defined chunking — the FastCDC/rsync-family alternative
+    * to [[chunkDocuments]]'s fixed stride: a chunk boundary opens
+    * wherever the fingerprint of the trailing 4-word window falls in
+    * a 1/32 slice of its space (md5 hex prefix < '08'), so an edit
+    * near the start of a document moves only the chunk containing it
+    * — every later boundary re-synchronizes on content. That is what
+    * makes CHUNK-level dedup robust to insertions at 100 TB; under a
+    * fixed stride every downstream chunk shifts and nothing matches.
+    * Boundary test and chunk digest share their md5 surface with the
+    * oracle verbatim. One shuffle (the per-doc position window); the
+    * re-assembly groups bounded (doc_id, chunk_id) cells, and the
+    * emitted row is digest + offsets, never the chunk text. */
+  def chunkCdc(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(s, dir))
+
+  /** CDC kernel over any (doc_id, text) relation — split out so the
+    * insertion re-sync property is testable on crafted docs. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val run = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), posexplode(split(coalesce(col("text"), lit("")), " ")))
+      .toDF("doc_id", "pos", "w")
+      .withColumn("gram", concat_ws(" ",
+        lag("w", 3).over(byPos), lag("w", 2).over(byPos),
+        lag("w", 1).over(byPos), col("w")))
+      .withColumn("boundary",
+        (col("pos") === 0) ||
+          (col("pos") >= 3 && substring(md5(col("gram")), 1, 2) < "08"))
+      .withColumn("chunk_id", sum(col("boundary").cast("long")).over(run) - 1)
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_words"),
+        min("pos").cast("long").as("start"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x.getField("w")), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_cdc" -> (chunkCdc _),
     "shuffle_deterministic" -> (shuffleDeterministic _),
     "curriculum_order" -> (curriculumOrder _),
     "chunk_documents" -> (chunkDocuments _),
@@ -733,6 +774,36 @@ object TextOps extends QueryGroup {
         md5(coalesce(array_to_string(w[start + 1 : start + 64], ' '), ''))
           AS chunk_md5
       FROM s ORDER BY doc_id, chunk_id""",
+    "chunk_cdc" -> """
+      WITH dd AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               unnest([{'pos': i - 1, 'w': w[i]}
+                       FOR i IN range(1, len(w) + 1)], recursive := true)
+        FROM dd),
+      g AS (
+        SELECT doc_id, pos, w,
+               concat_ws(' ', lag(w, 3) OVER win, lag(w, 2) OVER win,
+                         lag(w, 1) OVER win, w) AS gram
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      b AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN pos = 0
+                         OR (pos >= 3 AND substr(md5(gram), 1, 2) < '08')
+                    THEN 1 ELSE 0 END AS boundary
+        FROM g),
+      c AS (
+        SELECT doc_id, pos, w,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                 AS chunk_id
+        FROM b)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(min(pos) AS BIGINT) AS start,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+      FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""",
     "text_contamination" -> """
       WITH all_docs AS (
         SELECT doc_id, text FROM documents

@@ -682,4 +682,30 @@ class KernelSpec extends SparkSpec {
       .map(s => firstN.count(_._2 == s)).maxOption.getOrElse(0)
     assert(c0 > 2 * cOther, s"src0 $c0 vs other $cOther in first 100")
   }
+
+  test("chunk_cdc: boundaries re-synchronize after an insertion (fixed stride does not)") {
+    val s = spark; import s.implicits._
+    // a long pseudo-random word stream, and a copy with 3 words
+    // inserted near the front — the edit CDC must localize
+    val words = (0 until 2000).map(i => s"w${(i * 2654435761L) % 997}")
+    val edited = words.take(10) ++ Seq("x1", "x2", "x3") ++ words.drop(10)
+    val chunks = graft.operators.TextOps.cdcChunks(
+      Seq((0L, words.mkString(" ")), (1L, edited.mkString(" ")))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val orig = chunks.filter(_._1 == 0L).map(_._2)
+    val edit = chunks.filter(_._1 == 1L).map(_._2)
+    val shared = orig.toSet.intersect(edit.toSet).size
+    // all but the chunk(s) containing the edit must match by digest
+    assert(shared >= orig.toSet.size - 2,
+      s"CDC failed to re-sync: $shared of ${orig.toSet.size} chunks shared")
+    // and the fixed-stride chunker shares almost nothing after the
+    // same edit (every window shifts by 3) — the property CDC buys
+    val fixedShared = {
+      def fixed(ws: Seq[String]) =
+        ws.sliding(64, 48).map(_.mkString(" ")).toSet
+      fixed(words).intersect(fixed(edited)).size
+    }
+    assert(fixedShared <= 1, s"fixed stride unexpectedly re-synced: $fixedShared")
+  }
 }
