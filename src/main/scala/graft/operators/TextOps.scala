@@ -716,7 +716,62 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Shared CDC oracle CTE (documents → positions → boundary flags →
+    * per-chunk digests) — one source for the chunk_cdc and
+    * dedup_chunk oracles so the boundary rule cannot drift. */
+  private val CdcCte: String = """dd AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               unnest([{'pos': i - 1, 'w': w[i]}
+                       FOR i IN range(1, len(w) + 1)], recursive := true)
+        FROM dd),
+      g AS (
+        SELECT doc_id, pos, w,
+               concat_ws(' ', lag(w, 3) OVER win, lag(w, 2) OVER win,
+                         lag(w, 1) OVER win, w) AS gram
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      b AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN pos = 0
+                         OR (pos >= 3 AND substr(md5(gram), 1, 2) < '08')
+                    THEN 1 ELSE 0 END AS boundary
+        FROM g),
+      c AS (
+        SELECT doc_id, pos, w,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                 AS chunk_id
+        FROM b),
+      chunks AS (
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(min(pos) AS BIGINT) AS start,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+        FROM c GROUP BY doc_id, chunk_id)"""
+
+  /** Chunk-level exact dedup over the CDC chunking — what
+    * [[chunkCdc]] exists FOR: boilerplate shared across documents
+    * (headers, license blocks, templated passages) dedups at chunk
+    * granularity even when no two whole documents match, and because
+    * the boundaries are content-defined the same passage yields the
+    * same digests wherever it sits. Reports each duplicated chunk
+    * with its copy count and the tokens removable by keeping one
+    * copy. Digest-only groupBy — chunk text never shuffles. */
+  def dedupChunk(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(s, dir))
+      .groupBy("chunk_md5")
+      .agg(
+        count(lit(1)).cast("long").as("n_copies"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("min_doc"),
+        min("n_words").as("n_words"),
+        ((count(lit(1)) - 1) * min("n_words")).as("words_saved"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_md5")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_chunk" -> (dedupChunk _),
     "chunk_cdc" -> (chunkCdc _),
     "shuffle_deterministic" -> (shuffleDeterministic _),
     "curriculum_order" -> (curriculumOrder _),
@@ -774,36 +829,20 @@ object TextOps extends QueryGroup {
         md5(coalesce(array_to_string(w[start + 1 : start + 64], ' '), ''))
           AS chunk_md5
       FROM s ORDER BY doc_id, chunk_id""",
-    "chunk_cdc" -> """
-      WITH dd AS (
-        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
-        FROM documents),
-      tok AS (
-        SELECT doc_id,
-               unnest([{'pos': i - 1, 'w': w[i]}
-                       FOR i IN range(1, len(w) + 1)], recursive := true)
-        FROM dd),
-      g AS (
-        SELECT doc_id, pos, w,
-               concat_ws(' ', lag(w, 3) OVER win, lag(w, 2) OVER win,
-                         lag(w, 1) OVER win, w) AS gram
-        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      b AS (
-        SELECT doc_id, pos, w,
-               CASE WHEN pos = 0
-                         OR (pos >= 3 AND substr(md5(gram), 1, 2) < '08')
-                    THEN 1 ELSE 0 END AS boundary
-        FROM g),
-      c AS (
-        SELECT doc_id, pos, w,
-               sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) - 1
-                 AS chunk_id
-        FROM b)
-      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-             CAST(count(*) AS BIGINT) AS n_words,
-             CAST(min(pos) AS BIGINT) AS start,
-             md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
-      FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""",
+    "chunk_cdc" -> s"""
+      WITH $CdcCte
+      SELECT doc_id, chunk_id, n_words, start, chunk_md5
+      FROM chunks ORDER BY doc_id, chunk_id""",
+    "dedup_chunk" -> s"""
+      WITH $CdcCte
+      SELECT chunk_md5,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_doc,
+             min(n_words) AS n_words,
+             CAST((count(*) - 1) * min(n_words) AS BIGINT) AS words_saved
+      FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1
+      ORDER BY chunk_md5""",
     "text_contamination" -> """
       WITH all_docs AS (
         SELECT doc_id, text FROM documents
