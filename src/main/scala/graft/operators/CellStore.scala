@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Lww, RunId, Tables}
 
@@ -105,6 +106,42 @@ object CellStore extends QueryGroup {
         col("ts") < lit(gcGrace).cast("timestamp_ntz")))
       .select("user_id", "event_id", "event_type", "value", "is_tombstone")
       .orderBy("user_id")
+  }
+
+  /** Size-tiered compaction planning (STCS) — the strategy half of
+    * the maintenance story ([[compactGenerations]] executes a merge;
+    * this decides WHICH tables to merge): flush generations are
+    * bucketed by size order, a tier with >= 4 similar-sized tables
+    * is a compaction candidate (Cassandra's min_threshold), and the
+    * smallest candidate tier is chosen first — merging small tables
+    * is cheap and collapses the long tail the next flush feeds.
+    * Generations are modeled as (decimal-magnitude, mod-4) slices of
+    * events, which yields the geometric size spread a flush history
+    * produces; size order = digit count of n_rows (pure integer
+    * arithmetic — a float log10 would round differently at exact
+    * powers across engines). Everything after the per-table count is
+    * metadata-sized: the windows run over the SSTABLE list (tens of
+    * rows at any data scale, like the ring plans), never the data. */
+  def compactStcs(s: SparkSession, dir: String): DataFrame = {
+    val ss = Tables.events(s, dir)
+      .groupBy(
+        // cast: DuckDB length() is BIGINT, Spark's is int
+        length(col("event_id").cast("string")).cast("long").as("d"),
+        pmod(col("event_id"), lit(4)).as("m"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("tier", length(col("n_rows").cast("string")).cast("long"))
+    val wt = Window.partitionBy("tier")
+    val c = ss
+      .withColumn("tier_tables", count(lit(1)).over(wt).cast("long"))
+      .withColumn("tier_rows", sum("n_rows").over(wt).cast("long"))
+      .withColumn("candidate", col("tier_tables") >= 4)
+    val chosen = c.agg(min(when(col("candidate"), col("tier"))).as("chosen_tier"))
+    c.crossJoin(chosen)
+      .select(col("d"), col("m"), col("n_rows"), col("tier"),
+        col("tier_tables"), col("tier_rows"), col("candidate"),
+        coalesce(col("candidate") && col("tier") === col("chosen_tier"),
+          lit(false)).as("chosen"))
+      .orderBy("d", "m")
   }
 
   /** TTL compaction pass — the expiry half of the maintenance story
@@ -419,6 +456,7 @@ object CellStore extends QueryGroup {
     "tombstone_merge" -> (tombstoneMerge _),
     "compact_generations" -> (compactGenerations _),
     "ttl_compact" -> (ttlCompact _),
+    "compact_stcs" -> (compactStcs _),
     "scan_snapshot" -> (scanSnapshot _),
     "fn_map_stored" -> (fnMapStored _),
     "filter_collection_stored" -> (filterCollectionStored _),
@@ -482,6 +520,28 @@ object CellStore extends QueryGroup {
         FROM events) t
       WHERE rn = 1 AND ttl_expires > TIMESTAMP '$ReadTime'
       ORDER BY user_id, event_type""",
+    "compact_stcs" -> """
+      WITH ss AS (
+        SELECT length(CAST(event_id AS VARCHAR)) AS d,
+               event_id % 4 AS m,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT *, length(CAST(n_rows AS VARCHAR)) AS tier FROM ss),
+      w AS (
+        SELECT d, m, n_rows, tier,
+               CAST(count(*) OVER (PARTITION BY tier) AS BIGINT)
+                 AS tier_tables,
+               CAST(sum(n_rows) OVER (PARTITION BY tier) AS BIGINT)
+                 AS tier_rows
+        FROM t),
+      c AS (SELECT *, tier_tables >= 4 AS candidate FROM w),
+      mc AS (
+        SELECT min(CASE WHEN candidate THEN tier END) AS chosen_tier
+        FROM c)
+      SELECT d, m, n_rows, tier, tier_tables, tier_rows, candidate,
+             coalesce(candidate AND tier = mc.chosen_tier, false) AS chosen
+      FROM c, mc ORDER BY d, m""",
     "ttl_compact" -> """
       WITH c AS (
         SELECT user_id, event_type, value, event_id, ts,
