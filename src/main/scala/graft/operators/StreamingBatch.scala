@@ -79,6 +79,28 @@ object StreamingBatch extends QueryGroup {
       .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "event_type")
 
+  /** Trending top-k in batch form: the 3 most frequent event types
+    * per tumbling day. The production streaming shape splits exactly
+    * here: the windowed COUNTS are maintained incrementally by the
+    * stream (partial-agg, one row per window × type), and the rank is
+    * applied at the serving layer over that already-tiny relation —
+    * ranking inside the stream would force complete-mode state for no
+    * benefit. The streaming twin (StreamingSpec) runs the same counts
+    * through a MemoryStream and ranks the sink table; the per-window
+    * rank partition is bounded by the event-type domain. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy("w").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+        col("rank"))
+      .orderBy("win_start", "rank")
+  }
+
   /** Stream-stream interval join in batch form: click→purchase
     * attribution — every click by the same user within the hour
     * before a purchase. The equality key is (user_id, hour bucket),
@@ -146,6 +168,7 @@ object StreamingBatch extends QueryGroup {
     "stream_join" -> (streamJoin _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_tumbling" -> (streamTumbling _),
+    "stream_topk" -> (streamTopk _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_watermark" -> (streamWatermark _),
@@ -180,6 +203,18 @@ object StreamingBatch extends QueryGroup {
         date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
         event_type, COUNT(*) AS n, ${Num.sqlDsum("value")} AS sum_value
       FROM events GROUP BY 1, 2, 3 ORDER BY win_start, event_type""",
+    "stream_topk" -> """
+      WITH c AS (
+        SELECT date_trunc('day', ts) AS win_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY win_start ORDER BY n DESC, event_type)
+               AS BIGINT) AS rank
+        FROM c)
+      SELECT win_start, event_type, n, rank FROM r
+      WHERE rank <= 3 ORDER BY win_start, rank""",
     "stream_sliding" -> """
       SELECT win_start, event_type, COUNT(*) AS n FROM (
         SELECT make_timestamp((CAST(floor(epoch(ts)/21600) AS BIGINT)*21600

@@ -38,6 +38,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("trending top-k: rank over streamed windowed counts matches the batch form") {
+    val s = spark; import s.implicits._
+    // day 1: click×3, view×2, buy×1, refund×1 → top-3 excludes refund
+    // (ties broken alphabetically); day 2: single type
+    val rows = Seq(
+      SEvent(1, t(1, 1), 1, "click", 1.0), SEvent(2, t(1, 2), 1, "click", 1.0),
+      SEvent(3, t(1, 3), 2, "click", 1.0), SEvent(4, t(1, 4), 2, "view", 1.0),
+      SEvent(5, t(1, 5), 3, "view", 1.0), SEvent(6, t(1, 6), 3, "buy", 1.0),
+      SEvent(7, t(1, 7), 4, "refund", 1.0), SEvent(8, t(2, 1), 1, "view", 1.0))
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(rows: _*)
+    StreamOps.runToMemory(
+      StreamOps.tumblingCounts(mem.toDF()), "topk_counts", OutputMode.Complete())
+    // serving-layer rank over the continuously-maintained counts
+    def rank(counts: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("win_start").orderBy($"n".desc, $"event_type")
+      counts.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select("win_start", "event_type", "n", "rank")
+    }
+    val streamed = rank(s.table("topk_counts").select("win_start", "event_type", "n"))
+      .collect().map(_.toString).sorted.toList
+    val batch = rank(rows.toDF()
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("win_start"), $"event_type", $"n"))
+      .collect().map(_.toString).sorted.toList
+    assert(streamed == batch && streamed.size == 4,
+      s"streamed=$streamed batch=$batch")
+    assert(!streamed.exists(_.contains("refund")), "rank-4 type leaked into top-3")
+  }
+
   test("watermark drops events later than 1 hour behind the max ts") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
