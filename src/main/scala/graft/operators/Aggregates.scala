@@ -287,9 +287,40 @@ object Aggregates extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Incremental maintenance of a JOIN view — the delta-rule case
+    * [[mvIncremental]] (aggregate deltas) does not cover: the MV is
+    * the denormalized orders⋈customer view, and a change batch
+    * (updates to existing orders + new orders) refreshes it WITHOUT
+    * re-joining the base — only Δ joins the dimension (ΔO ⋈ C), and
+    * stale MV rows retire via an anti-join on Δ's keys. At 100 TB
+    * the base MV is petabyte-scale but the refresh cost is
+    * |Δ| · broadcast(C-slice) + one anti-join keyed on the MV's own
+    * partition key; Δ is batch-bounded by construction (a CDC window,
+    * the hint_replay discipline). Refreshed state ≡ joining the
+    * upserted base directly — the oracle states exactly that. */
+  def mvIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    def joined(orders: DataFrame): DataFrame =
+      orders.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("c_name"), col("c_nationkey"))
+    // base snapshot materialized before the batch; the change batch
+    // carries price corrections for keys %10=5 and inserts for %10=0
+    val base = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+    val delta = o.filter(pmod(col("o_orderkey"), lit(10)) === 5)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+    val mv = joined(base)
+    mv.join(broadcast(delta.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(joined(delta))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mode" -> (aggMode _),
     "mv_incremental" -> (mvIncremental _),
+    "mv_incremental_join" -> (mvIncrementalJoin _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
@@ -322,6 +353,14 @@ object Aggregates extends QueryGroup {
       SELECT user_id, COUNT(*) AS n_events,
         ${Num.sqlDsum("value")} AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // Refreshed MV state == joining the upserted base directly.
+    "mv_incremental_join" -> """
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+        CASE WHEN o.o_orderkey % 10 = 5 THEN o.o_totalprice + 1000.0
+             ELSE o.o_totalprice END AS o_totalprice,
+        o.o_orderdate, c.c_name, c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_orderkey""",
     // agg_quantile_approx: no oracle (GK sketch is engine-specific;
     // tolerance vs exact asserted in KernelSpec)
     "agg_skew_twophase" -> s"""
