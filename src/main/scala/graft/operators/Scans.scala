@@ -415,6 +415,43 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Dynamic-partition overwrite of `df`'s partitions under `path`:
+    * only partitions present in `df` are replaced; every other
+    * partition's files are untouched (asserted byte-for-byte in
+    * PlanSpec). Shared by [[backfillPartitioned]] and the spec. */
+  private[graft] def overwritePartitions(df: DataFrame, path: String): Unit =
+    df.write.partitionBy("event_type")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+
+  /** Partition backfill — the INSERT OVERWRITE PARTITION workhorse of
+    * a 100 TB pipeline: one partition of a partitioned table is
+    * recomputed (here: a value correction on `click`) and replaced
+    * in place via DYNAMIC partition overwrite, which rewrites only
+    * the partitions the batch contains — static overwrite mode would
+    * truncate the whole table, and a delete-then-append is not
+    * atomic per partition. Every other partition's files are not
+    * rewritten (PlanSpec snapshots them around the backfill). The
+    * layout is output-invisible ⇒ the oracle applies the same
+    * correction to the original table. */
+  private val backfillRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def backfillPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = backfillRoots.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratchKeyed("backfill/events_by_type", dir)
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "value", "event_type")
+      ev.write.partitionBy("event_type").mode("overwrite").parquet(p)
+      overwritePartitions(
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") + lit(10.0)), p)
+      p
+    })
+    s.read.parquet(path)
+      .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
   /** Secondary-index emulation (SURVEY.md §1.1): a precomputed
     * inverted-index table — (indexed_value, row_key) ROWS, never a
     * per-value array, so no aggregation buffer grows with the number
@@ -450,6 +487,7 @@ object Scans extends QueryGroup {
     "sink_mv" -> (sinkMv _),
     "sink_sorted_stats" -> (sinkSortedStats _),
     "scan_manifest_pruned" -> (scanManifestPruned _),
+    "backfill_partitioned" -> (backfillPartitioned _),
     "sink_zorder" -> (sinkZorderStats _),
     "sink_hilbert" -> (sinkHilbertStats _)
   )
@@ -498,6 +536,12 @@ object Scans extends QueryGroup {
                    l_quantity, l_extendedprice FROM lineitem)
       WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01'
       GROUP BY l_shipdate ORDER BY l_shipdate""",
+    "backfill_partitioned" -> """
+      SELECT event_id, user_id,
+        CASE WHEN event_type = 'click' THEN value + 10.0 ELSE value END
+          AS value,
+        event_type
+      FROM events ORDER BY event_id""",
     "scan_manifest_pruned" -> s"""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -342,6 +342,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("backfill: dynamic overwrite leaves other partitions' files untouched") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.core.RunId.scratch("backfill_spec/events_by_type")
+    val ev = graft.core.Tables.events(spark, sf001)
+      .select("event_id", "user_id", "value", "event_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(root)
+    def snapshot(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/event_type=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val viewBefore = snapshot("view")
+    val clickBefore = snapshot("click")
+    graft.operators.Scans.overwritePartitions(
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") + org.apache.spark.sql.functions.lit(10.0)),
+      root)
+    assert(snapshot("view") == viewBefore && viewBefore.nonEmpty,
+      "untargeted partition was rewritten")
+    assert(snapshot("click") != clickBefore && clickBefore.nonEmpty,
+      "targeted partition was not replaced")
+  }
+
   test("scan_manifest_pruned: manifest planning opens a strict subset of files") {
     val (selected, total) = graft.operators.Scans.manifestSelect(
       spark, sf001, "1996-09-01", "1996-12-01")
