@@ -452,6 +452,47 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Star-schema join with DYNAMIC partition pruning — the canonical
+    * Spark scale pattern for dimension-filtered fact scans: the fact
+    * table is hive-partitioned on the join key, the dimension side is
+    * filtered at runtime, and Catalyst injects a dynamicpruning
+    * subquery on the fact scan so only the partitions matching the
+    * filtered dimension keys are ever LISTED or read. Static pruning
+    * cannot do this — the matching keys are not known until the dim
+    * filter runs. At 100 TB this is the first lever after layout:
+    * the fact side reads 2 of 5 partitions here, and the same plan
+    * reads dim-selected partitions out of thousands in production.
+    * PlanSpec asserts the dynamicpruning filter (the sim_topk_ivf
+    * precedent); the channel map is a domain-bounded literal relation
+    * (the broadcast side DPP requires). */
+  private val dppFactRoots =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def joinDpp(s: SparkSession, dir: String): DataFrame = {
+    val path = dppFactRoots.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratchKeyed("dpp/events_by_type", dir)
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.partitionBy("event_type").mode("overwrite").parquet(s"$p/fact")
+      // the dim must be a TABLE, not a literal relation: Catalyst
+      // folds a filtered LocalRelation before the PartitionPruning
+      // rule looks for a selective predicate, and DPP never fires
+      import s.implicits._
+      Seq(("click", "web"), ("view", "web"), ("purchase", "checkout"),
+        ("signup", "checkout"), ("error", "ops"))
+        .toDF("event_type", "channel")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/dim")
+      p
+    })
+    val dim = s.read.parquet(s"$path/dim")
+    s.read.parquet(s"$path/fact")
+      .join(dim.filter(col("channel") === "web"), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.core.Num.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Secondary-index emulation (SURVEY.md §1.1): a precomputed
     * inverted-index table — (indexed_value, row_key) ROWS, never a
     * per-value array, so no aggregation buffer grows with the number
@@ -488,6 +529,7 @@ object Scans extends QueryGroup {
     "sink_sorted_stats" -> (sinkSortedStats _),
     "scan_manifest_pruned" -> (scanManifestPruned _),
     "backfill_partitioned" -> (backfillPartitioned _),
+    "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
     "sink_hilbert" -> (sinkHilbertStats _)
   )
@@ -536,6 +578,17 @@ object Scans extends QueryGroup {
                    l_quantity, l_extendedprice FROM lineitem)
       WHERE l_shipdate >= '1998-06-01' AND l_shipdate < '1998-07-01'
       GROUP BY l_shipdate ORDER BY l_shipdate""",
+    "join_dpp" -> s"""
+      SELECT e.event_type, COUNT(*) AS n,
+        ${graft.core.Num.sqlDsum("e.value")} AS sum_value
+      FROM events e
+      JOIN (SELECT * FROM (VALUES
+              ('click', 'web'), ('view', 'web'), ('purchase', 'checkout'),
+              ('signup', 'checkout'), ('error', 'ops'))
+            AS t(event_type, channel)) d
+        ON e.event_type = d.event_type
+      WHERE d.channel = 'web'
+      GROUP BY e.event_type ORDER BY e.event_type""",
     "backfill_partitioned" -> """
       SELECT event_id, user_id,
         CASE WHEN event_type = 'click' THEN value + 10.0 ELSE value END

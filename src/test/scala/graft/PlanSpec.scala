@@ -342,6 +342,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("join_dpp: fact scan carries a dynamicpruning partition filter") {
+    val df = SparkEntry.queries("join_dpp")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${p.take(1500)}")
+  }
+
   test("backfill: dynamic overwrite leaves other partitions' files untouched") {
     import org.apache.spark.sql.functions.col
     val root = graft.core.RunId.scratch("backfill_spec/events_by_type")
