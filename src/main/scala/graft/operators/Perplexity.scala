@@ -106,9 +106,13 @@ object Perplexity extends QueryGroup {
     * percentile approximation, bit-identical on any layout. */
   def sampleCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val p = textPerplexity(s, dir).select("doc_id", "avg_nlq")
+    // materialized ONCE: n, hist and the final join all branch from j,
+    // and without a checkpoint each branch re-runs the full trigram
+    // scoring pipeline upstream (measured 3×: 40.6 s → 13.9 s at ×10)
     val j = Tables.documents(s, dir).select("doc_id", "lang")
       .join(p, "doc_id")
       .withColumn("grid", expr("avg_nlq div 16384"))
+      .localCheckpoint()
     val n = j.groupBy("lang").agg(count(lit(1)).as("n"))
     val hist = j.groupBy("lang", "grid").agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy("lang").orderBy("grid")
