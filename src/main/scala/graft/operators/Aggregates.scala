@@ -317,7 +317,44 @@ object Aggregates extends QueryGroup {
       .orderBy("o_orderkey")
   }
 
+  /** The event-type domain for the pivot pair — passing it explicitly
+    * matters at scale: `pivot(col)` without values runs an EXTRA
+    * distinct scan over the fact table just to learn the columns, and
+    * makes the output schema data-dependent (a new type appearing in
+    * one partition would change the relation's shape). A fixed, declared
+    * domain keeps the pivot a single pass with a static schema. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: one row per user, one count column per event type — the
+    * wide activity profile a feature store materializes. Single hash
+    * aggregate (map-side partial combine on user_id); the pivot is just
+    * a conditional-aggregation rewrite, no extra shuffle. */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .select(col("user_id") +: EventTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("user_id")
+
+  /** UNPIVOT: the inverse — melt the wide profile back to long
+    * (user_id, event_type, n) form, dropping the zero cells the wide
+    * form padded in. Row-local `stack`, no shuffle beyond the pivot's
+    * own aggregate; the pair round-trips to the plain groupBy count
+    * the oracle states. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = aggPivot(s, dir)
+    val stackArgs = EventTypes.map(t => s"'$t', n_$t").mkString(", ")
+    wide.select(col("user_id"),
+        expr(s"stack(${EventTypes.size}, $stackArgs) AS (event_type, n)"))
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot" -> (aggPivot _),
+    "agg_unpivot" -> (aggUnpivot _),
     "agg_mode" -> (aggMode _),
     "mv_incremental" -> (mvIncremental _),
     "mv_incremental_join" -> (mvIncrementalJoin _),
@@ -340,6 +377,17 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // conditional-aggregation mirror of the fixed-domain pivot
+    "agg_pivot" -> s"""
+      SELECT user_id,
+        ${EventTypes.map(t =>
+          s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n        ")}
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    // pivot∘unpivot round-trips to the plain long-form count
+    "agg_unpivot" -> """
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
     "agg_mode" -> """
       WITH c AS (
         SELECT user_id, event_type, COUNT(*) AS cnt

@@ -144,6 +144,44 @@ object CellStore extends QueryGroup {
       .orderBy("d", "m")
   }
 
+  /** Time-window compaction planning (TWCS) — Cassandra's time-series
+    * strategy, the third member of the maintenance-planning family
+    * ([[compactStcs]] buckets by size; TWCS buckets by WRITE TIME):
+    * sstables group into day windows; the CURRENT window compacts by
+    * the ordinary STCS rule (>= 4 similar-sized tables), while every
+    * PAST window with more than one sstable is a major-compaction
+    * candidate — old windows collapse to exactly one table each, so a
+    * TTL'd time series expires whole files at a time instead of
+    * rewriting them. Generations are modeled as (day, mod-4) slices of
+    * events — the flush history a steady writer produces. As with
+    * STCS, everything after the per-table count is metadata-sized:
+    * windows run over the sstable LIST (tens of rows at any data
+    * scale), never the data. */
+  def compactTwcs(s: SparkSession, dir: String): DataFrame = {
+    val ss = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("w_day"),
+        pmod(col("event_id"), lit(4)).as("m"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val cur = ss.agg(max("w_day").as("cur_day"))
+    val wWin = Window.partitionBy("w_day")
+    val wTier = Window.partitionBy("w_day", "tier")
+    val t = ss.crossJoin(cur)
+      .withColumn("is_current", col("w_day") === col("cur_day"))
+      .withColumn("win_tables", count(lit(1)).over(wWin).cast("long"))
+      // size order = digit count (integer-exact; see compactStcs)
+      .withColumn("tier", length(col("n_rows").cast("string")).cast("long"))
+      .withColumn("tier_tables", count(lit(1)).over(wTier).cast("long"))
+    val chosen = t.filter(col("is_current") && col("tier_tables") >= 4)
+      .agg(min("tier").as("chosen_tier"))
+    t.crossJoin(chosen)
+      .select(col("w_day"), col("m"), col("n_rows"), col("is_current"),
+        when(!col("is_current") && col("win_tables") > 1, lit("major"))
+          .when(col("is_current") &&
+            coalesce(col("tier") === col("chosen_tier"), lit(false)), lit("stcs"))
+          .otherwise(lit("none")).as("action"))
+      .orderBy("w_day", "m")
+  }
+
   /** TTL compaction pass — the expiry half of the maintenance story
     * ([[compactGenerations]] covers tombstone GC): per PK the LWW
     * winner is classified at compaction time [[ReadTime]] as
@@ -457,6 +495,7 @@ object CellStore extends QueryGroup {
     "compact_generations" -> (compactGenerations _),
     "ttl_compact" -> (ttlCompact _),
     "compact_stcs" -> (compactStcs _),
+    "compact_twcs" -> (compactTwcs _),
     "scan_snapshot" -> (scanSnapshot _),
     "fn_map_stored" -> (fnMapStored _),
     "filter_collection_stored" -> (filterCollectionStored _),
@@ -542,6 +581,28 @@ object CellStore extends QueryGroup {
       SELECT d, m, n_rows, tier, tier_tables, tier_rows, candidate,
              coalesce(candidate AND tier = mc.chosen_tier, false) AS chosen
       FROM c, mc ORDER BY d, m""",
+    "compact_twcs" -> """
+      WITH ss AS (
+        SELECT CAST(ts AS DATE) AS w_day, event_id % 4 AS m,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1, 2),
+      cur AS (SELECT max(w_day) AS cur_day FROM ss),
+      t AS (
+        SELECT ss.*, ss.w_day = cur.cur_day AS is_current,
+          CAST(count(*) OVER (PARTITION BY w_day) AS BIGINT) AS win_tables,
+          CAST(length(CAST(n_rows AS VARCHAR)) AS BIGINT) AS tier,
+          CAST(count(*) OVER (PARTITION BY w_day,
+                 length(CAST(n_rows AS VARCHAR))) AS BIGINT) AS tier_tables
+        FROM ss, cur),
+      ch AS (
+        SELECT min(tier) AS chosen_tier FROM t
+        WHERE is_current AND tier_tables >= 4)
+      SELECT w_day, m, n_rows, is_current,
+        CASE WHEN NOT is_current AND win_tables > 1 THEN 'major'
+             WHEN is_current AND coalesce(tier = ch.chosen_tier, false)
+               THEN 'stcs'
+             ELSE 'none' END AS action
+      FROM t, ch ORDER BY w_day, m""",
     "ttl_compact" -> """
       WITH c AS (
         SELECT user_id, event_type, value, event_id, ts,

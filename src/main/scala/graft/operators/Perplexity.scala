@@ -133,9 +133,81 @@ object Perplexity extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Hashed-bigram feature space for DSIR — 3 hex chars = exactly
+    * 4096 buckets, so the two LM tables are BOUNDED relations at any
+    * corpus size (the paper's hashed n-gram trick, Xie et al. 2023). */
+  private val DsirLqt = "floor(ln((ctv + 1.0e0) / (nt + 4096.0e0)) * 1e6)"
+  private val DsirLqr = "floor(ln((crv + 1.0e0) / (nr + 4096.0e0)) * 1e6)"
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    * — target-domain data selection, the model-based sampler between
+    * the perplexity gate (fluency) and the CCNet buckets (fluency
+    * terciles): score every document by its log importance weight
+    * log p_target(doc) − log p_raw(doc) under two bag-of-hashed-bigram
+    * unigram LMs (target = the `zh` slice, raw = the whole pool) and
+    * keep the top quarter — the pool reshaped toward the target
+    * domain's feature distribution.
+    *
+    * Determinism discipline: each bucket's two log-probs are quantized
+    * SEPARATELY with the proven single-ln ×1e6 floor surface (the
+    * text_perplexity probe), the per-doc weight is an integer sum of
+    * their differences (order-independent on any layout), and the
+    * keep cutoff is histogram-exact on a bounded weight grid (÷2^20 —
+    * a power of two, so the double division is exact) — no global
+    * sort, no percentile approximation.
+    *
+    * Scale shape: both LM tables are ≤4096 rows by construction —
+    * bounded, AQE-broadcast; the corpus-sized work is one explode +
+    * one per-doc lag window + one join keyed on the bucket id + one
+    * per-doc aggregate, all linear. */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), posexplode(Text.words(col("text"))))
+      .toDF("doc_id", "lang", "pos", "w")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok
+      .withColumn("w1", lag(col("w"), 1).over(byPos))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat_ws(" ", col("w1"), col("w"))), 1, 3), 16, 10)
+          .cast("long").as("b"))
+    val ct = big.filter(col("lang") === "zh")
+      .groupBy("b").agg(count(lit(1)).cast("long").as("ct"))
+    val cr = big.groupBy("b").agg(count(lit(1)).cast("long").as("cr"))
+    val nt = ct.agg(coalesce(sum("ct"), lit(0L)).cast("long").as("nt"))
+    val nr = cr.agg(sum("cr").cast("long").as("nr"))
+    val model = cr.join(ct, Seq("b"), "left")
+      .withColumn("ctv", coalesce(col("ct"), lit(0L)))
+      .withColumn("crv", col("cr"))
+      .crossJoin(nt).crossJoin(nr)
+      .select(col("b"),
+        (expr(DsirLqt).cast("long") - expr(DsirLqr).cast("long")).as("lq_diff"))
+    val scored = big
+      .join(model, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_big"), sum("lq_diff").as("dsir_w"))
+      .withColumn("grid",
+        floor(col("dsir_w").cast("double") / lit(1048576.0)).cast("long"))
+      // materialized once: n, hist and the final join all branch here
+      .localCheckpoint()
+    val n = scored.agg(count(lit(1)).as("n"))
+    val wcum = Window.orderBy("grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = scored.groupBy("grid").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wcum))
+      .crossJoin(n)
+      .agg(min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("grid")))
+        .as("cut"))
+    scored.crossJoin(cut)
+      .select(col("doc_id"), col("n_big"), col("dsir_w"),
+        (col("grid") > col("cut")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_perplexity" -> (textPerplexity _),
-    "sample_ccnet_buckets" -> (sampleCcnetBuckets _)
+    "sample_ccnet_buckets" -> (sampleCcnetBuckets _),
+    "sample_dsir" -> (sampleDsir _)
   )
 
   /** Shared CTE chain (documents → tokens → trigram model → per-doc
@@ -217,6 +289,54 @@ object Perplexity extends QueryGroup {
                   WHEN j.grid <= c.tail_cut THEN 'middle'
                   ELSE 'tail' END AS bucket,
              j.grid <= c.tail_cut AS keep
-      FROM j JOIN cuts c ON j.lang = c.lang ORDER BY j.doc_id"""
+      FROM j JOIN cuts c ON j.lang = c.lang ORDER BY j.doc_id""",
+    // Same hashed-bigram buckets, same per-bucket quantized log-probs,
+    // same grid/cutoff arithmetic as the Spark side.
+    "sample_dsir" -> s"""
+      WITH dd AS (
+        SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      tok AS (
+        SELECT doc_id, lang,
+               unnest([{'pos': i, 'w': w[i]}
+                       FOR i IN range(1, len(w) + 1)], recursive := true)
+        FROM dd),
+      big AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substring(md5(concat(w1, ' ', w)), 1, 3))
+                    AS BIGINT) AS b
+        FROM (SELECT doc_id, lang, w,
+                     lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+              FROM tok)
+        WHERE w1 IS NOT NULL),
+      ct AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS ct FROM big
+        WHERE lang = 'zh' GROUP BY b),
+      cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM big GROUP BY b),
+      ntt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ct),
+      nrt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM cr),
+      model AS (
+        SELECT b, CAST($DsirLqt AS BIGINT) - CAST($DsirLqr AS BIGINT)
+                    AS lq_diff
+        FROM (SELECT cr.b, CAST(coalesce(ct.ct, 0) AS BIGINT) AS ctv,
+                     cr.cr AS crv
+              FROM cr LEFT JOIN ct USING (b)), ntt, nrt),
+      perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+               CAST(sum(lq_diff) AS BIGINT) AS dsir_w
+        FROM big JOIN model USING (b) GROUP BY doc_id),
+      g AS (
+        SELECT doc_id, n_big, dsir_w,
+               CAST(floor(CAST(dsir_w AS DOUBLE) / 1048576e0) AS BIGINT)
+                 AS grid
+        FROM perdoc),
+      n AS (SELECT count(*) AS n FROM g),
+      h AS (SELECT grid, count(*) AS c FROM g GROUP BY grid),
+      cum AS (SELECT grid, sum(c) OVER (ORDER BY grid) AS cum FROM h),
+      cut AS (
+        SELECT min(CASE WHEN cum >= (3 * n + 3) // 4 THEN grid END) AS cut
+        FROM cum, n)
+      SELECT doc_id, n_big, dsir_w, g.grid > cut.cut AS keep
+      FROM g, cut ORDER BY doc_id"""
   )
 }

@@ -334,6 +334,78 @@ object Scans extends QueryGroup {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** SSTable bloom-filter skip — the OTHER half of Cassandra's file-
+    * pruning story. Zone maps ([[scanManifestPruned]]) prune RANGE
+    * predicates on the cluster key; they are useless for a point read
+    * on a key that is HASH-scattered across generations (every file's
+    * [min,max] spans the whole domain). Cassandra's answer is a bloom
+    * filter per sstable over the partition keys, consulted BEFORE the
+    * file is opened: a point read touches the one generation that
+    * holds the key (plus a bounded false-positive tail) instead of
+    * every file. Here: events split into 8 hash-assigned generations
+    * (a flush history — min/max prunes nothing by construction), one
+    * 2-hash 2^17-bit bloom per generation kept as bit-position sets in
+    * a manifest. Bloom size follows Cassandra's sizing rule — bits ∝
+    * distinct keys per sstable (~10 bits/key), NOT corpus bytes — and
+    * the manifest stays file-count rows. False positives cost one
+    * extra file read and are corrected by the residual filter, never
+    * visible in results. */
+  private val BloomBits = 131072L
+  private def bloomHashes(c: Column): (Column, Column, Column) = {
+    val m = md5(c.cast("string"))
+    (pmod(conv(substring(m, 1, 5), 16, 10).cast("long"), lit(BloomBits)),
+      pmod(conv(substring(m, 6, 5), 16, 10).cast("long"), lit(BloomBits)),
+      pmod(conv(substring(m, 11, 2), 16, 10).cast("long"), lit(8L)))
+  }
+  private val bloomEventsPaths =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private[graft] def bloomEventsPath(
+      s: SparkSession, dir: String): (String, String) =
+    bloomEventsPaths.getOrElseUpdate(dir, {
+      val root = graft.core.RunId.scratchKeyed("bloom/events_gen", dir)
+      val mf = graft.core.RunId.scratchKeyed("bloom/events_manifest", dir)
+      val (h1, h2, g) = bloomHashes(col("event_id"))
+      val base = Tables.events(s, dir).withColumn("_gen", g)
+      base.write.mode("overwrite").partitionBy("_gen").parquet(root)
+      base.select(col("_gen"), explode(array(h1, h2)).as("p"))
+        .groupBy("_gen").agg(collect_set("p").as("bits"))
+        .coalesce(1).write.mode("overwrite").parquet(mf)
+      (root, mf)
+    })
+
+  /** Generations whose bloom contains BOTH hash positions of `key` —
+    * the planning step, shared with PlanSpec's strict-subset
+    * assertion. Returns (selected generation ids, total files). */
+  private[graft] def bloomSelect(
+      s: SparkSession, dir: String, key: Long): (Seq[Long], Long) = {
+    val (_, mf) = bloomEventsPath(s, dir)
+    // driver-side mirror of bloomHashes for the single probe key
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k1 = java.lang.Long.parseLong(hex.substring(0, 5), 16) % BloomBits
+    val k2 = java.lang.Long.parseLong(hex.substring(5, 10), 16) % BloomBits
+    val m = s.read.parquet(mf)
+    val sel = m
+      .filter(array_contains(col("bits"), k1) && array_contains(col("bits"), k2))
+      .select("_gen").collect().map(_.getLong(0)).toSeq
+    (sel, m.count())
+  }
+
+  /** Point read planned THROUGH the per-generation blooms: only
+    * generations whose bloom matches are opened; the residual equality
+    * filter still runs (false positives). Layout + bloom are
+    * output-invisible ⇒ oracle runs the same point read on the
+    * original table. */
+  def scanBloomPruned(s: SparkSession, dir: String): DataFrame = {
+    val key = 777L
+    val (root, _) = bloomEventsPath(s, dir)
+    val (gens, _) = bloomSelect(s, dir, key)
+    s.read.parquet(gens.map(g => s"$root/_gen=$g"): _*)
+      .filter(col("event_id") === key)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** 2-D range aggregate answered from the Hilbert-clustered copy —
     * the sink_zorder surface on the better curve (different slice so
     * the two queries aren't duplicates). Layout is output-invisible ⇒
@@ -528,6 +600,7 @@ object Scans extends QueryGroup {
     "sink_mv" -> (sinkMv _),
     "sink_sorted_stats" -> (sinkSortedStats _),
     "scan_manifest_pruned" -> (scanManifestPruned _),
+    "scan_bloom_pruned" -> (scanBloomPruned _),
     "backfill_partitioned" -> (backfillPartitioned _),
     "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
@@ -595,6 +668,10 @@ object Scans extends QueryGroup {
           AS value,
         event_type
       FROM events ORDER BY event_id""",
+    // layout + bloom are output-invisible: same point read, original table
+    "scan_bloom_pruned" -> """
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id = 777 ORDER BY event_id""",
     "scan_manifest_pruned" -> s"""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -135,9 +135,42 @@ object Search extends QueryGroup {
       .orderBy("query_id", "doc_id")
   }
 
+  /** The phrase query: three DISTINCT words, so an occurrence cannot
+    * overlap itself and the adjacency count is exact. */
+  private val Phrase: Seq[String] = Seq("stream", "table", "hash")
+
+  /** Exact phrase retrieval — the positional-index lookup ranking
+    * cannot fake: a document matches only where the three terms occur
+    * at CONSECUTIVE token positions. The positional postings are
+    * built row-locally (posexplode + filter to the phrase vocabulary),
+    * so only the three terms' postings ever ride a shuffle; adjacency
+    * is two equi-joins on (doc_id, pos±k) — each join key is exact
+    * integer arithmetic, each side is postings-sized, and the match
+    * count per doc is corpus-independent. At 100 TB the postings for
+    * three terms are the working set, never the corpus. */
+  def searchPhrase(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(Text.words(col("text"))))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w").isin(Phrase: _*))
+    def at(term: String, off: Int): DataFrame = tok
+      .filter(col("w") === term)
+      // shift each term's positions back to the phrase START position
+      .select(col("doc_id"), (col("pos") - off).as("p"))
+    at(Phrase(0), 0)
+      .join(at(Phrase(1), 1), Seq("doc_id", "p"))
+      .join(at(Phrase(2), 2), Seq("doc_id", "p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        // 1-based to match the oracle's unnest ordinality
+        (min(col("p")) + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> (searchBm25 _),
-    "search_match_all" -> (searchMatchAll _)
+    "search_match_all" -> (searchMatchAll _),
+    "search_phrase" -> (searchPhrase _)
   )
 
   private val TermsValues: String =
@@ -183,6 +216,23 @@ object Search extends QueryGroup {
              CAST(sq AS DOUBLE) / 1e12 AS score, n_terms
       FROM ranked WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+    // same positional-adjacency semantics via the shared tok CTE shape
+    "search_phrase" -> s"""
+      WITH dd AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': w[i]}
+                       FOR i IN range(1, len(w) + 1)], recursive := true)
+        FROM dd),
+      t0 AS (SELECT doc_id, pos AS p FROM tok WHERE w = '${Phrase(0)}'),
+      t1 AS (SELECT doc_id, pos - 1 AS p FROM tok WHERE w = '${Phrase(1)}'),
+      t2 AS (SELECT doc_id, pos - 2 AS p FROM tok WHERE w = '${Phrase(2)}')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             CAST(min(p) AS BIGINT) AS first_pos
+      FROM t0 JOIN t1 USING (doc_id, p) JOIN t2 USING (doc_id, p)
+      GROUP BY doc_id ORDER BY doc_id""",
     "search_match_all" -> s"""
       WITH dd AS (
         SELECT doc_id,

@@ -385,6 +385,19 @@ class PlanSpec extends SparkSpec {
       s"scan opened ${df.inputFiles.length} files, manifest selected ${selected.length}")
   }
 
+  test("scan_bloom_pruned: bloom planning opens a strict subset of generations") {
+    val (selected, total) = graft.operators.Scans.bloomSelect(spark, sf001, 777L)
+    assert(selected.nonEmpty, "bloom selected no generations")
+    // the key lives in exactly 1 of 8 generations; false positives may
+    // add a bounded tail but must never defeat the pruning
+    assert(selected.length * 2 <= total,
+      s"bloom failed to prune: ${selected.length} of $total generations")
+    val df = SparkEntry.queries("scan_bloom_pruned")(spark, sf001)
+    val opened = df.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(opened == selected.length,
+      s"scan opened $opened generation dirs, bloom selected ${selected.length}")
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The

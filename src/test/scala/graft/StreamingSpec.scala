@@ -111,14 +111,21 @@ class StreamingSpec extends SparkSpec {
     val expected = StreamOps.tumblingCounts(batchEvents)
       .drop("sum_value") // Complete-mode compare on counts
       .collect().map(_.toString).sorted.toList
-    // Stream the same parquet file through the file source: nanos ts
-    // arrives as long (nanosAsLong), converted exactly like Tables.
+    // Stream the same parquet file through the file source, converting
+    // ts exactly like Tables.events: nanos fixtures arrive as long
+    // (nanosAsLong), µs fixtures as TIMESTAMP_NTZ — dispatch on the
+    // actual schema so the test tracks the fixture's physical type.
+    val schema =
+      s.read.option("pathGlobFilter", "events.parquet").parquet(sf001).schema
     val raw = s.readStream
-      .schema(s.read.option("pathGlobFilter", "events.parquet").parquet(sf001).schema)
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf001)
-    val streamEvents = raw.withColumn(
-      "ts", timestamp_micros(expr("ts div 1000")))
+    val streamEvents = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val q = StreamOps.tumblingCounts(streamEvents).drop("sum_value")
       .writeStream.outputMode("complete").format("memory")
       .queryName("file_stream_out").start()
