@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-sequence analytics over `events` — the funnel / cohort
+  * queries a product-analytics workload runs against the same
+  * wide-column event store the streaming operators consume
+  * (ClickHouse's windowFunnel / retention family, re-expressed as
+  * plain relational plans).
+  *
+  * Scale shape: both operators reduce to aggregates and joins KEYED ON
+  * user_id — the natural partition key of the event store — so every
+  * shuffle carries user-domain rows (bounded by the user population,
+  * not the event volume), map-side partial aggregation compacts each
+  * scan to one row per (user, stage/day) before anything moves, and no
+  * step is all-pairs or driver-side. At 100 TB of events the working
+  * set after the first aggregate is users × stages — the same shape a
+  * 1000-executor cluster handles as a routine hash aggregate.
+  */
+object Analytics extends QueryGroup {
+
+  /** Ordered conversion funnel signup → click → purchase within a
+    * 24-hour per-stage window: a user reaches stage 2 only with a
+    * click strictly AFTER their first signup and within 24 h of it,
+    * stage 3 only with a purchase in the same relation to that click —
+    * the ORDER + deadline constraints are what distinguish a funnel
+    * (ClickHouse windowFunnel semantics) from three independent
+    * counts. Three filtered per-user min-aggregates chained by
+    * (user_id)-keyed joins; each stage relation is one row per
+    * qualifying user. Output: funnel depth (1–3) → user count. */
+  def aggFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.join(t2.select(col("user_id"), lit(true).as("s2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), lit(true).as("s3")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + coalesce(col("s2").cast("long"), lit(0L)) +
+          coalesce(col("s3").cast("long"), lit(0L))).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("depth")
+  }
+
+  /** Day-0 cohort retention: users cohort by their FIRST active day;
+    * for each cohort, how many were active again exactly 1 / 3 / 7
+    * days later. One distinct (user, day) pass, one per-user min for
+    * the cohort day, then a single conditional aggregate per cohort —
+    * the (user, day) relation is users × active-days, far below event
+    * volume after the map-side distinct. */
+  def aggRetention(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val d0 = a.groupBy("user_id").agg(min("d").as("d0"))
+    a.join(d0, "user_id")
+      .groupBy("d0")
+      .agg(
+        countDistinct("user_id").cast("long").as("n_cohort"),
+        countDistinct(when(col("d") === date_add(col("d0"), 1), col("user_id")))
+          .cast("long").as("n_d1"),
+        countDistinct(when(col("d") === date_add(col("d0"), 3), col("user_id")))
+          .cast("long").as("n_d3"),
+        countDistinct(when(col("d") === date_add(col("d0"), 7), col("user_id")))
+          .cast("long").as("n_d7"))
+      .orderBy("d0")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_funnel" -> (aggFunnel _),
+    "agg_retention" -> (aggRetention _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same stage chain: each stage's min is constrained by the prior's
+    "agg_funnel" -> """
+      WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+          AND e.ts <= t1.t1 + INTERVAL 24 HOUR
+        GROUP BY e.user_id),
+      t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          AND e.ts <= t2.t2 + INTERVAL 24 HOUR
+        GROUP BY e.user_id),
+      depth AS (
+        SELECT t1.user_id,
+               1 + (t2.user_id IS NOT NULL)::BIGINT
+                 + (t3.user_id IS NOT NULL)::BIGINT AS depth
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id))
+      SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+      FROM depth GROUP BY depth ORDER BY depth""",
+    "agg_retention" -> """
+      WITH a AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      d0 AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+      SELECT d0,
+        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_cohort,
+        CAST(count(DISTINCT CASE WHEN d = d0 + 1 THEN a.user_id END)
+             AS BIGINT) AS n_d1,
+        CAST(count(DISTINCT CASE WHEN d = d0 + 3 THEN a.user_id END)
+             AS BIGINT) AS n_d3,
+        CAST(count(DISTINCT CASE WHEN d = d0 + 7 THEN a.user_id END)
+             AS BIGINT) AS n_d7
+      FROM a JOIN d0 USING (user_id)
+      GROUP BY d0 ORDER BY d0"""
+  )
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Lww, RunId, Tables}
@@ -180,6 +180,62 @@ object CellStore extends QueryGroup {
             coalesce(col("tier") === col("chosen_tier"), lit(false)), lit("stcs"))
           .otherwise(lit("none")).as("action"))
       .orderBy("w_day", "m")
+  }
+
+  /** Leveled compaction planning (LCS) — the third strategy
+    * ([[compactStcs]] by size, [[compactTwcs]] by write time, LCS by
+    * KEY RANGE): L0 holds raw flushes whose key ranges overlap; deeper
+    * levels hold non-overlapping contiguous runs, each level ~10× the
+    * last. Two triggers, both emitted (a real compactor serializes
+    * them L0-first; the planner exposes every applicable task):
+    *  - L0 with >= 4 tables compacts into L1, dragging along every L1
+    *    table whose range intersects the L0 span;
+    *  - a level over its row target promotes its smallest-key table,
+    *    merging with the next level's range-overlapping tables.
+    * SSTables are modeled as hash slices (L0 — overlapping by
+    * construction, like flushes) and contiguous range runs (L1: 8,
+    * L2: 32) of events; slice ids use integer `div` so the layout is
+    * engine-exact. Row targets are fixed constants (2000 / 20000 —
+    * Cassandra's 10× ladder at fixture scale). As with STCS/TWCS,
+    * everything past the per-table aggregate runs over the sstable
+    * LIST — metadata-sized at any data scale. */
+  def compactLcs(s: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.events(s, dir).agg(max("event_id").as("mx"))
+    val base = Tables.events(s, dir).select(col("event_id")).crossJoin(mx)
+    def slices(level: Int, tbl: Column): DataFrame =
+      base.groupBy(lit(level).cast("long").as("level"), tbl.as("tbl"))
+        .agg(min("event_id").as("min_k"), max("event_id").as("max_k"),
+          count(lit(1)).cast("long").as("n_rows"))
+    val ss = slices(0, pmod(col("event_id"), lit(4)).cast("long"))
+      .unionByName(slices(1, expr("(event_id * 8) div (mx + 1)").cast("long")))
+      .unionByName(slices(2, expr("(event_id * 32) div (mx + 1)").cast("long")))
+    val lvl = Window.partitionBy("level")
+    val t = ss
+      .withColumn("level_rows", sum("n_rows").over(lvl).cast("long"))
+      .withColumn("target_rows",
+        when(col("level") === 1, lit(2000L))
+          .when(col("level") === 2, lit(20000L)).otherwise(lit(0L)))
+    val l0span = t.filter(col("level") === 0)
+      .agg(min("min_k").as("l0_min"), max("max_k").as("l0_max"),
+        count(lit(1)).cast("long").as("l0_n"))
+    val cand = t.filter(col("level") === 1 && col("level_rows") > col("target_rows"))
+      .agg(min("min_k").as("c_min"), expr("min_by(max_k, min_k)").as("c_max"))
+    t.crossJoin(l0span).crossJoin(cand)
+      .select(col("level"), col("tbl"), col("min_k"), col("max_k"),
+        col("n_rows"), col("level_rows"), col("target_rows"),
+        when(col("level") === 0 && col("l0_n") >= 4, lit("compact_to_l1"))
+          // promotion first so the candidate stays visible even when
+          // the (always-matching) L0-overlap rule also applies to it
+          .when(col("level") === 1 && col("level_rows") > col("target_rows") &&
+            col("min_k") === col("c_min"), lit("promote_to_l2"))
+          .when(col("level") === 1 && col("l0_n") >= 4 &&
+            col("max_k") >= col("l0_min") && col("min_k") <= col("l0_max"),
+            lit("receive_l0"))
+          .when(col("level") === 2 && col("c_min").isNotNull &&
+            col("max_k") >= col("c_min") && col("min_k") <= col("c_max"),
+            lit("merge_with_promoted"))
+          .otherwise(lit("none")).as("action"))
+      .orderBy("level", "tbl")
   }
 
   /** TTL compaction pass — the expiry half of the maintenance story
@@ -496,6 +552,7 @@ object CellStore extends QueryGroup {
     "ttl_compact" -> (ttlCompact _),
     "compact_stcs" -> (compactStcs _),
     "compact_twcs" -> (compactTwcs _),
+    "compact_lcs" -> (compactLcs _),
     "scan_snapshot" -> (scanSnapshot _),
     "fn_map_stored" -> (fnMapStored _),
     "filter_collection_stored" -> (filterCollectionStored _),
@@ -581,6 +638,53 @@ object CellStore extends QueryGroup {
       SELECT d, m, n_rows, tier, tier_tables, tier_rows, candidate,
              coalesce(candidate AND tier = mc.chosen_tier, false) AS chosen
       FROM c, mc ORDER BY d, m""",
+    "compact_lcs" -> """
+      WITH mx AS (SELECT max(event_id) AS mx FROM events),
+      l0 AS (
+        SELECT CAST(0 AS BIGINT) AS level,
+               CAST(event_id % 4 AS BIGINT) AS tbl,
+               min(event_id) AS min_k, max(event_id) AS max_k,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 2),
+      l1 AS (
+        SELECT CAST(1 AS BIGINT) AS level,
+               CAST((event_id * 8) // (mx + 1) AS BIGINT) AS tbl,
+               min(event_id) AS min_k, max(event_id) AS max_k,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events, mx GROUP BY 2),
+      l2 AS (
+        SELECT CAST(2 AS BIGINT) AS level,
+               CAST((event_id * 32) // (mx + 1) AS BIGINT) AS tbl,
+               min(event_id) AS min_k, max(event_id) AS max_k,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events, mx GROUP BY 2),
+      ss AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+             UNION ALL SELECT * FROM l2),
+      t AS (
+        SELECT *,
+          CAST(sum(n_rows) OVER (PARTITION BY level) AS BIGINT) AS level_rows,
+          CAST(CASE WHEN level = 1 THEN 2000
+                    WHEN level = 2 THEN 20000 ELSE 0 END AS BIGINT)
+            AS target_rows
+        FROM ss),
+      sp AS (
+        SELECT min(min_k) AS l0_min, max(max_k) AS l0_max,
+               CAST(count(*) AS BIGINT) AS l0_n
+        FROM t WHERE level = 0),
+      cand AS (
+        SELECT min(min_k) AS c_min, min_by(max_k, min_k) AS c_max
+        FROM t WHERE level = 1 AND level_rows > target_rows)
+      SELECT level, tbl, min_k, max_k, n_rows, level_rows, target_rows,
+        CASE WHEN level = 0 AND l0_n >= 4 THEN 'compact_to_l1'
+             WHEN level = 1 AND level_rows > target_rows
+                  AND min_k = c_min THEN 'promote_to_l2'
+             WHEN level = 1 AND l0_n >= 4
+                  AND max_k >= l0_min AND min_k <= l0_max THEN 'receive_l0'
+             WHEN level = 2 AND c_min IS NOT NULL
+                  AND max_k >= c_min AND min_k <= c_max
+               THEN 'merge_with_promoted'
+             ELSE 'none' END AS action
+      FROM t, sp, cand ORDER BY level, tbl""",
     "compact_twcs" -> """
       WITH ss AS (
         SELECT CAST(ts AS DATE) AS w_day, event_id % 4 AS m,
