@@ -161,25 +161,31 @@ object Perplexity extends QueryGroup {
     * one per-doc lag window + one join keyed on the bucket id + one
     * per-doc aggregate, all linear. */
   def sampleDsir(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), posexplode(Text.words(col("text"))))
-      .toDF("doc_id", "lang", "pos", "w")
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val big = tok
-      .withColumn("w1", lag(col("w"), 1).over(byPos))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        conv(substring(md5(concat_ws(" ", col("w1"), col("w"))), 1, 3), 16, 10)
-          .cast("long").as("b"))
-    val ct = big.filter(col("lang") === "zh")
-      .groupBy("b").agg(count(lit(1)).cast("long").as("ct"))
-    val cr = big.groupBy("b").agg(count(lit(1)).cast("long").as("cr"))
-    val nt = ct.agg(coalesce(sum("ct"), lit(0L)).cast("long").as("nt"))
-    val nr = cr.agg(sum("cr").cast("long").as("nr"))
-    val model = cr.join(ct, Seq("b"), "left")
-      .withColumn("ctv", coalesce(col("ct"), lit(0L)))
-      .withColumn("crv", col("cr"))
-      .crossJoin(nt).crossJoin(nr)
+    // Bigrams are computed ROW-LOCALLY from the words array (adjacent
+    // pairs via a transform over the tail slice) — a per-doc window
+    // would shuffle+sort the whole token stream per consumer, and
+    // materializing the bigram relation instead is corpus-sized state
+    // (measured at ×100: 33–222 s of GC-bound variance; the row-local
+    // form runs the whole query in 24 s cold). No exchange exists
+    // before the two bounded aggregates.
+    val big = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(slice(w, 2, size(w) - 1),
+           (x, i) -> CAST(conv(substring(
+             md5(concat(element_at(w, i + 1), ' ', x)), 1, 3), 16, 10)
+             AS BIGINT))""")).as("b"))
+    // ONE aggregate yields both LMs: raw count + target (zh) count per
+    // bucket. THIS relation is ≤4096 rows — the right thing to pin
+    // (the bounded-state discipline): tot/model branch from the tiny
+    // checkpoint, so the corpus is read once per remaining consumer.
+    val counts = big.groupBy("b").agg(
+      count(lit(1)).cast("long").as("crv"),
+      count(when(col("lang") === "zh", 1)).cast("long").as("ctv"))
+      .localCheckpoint()
+    val tot = counts.agg(sum("crv").cast("long").as("nr"),
+      sum("ctv").cast("long").as("nt"))
+    val model = counts.crossJoin(tot)
       .select(col("b"),
         (expr(DsirLqt).cast("long") - expr(DsirLqr).cast("long")).as("lq_diff"))
     val scored = big

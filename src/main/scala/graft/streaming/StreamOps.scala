@@ -187,6 +187,56 @@ object StreamOps {
       }
   }
 
+  /** Streaming incremental MV maintenance — the mv_incremental delta
+    * rule DRIVEN BY the stream: each micro-batch folds into a
+    * parquet-backed materialized view through foreachBatch, and the
+    * sink is IDEMPOTENT PER batchId (the exactly-once contract
+    * foreachBatch actually offers is at-least-once delivery + replay
+    * of the last uncommitted batch, so the sink must absorb replays):
+    * a batch writes its per-user partial aggregate to its OWN
+    * `batch_id=` partition via dynamic partition overwrite — replaying
+    * the batch rewrites the same partition byte-identically, never
+    * double-counts. The served MV is the groupBy-merge of delta
+    * partitions ([[readMv]]); a compactor can fold old partitions
+    * together offline without changing reads. State lives in the sink,
+    * not the stream — no streaming aggregation state to age out, and
+    * each delta is batch-sized, never MV-sized (the mv_incremental_join
+    * refresh-cost rule). */
+  def incrementalMv(events: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyMvBatch(batch, root, id)
+      }
+      .start()
+
+  /** The idempotent per-batch fold — exposed so StreamingSpec can
+    * replay a batchId directly and assert the MV is unchanged. */
+  def applyMvBatch(batch: DataFrame, root: String, id: Long): Unit = {
+    val s = batch.sparkSession
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      batch.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(Num.d2(col("value"))).as("sv"))
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(root)
+    } finally {
+      prev.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => s.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    }
+  }
+
+  /** Serve the MV: merge the delta partitions. Additive aggregates
+    * merge by sum; the read is delta-count-bounded, and offline
+    * compaction of old partitions is invisible to it. */
+  def readMv(s: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    s.read.parquet(root)
+      .groupBy("user_id")
+      .agg(sum("n").cast("long").as("n_events"),
+        round(sum("sv"), 2).cast("double").as("sum_value"))
+
   /** Output-mode helper used by tests: run a streaming query over a
     * memory sink until all source data is processed. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
