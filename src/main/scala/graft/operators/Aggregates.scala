@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import graft.core.{Num, Tables}
@@ -352,7 +352,42 @@ object Aggregates extends QueryGroup {
       .orderBy("user_id", "event_type")
   }
 
+  /** ANALYZE-style column statistics — the CBO-stats surface (`nodetool
+    * tablestats` / ANALYZE TABLE): n_rows, exact NDV, null count and
+    * min/max per analyzed column, emitted one row per column. ONE scan
+    * computes every stat (16 aggregates fused into a single partial+
+    * final hash-agg pair); the per-column rows come from a row-local
+    * `stack` of the single result row, never a second pass. At 100 TB
+    * exact NDV is the only heavy stat — the HLL path (agg_approx_
+    * distinct) is the documented downgrade when approximate is
+    * acceptable. Values are normalized to strings so one relation
+    * carries mixed column types (dates at date granularity — the
+    * cross-engine-stable cast). */
+  def statsAnalyze(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def st(c: String, v: Column): Seq[Column] = Seq(
+      countDistinct(col(c)).cast("long").as(s"ndv_$c"),
+      sum(col(c).isNull.cast("long")).cast("long").as(s"nn_$c"),
+      min(v).cast("string").as(s"mn_$c"),
+      max(v).cast("string").as(s"mx_$c"))
+    val cols = Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_quantity" -> col("l_quantity"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_shipdate" -> to_date(col("l_shipdate")))
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      cols.flatMap { case (n, v) => st(n, v) }
+    val stackArgs = cols.map { case (n, _) =>
+      s"'$n', ndv_$n, nn_$n, mn_$n, mx_$n" }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, ndv, n_null, min_v, max_v)"))
+      .select("col_name", "n_rows", "ndv", "n_null", "min_v", "max_v")
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_analyze" -> (statsAnalyze _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_mode" -> (aggMode _),
@@ -376,7 +411,21 @@ object Aggregates extends QueryGroup {
     "agg_udaf" -> (aggUdaf _)
   )
 
+  private def statsOracleRow(c: String, v: String): String = s"""
+      SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+        CAST(count(*) - count($c) AS BIGINT) AS n_null,
+        CAST(min($v) AS VARCHAR) AS min_v,
+        CAST(max($v) AS VARCHAR) AS max_v
+      FROM lineitem"""
+
   val oracles: Map[String, String] = Map(
+    "stats_analyze" -> (Seq(
+      statsOracleRow("l_orderkey", "l_orderkey"),
+      statsOracleRow("l_quantity", "l_quantity"),
+      statsOracleRow("l_returnflag", "l_returnflag"),
+      statsOracleRow("l_shipdate", "CAST(l_shipdate AS DATE)"))
+      .mkString(" UNION ALL ") + " ORDER BY col_name"),
     // conditional-aggregation mirror of the fixed-domain pivot
     "agg_pivot" -> s"""
       SELECT user_id,

@@ -610,6 +610,31 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic fixed-k per-group sample — the reservoir-sampling
+    * contract (EXACTLY k per stratum) without reservoir state: rank
+    * every doc inside its language by the seeded content hash
+    * (md5(seed ":" id) — the [[shuffleDeterministic]] key, so the
+    * sample is reproducible on any layout and any cluster size) and
+    * keep the first k. The rank ≤ k predicate gets Spark's
+    * WindowGroupLimit rewrite (win_pplimit PlanSpec precedent): each
+    * partition forwards at most k rows per group BEFORE the shuffle,
+    * so the exchange carries ~k·groups·partitions rows, never the
+    * corpus. Contrast with sample_stratified (hash-membership RATE
+    * sampling: unbounded exact count, zero coordination) — fixed-k is
+    * what an eval-set builder needs. */
+  def sampleFixedK(s: SparkSession, dir: String): DataFrame = {
+    val seed = "42"
+    val k = 20
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("lang").orderBy("skey", "doc_id")).cast("long"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
   /** Curriculum ordering — shortest-first length curriculum with a
     * deterministic shuffle inside each stage (the standard "easy
     * examples first, random within difficulty" schedule; length is
@@ -773,6 +798,7 @@ object TextOps extends QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_chunk" -> (dedupChunk _),
     "chunk_cdc" -> (chunkCdc _),
+    "sample_fixed_k" -> (sampleFixedK _),
     "shuffle_deterministic" -> (shuffleDeterministic _),
     "curriculum_order" -> (curriculumOrder _),
     "chunk_documents" -> (chunkDocuments _),
@@ -800,6 +826,14 @@ object TextOps extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     // The two-phase bucketed rank must equal the plain global rank.
+    "sample_fixed_k" -> """
+      SELECT lang, rk, doc_id FROM (
+        SELECT lang, doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS rk
+        FROM documents) t
+      WHERE rk <= 20 ORDER BY lang, rk""",
     "shuffle_deterministic" -> """
       SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey,
         ROW_NUMBER() OVER (

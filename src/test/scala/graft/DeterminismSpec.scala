@@ -80,7 +80,14 @@ class DeterminismSpec extends SparkSpec {
     // depend on partition layout
     "join_asof_nearest",
     // histogram-median: partial agg + running-count window
-    "stats_corpus")
+    "stats_corpus",
+    // round-8 third wave: the DSIR weight is a per-doc integer sum of
+    // quantized log-prob diffs plus a histogram cutoff (both designed
+    // for layout independence — prove it), phrase adjacency joins over
+    // positional postings, the funnel's chained stage mins, and the
+    // one-pass stats row with its stack unpivot
+    "sample_dsir", "search_phrase", "agg_funnel", "agg_retention",
+    "stats_analyze", "sample_fixed_k", "compact_twcs", "compact_lcs")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
