@@ -398,6 +398,25 @@ class PlanSpec extends SparkSpec {
       s"scan opened $opened generation dirs, bloom selected ${selected.length}")
   }
 
+  test("round-8 third wave: pivot/stats are one-scan, fixed-k rides WindowGroupLimit, phrase joins stay equi") {
+    // agg_pivot with a declared value list must be ONE pass — a second
+    // scan would mean pivot ran its values-discovery distinct query
+    val pivotScans = "FileScan parquet".r.findAllIn(plan("agg_pivot")).size
+    assert(pivotScans == 1, s"agg_pivot scans the fact table $pivotScans times")
+    // stats_analyze: 16 aggregates fused over a single scan
+    val statScans = "FileScan parquet".r.findAllIn(plan("stats_analyze")).size
+    assert(statScans == 1, s"stats_analyze scans $statScans times")
+    // sample_fixed_k: rank<=k must get the partial+final group-limit
+    // rewrite so partitions forward at most k rows per group
+    val fk = plan("sample_fixed_k")
+    assert("WindowGroupLimit".r.findAllIn(fk).size >= 2, fk.take(1200))
+    // search_phrase: adjacency must be equi-joins of postings — a
+    // theta/cartesian form would be all-pairs at scale
+    val ph = plan("search_phrase")
+    assert(!ph.contains("CartesianProduct") &&
+      !ph.contains("BroadcastNestedLoopJoin"), ph.take(1200))
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
