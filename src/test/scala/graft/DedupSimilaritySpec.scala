@@ -328,6 +328,37 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed: ${bf -- dropped}, spurious: ${dropped -- bf}")
   }
 
+  test("kmeans_fit separates planted Gaussians perfectly; fixture assignment is total") {
+    val s = spark; import s.implicits._
+    // planted: 10 orthogonal centers (one-hot dims 0..9), 40 points
+    // each with bounded seeded noise; ids interleave mod 10 so the
+    // deterministic k-smallest-ids init sees one seed per cluster
+    val rng = new scala.util.Random(42)
+    val planted = (0 until 400).map { id =>
+      val c = id % 10
+      val v = Array.tabulate(64)(d =>
+        (if (d == c) 1.0f else 0.0f) + (rng.nextFloat() - 0.5f) * 0.2f)
+      (id.toLong, v.toSeq, c)
+    }
+    val df = planted.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .kmeansAssign(df.select("vec_id", "embedding"), k = 10, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = planted.map(p => p._1 -> p._3).toMap
+    val purity = out.groupBy(_._2).values.map { members =>
+      members.map(kv => label(kv._1)).groupBy(identity).values.map(_.size).max
+    }.sum.toDouble / out.size
+    assert(purity == 1.0, s"purity $purity on separable planted clusters")
+    assert(out.values.toSet.size == 10, "some centroid went unused")
+    // the declared query on the fixture: total assignment, all ids,
+    // clusters within range (label recovery is not asserted — the
+    // fixture labels are geometrically near-random, see kernel doc)
+    val fix = SparkEntry.queries("kmeans_fit")(spark, sf001).collect()
+    val n = graft.core.Tables.embeddings(spark, sf001).count()
+    assert(fix.length.toLong == n, "fixture assignment is not total")
+    assert(fix.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 10))
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -87,7 +87,10 @@ class DeterminismSpec extends SparkSpec {
     // positional postings, the funnel's chained stage mins, and the
     // one-pass stats row with its stack unpivot
     "sample_dsir", "search_phrase", "agg_funnel", "agg_retention",
-    "stats_analyze", "sample_fixed_k", "compact_twcs", "compact_lcs")
+    "stats_analyze", "sample_fixed_k", "compact_twcs", "compact_lcs",
+    // iterative Lloyd with quantized-long centroid updates — the whole
+    // point of the fixed-point discipline is layout independence
+    "kmeans_fit")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
