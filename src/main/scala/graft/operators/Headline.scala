@@ -89,7 +89,62 @@ object Headline extends QueryGroup {
       .limit(50)
   }
 
+  /** Q6-shaped: one-table revenue-forecast aggregate. The whole query
+    * is a pushed scan — every predicate (date range, discount band,
+    * quantity cap) reaches the parquet reader, so at 100 TB this reads
+    * only the row groups the date range touches and decodes three
+    * columns. The degenerate-agg benchmark classic. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(Num.dsumExact(Num.d2(col("l_extendedprice")) * Num.d2(col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Q4-shaped: order-priority checking via EXISTS — the correlated
+    * semi-join headline shape (here: orders in a quarter with at least
+    * one line shipped after the order date). The semi-join shuffles
+    * each side once on orderkey and emits each order AT MOST once —
+    * no fan-out, no distinct repair afterwards. */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q14-shaped: promo-revenue share for one month — broadcast dim
+    * join + conditional decimal-exact aggregation; the ratio is one
+    * driver-free double division of the two exact sums. */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val rev = Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        Num.dsumExact(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_rev"),
+        Num.dsumExact(rev).as("total_rev"))
+      .select(
+        round(lit(100.0) * col("promo_rev").cast("double") /
+          col("total_rev").cast("double"), 6).as("promo_pct"),
+        col("promo_rev"), col("total_rev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "q4_priority" -> (q4Priority _),
+    "q14_promo" -> (q14Promo _),
     "q3_shipping" -> (q3Shipping _),
     "q5_supplier" -> (q5Supplier _),
     "q10_returns" -> (q10Returns _),
@@ -97,6 +152,44 @@ object Headline extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast" -> """
+      SELECT
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+    "q4_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q14_promo" -> """
+      WITH j AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 AS rev,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'),
+      s AS (
+        SELECT
+          CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+            AS promo_rev,
+          CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_rev
+        FROM j)
+      SELECT ROUND(100.0 * promo_rev / total_rev, 6) AS promo_pct,
+             promo_rev, total_rev
+      FROM s""",
     "q3_shipping" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
