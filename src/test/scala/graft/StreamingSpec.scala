@@ -72,6 +72,47 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.exists(_.contains("refund")), "rank-4 type leaked into top-3")
   }
 
+  test("windowed aggregate survives a checkpoint restart: counts carried, no double-count") {
+    // The remaining restart shape: ENGINE-state windowed aggregation
+    // (the stream_topk/tumbling family) rather than custom
+    // map/flatMapGroupsWithState state. Counts accumulated before the
+    // stop must carry into the restarted query — lost state reads
+    // day-1 clicks as 0, a reprocessed replay doubles them to 6.
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_wagg").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    def start(mem: MemoryStream[SEvent]) =
+      StreamOps.tumblingCounts(mem.toDF())
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+        }
+        .start()
+    val batchA = Seq(
+      SEvent(1, t(1, 1), 1, "click", 1.0), SEvent(2, t(1, 2), 2, "click", 1.0),
+      SEvent(3, t(1, 3), 3, "click", 1.0))
+    val mem1 = MemoryStream[SEvent]
+    mem1.addData(batchA: _*)
+    val q1 = start(mem1); q1.processAllAvailable(); q1.stop()
+    val mem2 = MemoryStream[SEvent]
+    mem2.addData(batchA: _*)
+    mem2.addData(SEvent(4, t(1, 4), 1, "view", 1.0),
+      SEvent(5, t(1, 5), 2, "view", 1.0), SEvent(6, t(2, 1), 1, "click", 1.0))
+    val q2 = start(mem2); q2.processAllAvailable(); q2.stop()
+    // Complete mode: the LAST batch dir holds the full standing result.
+    val last = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).max
+    val got = s.read.parquet(s"$sink/$last")
+      .select($"win_start".cast("string"), $"event_type", $"n")
+      .collect().map(_.toString).sorted.toList
+    assert(got == List(
+      "[2024-01-01 00:00:00,click,3]",
+      "[2024-01-01 00:00:00,view,2]",
+      "[2024-01-02 00:00:00,click,1]"), s"got $got")
+  }
+
   test("watermark drops events later than 1 hour behind the max ts") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
