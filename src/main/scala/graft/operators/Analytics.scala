@@ -33,13 +33,18 @@ object Analytics extends QueryGroup {
     * qualifying user. Output: funnel depth (1–3) → user count. */
   def aggFunnel(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    // each stage relation is pinned (≤ one row per user): t1 feeds
+    // both t2 and the final join, t2 feeds t3 and the final join —
+    // unpinned, the event-wide stage aggregates re-derive per consumer
     val t1 = e.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("t1"))
+      .localCheckpoint()
     val t2 = e.filter(col("event_type") === "click")
       .join(t1, "user_id")
       .filter(col("ts") > col("t1") &&
         col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
       .groupBy("user_id").agg(min("ts").as("t2"))
+      .localCheckpoint()
     val t3 = e.filter(col("event_type") === "purchase")
       .join(t2, "user_id")
       .filter(col("ts") > col("t2") &&

@@ -158,10 +158,15 @@ object CellStore extends QueryGroup {
     * windows run over the sstable LIST (tens of rows at any data
     * scale), never the data. */
   def compactTwcs(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the sstable list is tens of rows, and without
+    // the pin the cur aggregate and the crossJoin consumer would each
+    // re-scan events (the b0ff4d2 discipline: checkpoint the BOUNDED
+    // relation, stream the corpus-sized one)
     val ss = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("w_day"),
         pmod(col("event_id"), lit(4)).as("m"))
       .agg(count(lit(1)).cast("long").as("n_rows"))
+      .localCheckpoint()
     val cur = ss.agg(max("w_day").as("cur_day"))
     val wWin = Window.partitionBy("w_day")
     val wTier = Window.partitionBy("w_day", "tier")
@@ -206,9 +211,13 @@ object CellStore extends QueryGroup {
       base.groupBy(lit(level).cast("long").as("level"), tbl.as("tbl"))
         .agg(min("event_id").as("min_k"), max("event_id").as("max_k"),
           count(lit(1)).cast("long").as("n_rows"))
+    // pinned once (44 rows): l0span, cand and the final projection all
+    // branch from t — unpinned, each branch re-runs the three
+    // event-wide slicing aggregates
     val ss = slices(0, pmod(col("event_id"), lit(4)).cast("long"))
       .unionByName(slices(1, expr("(event_id * 8) div (mx + 1)").cast("long")))
       .unionByName(slices(2, expr("(event_id * 32) div (mx + 1)").cast("long")))
+      .localCheckpoint()
     val lvl = Window.partitionBy("level")
     val t = ss
       .withColumn("level_rows", sum("n_rows").over(lvl).cast("long"))

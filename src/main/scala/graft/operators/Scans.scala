@@ -351,11 +351,26 @@ object Scans extends QueryGroup {
     * extra file read and are corrected by the residual filter, never
     * visible in results. */
   private val BloomBits = 131072L
-  private def bloomHashes(c: Column): (Column, Column, Column) = {
+  private val BloomGens = 8L
+  /** Hex-slice layout shared by the Column-side hashes and the
+    * driver-side probe mirror — ONE definition, so an offset/width/
+    * modulus edit cannot drift between the two and silently prune the
+    * true generation. (start0 is 0-based; the SQL substring is
+    * 1-based, derived here.) */
+  private val BloomSlices: Seq[(Int, Int, Long)] = Seq(
+    (0, 5, BloomBits), (5, 5, BloomBits), (10, 2, BloomGens))
+  private def bloomHashCols(c: Column): Seq[Column] = {
     val m = md5(c.cast("string"))
-    (pmod(conv(substring(m, 1, 5), 16, 10).cast("long"), lit(BloomBits)),
-      pmod(conv(substring(m, 6, 5), 16, 10).cast("long"), lit(BloomBits)),
-      pmod(conv(substring(m, 11, 2), 16, 10).cast("long"), lit(8L)))
+    BloomSlices.map { case (start0, width, mod) =>
+      pmod(conv(substring(m, start0 + 1, width), 16, 10).cast("long"), lit(mod))
+    }
+  }
+  private def bloomHashKey(key: Long): Seq[Long] = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    BloomSlices.map { case (start0, width, mod) =>
+      java.lang.Long.parseLong(hex.substring(start0, start0 + width), 16) % mod
+    }
   }
   private val bloomEventsPaths =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
@@ -364,7 +379,7 @@ object Scans extends QueryGroup {
     bloomEventsPaths.getOrElseUpdate(dir, {
       val root = graft.core.RunId.scratchKeyed("bloom/events_gen", dir)
       val mf = graft.core.RunId.scratchKeyed("bloom/events_manifest", dir)
-      val (h1, h2, g) = bloomHashes(col("event_id"))
+      val Seq(h1, h2, g) = bloomHashCols(col("event_id"))
       val base = Tables.events(s, dir).withColumn("_gen", g)
       base.write.mode("overwrite").partitionBy("_gen").parquet(root)
       base.select(col("_gen"), explode(array(h1, h2)).as("p"))
@@ -379,11 +394,7 @@ object Scans extends QueryGroup {
   private[graft] def bloomSelect(
       s: SparkSession, dir: String, key: Long): (Seq[Long], Long) = {
     val (_, mf) = bloomEventsPath(s, dir)
-    // driver-side mirror of bloomHashes for the single probe key
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val k1 = java.lang.Long.parseLong(hex.substring(0, 5), 16) % BloomBits
-    val k2 = java.lang.Long.parseLong(hex.substring(5, 10), 16) % BloomBits
+    val Seq(k1, k2, _) = bloomHashKey(key)
     val m = s.read.parquet(mf)
     val sel = m
       .filter(array_contains(col("bits"), k1) && array_contains(col("bits"), k2))
@@ -400,7 +411,14 @@ object Scans extends QueryGroup {
     val key = 777L
     val (root, _) = bloomEventsPath(s, dir)
     val (gens, _) = bloomSelect(s, dir, key)
-    s.read.parquet(gens.map(g => s"$root/_gen=$g"): _*)
+    // Every bloom can answer "definitely absent" — the normal negative
+    // lookup. A zero-path parquet read would throw on schema
+    // inference; a constant-false filter folds to an empty
+    // LocalRelation with the right schema and zero I/O.
+    val src =
+      if (gens.isEmpty) Tables.events(s, dir).filter(lit(false))
+      else s.read.parquet(gens.map(g => s"$root/_gen=$g"): _*)
+    src
       .filter(col("event_id") === key)
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")

@@ -212,21 +212,19 @@ object StreamOps {
       .start()
 
   /** The idempotent per-batch fold — exposed so StreamingSpec can
-    * replay a batchId directly and assert the MV is unchanged. */
-  def applyMvBatch(batch: DataFrame, root: String, id: Long): Unit = {
-    val s = batch.sparkSession
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      batch.groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum(Num.d2(col("value"))).as("sv"))
-        .withColumn("batch_id", lit(id))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(root)
-    } finally {
-      prev.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-        v => s.conf.set("spark.sql.sources.partitionOverwriteMode", v))
-    }
-  }
+    * replay a batchId directly and assert the MV is unchanged. The
+    * overwrite mode rides the WRITE as an option, never the session
+    * conf: a save/restore of the session value races a concurrent
+    * writer on the same SparkSession (its restore could flip an
+    * in-flight overwrite to STATIC, which deletes every other
+    * batch_id= partition). */
+  def applyMvBatch(batch: DataFrame, root: String, id: Long): Unit =
+    batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(Num.d2(col("value"))).as("sv"))
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(root)
 
   /** Serve the MV: merge the delta partitions. Additive aggregates
     * merge by sum; the read is delta-count-bounded, and offline

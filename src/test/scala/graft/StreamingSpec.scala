@@ -101,9 +101,12 @@ class StreamingSpec extends SparkSpec {
     mem2.addData(SEvent(4, t(1, 4), 1, "view", 1.0),
       SEvent(5, t(1, 5), 2, "view", 1.0), SEvent(6, t(2, 1), 1, "click", 1.0))
     val q2 = start(mem2); q2.processAllAvailable(); q2.stop()
-    // Complete mode: the LAST batch dir holds the full standing result.
+    // Complete mode: the LAST batch dir holds the full standing
+    // result — numeric sort on the id (a String max would pick
+    // "batch=9" over "batch=10").
     val last = new java.io.File(sink).listFiles()
-      .filter(_.getName.startsWith("batch=")).map(_.getName).max
+      .filter(_.getName.startsWith("batch=")).map(_.getName)
+      .maxBy(_.stripPrefix("batch=").toLong)
     val got = s.read.parquet(s"$sink/$last")
       .select($"win_start".cast("string"), $"event_type", $"n")
       .collect().map(_.toString).sorted.toList
