@@ -323,7 +323,7 @@ object Aggregates extends QueryGroup {
     * makes the output schema data-dependent (a new type appearing in
     * one partition would change the relation's shape). A fixed, declared
     * domain keeps the pivot a single pass with a static schema. */
-  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private[graft] val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** PIVOT: one row per user, one count column per event type — the
     * wide activity profile a feature store materializes. Single hash

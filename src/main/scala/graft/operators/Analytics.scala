@@ -35,16 +35,21 @@ object Analytics extends QueryGroup {
     val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
     // each stage relation is pinned (≤ one row per user): t1 feeds
     // both t2 and the final join, t2 feeds t3 and the final join —
-    // unpinned, the event-wide stage aggregates re-derive per consumer
+    // unpinned, the event-wide stage aggregates re-derive per consumer.
+    // persist (NOT localCheckpoint): these are user-population-sized
+    // relations, and localCheckpoint drops lineage — a lost executor
+    // would make the blocks unrecoverable at cluster scale. persist
+    // keeps the reuse AND the recompute path.
+    import org.apache.spark.storage.StorageLevel
     val t1 = e.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("t1"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val t2 = e.filter(col("event_type") === "click")
       .join(t1, "user_id")
       .filter(col("ts") > col("t1") &&
         col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
       .groupBy("user_id").agg(min("ts").as("t2"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val t3 = e.filter(col("event_type") === "purchase")
       .join(t2, "user_id")
       .filter(col("ts") > col("t2") &&
@@ -62,24 +67,32 @@ object Analytics extends QueryGroup {
   /** Day-0 cohort retention: users cohort by their FIRST active day;
     * for each cohort, how many were active again exactly 1 / 3 / 7
     * days later. One distinct (user, day) pass, one per-user min for
-    * the cohort day, then a single conditional aggregate per cohort —
-    * the (user, day) relation is users × active-days, far below event
-    * volume after the map-side distinct. */
+    * the cohort day, then TWO plain hash aggregates: per-(user, d0)
+    * offset flags (max of a 0/1 indicator — valid because the (user,
+    * day) relation is distinct, so "user was active on d0+k" is a flag,
+    * not a distinct-count), then per-d0 sums of the flags. The naive
+    * form — four countDistincts in one aggregate — compiles to Spark's
+    * multi-distinct Expand, replicating every input row 5× through the
+    * shuffle (the exact shape stats_analyze was rewritten to avoid);
+    * this form shuffles each (user, day) row once and each user row
+    * once, and PlanSpec pins the no-Expand plan. */
   def aggRetention(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
     val d0 = a.groupBy("user_id").agg(min("d").as("d0"))
-    a.join(d0, "user_id")
-      .groupBy("d0")
+    val flags = a.join(d0, "user_id")
+      .groupBy("user_id", "d0")
       .agg(
-        countDistinct("user_id").cast("long").as("n_cohort"),
-        countDistinct(when(col("d") === date_add(col("d0"), 1), col("user_id")))
-          .cast("long").as("n_d1"),
-        countDistinct(when(col("d") === date_add(col("d0"), 3), col("user_id")))
-          .cast("long").as("n_d3"),
-        countDistinct(when(col("d") === date_add(col("d0"), 7), col("user_id")))
-          .cast("long").as("n_d7"))
+        max(when(col("d") === date_add(col("d0"), 1), 1).otherwise(0)).as("f1"),
+        max(when(col("d") === date_add(col("d0"), 3), 1).otherwise(0)).as("f3"),
+        max(when(col("d") === date_add(col("d0"), 7), 1).otherwise(0)).as("f7"))
+    flags.groupBy("d0")
+      .agg(
+        count(lit(1)).cast("long").as("n_cohort"),
+        sum("f1").cast("long").as("n_d1"),
+        sum("f3").cast("long").as("n_d3"),
+        sum("f7").cast("long").as("n_d7"))
       .orderBy("d0")
   }
 

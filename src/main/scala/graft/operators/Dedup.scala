@@ -415,10 +415,24 @@ object Dedup extends QueryGroup {
     * the occurrence count — one per-doc merge), plus a row-local
     * indexed-token filter; the span list per doc is small and rides a
     * left join keyed on doc_id. */
-  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame = {
+  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame =
+    substringCleanedFrom(substringCorpus(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(concat_ws(" ", col("clean_words"))).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** The removal kernel of [[dedupSubstringApply]], generalized over
+    * any (doc_id, text) relation so pipeline_pretrain can run it on
+    * the gated survivor set instead of the planted test corpus.
+    * Returns (doc_id, n_tokens, n_removed, clean_words) — the caller
+    * picks the surface (md5 for the oracle, the words themselves for
+    * downstream tokenization). Same plan as the report: one shuffle on
+    * the window hash carrying both the occurrence count and the
+    * canonical-occurrence rank, one per-doc island merge, then a
+    * row-local indexed-token filter. */
+  private[graft] def substringCleanedFrom(all: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = SubK
-    val all = substringCorpus(s, dir)
     val wh = Window.partitionBy("h")
     val remove = substringWindows(all)
       .withColumn("occ", count(lit(1)).over(wh))
@@ -442,8 +456,7 @@ object Dedup extends QueryGroup {
         col("doc_id"),
         size(w).as("n_tokens"),
         (size(w) - size(kept)).as("n_removed"),
-        md5(concat_ws(" ", transform(kept, x => x.getField("t")))).as("clean_md5"))
-      .orderBy("doc_id")
+        transform(kept, x => x.getField("t")).as("clean_words"))
   }
 
   /** Incremental (delta-vs-corpus) dedup — the admission gate a

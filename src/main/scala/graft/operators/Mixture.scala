@@ -149,7 +149,11 @@ object Mixture extends QueryGroup {
         FROM cum JOIN a ON cum.source = a.source
         WHERE cum.cum >= (a.n_docs + 1) // 2
         GROUP BY cum.source)
-      SELECT a.source, n_docs, n_tokens, median_tokens, max_tokens, n_langs
+      SELECT a.source, n_docs,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(median_tokens AS INTEGER) AS median_tokens,
+             CAST(max_tokens AS INTEGER) AS max_tokens,
+             n_langs
       FROM a JOIN m ON a.source = m.source ORDER BY a.source""",
     // Plain global running sum over the same shuffle order.
     "sample_token_budget" -> """

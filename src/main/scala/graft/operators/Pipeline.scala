@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{RunId, Tables}
+
+/** The composed end-to-end pretraining pipeline — the capstone the
+  * LLM-data mandate implies: every curation stage this engine ships is
+  * chained into ONE query, corpus → training shards, proving the
+  * stages compose without re-scanning the corpus per stage (the
+  * pipeline_curation lesson from round 2: composition is where
+  * cross-stage interface drift hides).
+  *
+  * Stage chain (each stage an already-shipped operator's kernel):
+  *  1. CCNet fluency gate — trigram-LM perplexity terciles per
+  *     language; keep head+middle, drop the high-perplexity tail
+  *     ([[Perplexity.sampleCcnetBuckets]]).
+  *  2. Semantic near-dedup — SemDeDup survivors over the embedding
+  *     space via the persisted IVF cells ([[Similarity.dedupSemantic]]);
+  *     a doc whose embedding is a prior near-duplicate is dropped,
+  *     docs without embeddings pass through. Runs BEFORE the substring
+  *     scrub so dropped docs are never cleaned (same survivor set
+  *     either way: the two stages key on independent surfaces).
+  *  3. Substring-level dedup APPLIED — Lee-et-al. span removal over
+  *     the survivor text ([[Dedup.substringCleanedFrom]]): duplicated
+  *     ≥20-token windows keep their globally-first occurrence only.
+  *  4. Frozen-vocab BPE encode — cleaned text is tokenized with the
+  *     PERSISTED merge table ([[TextOps.bpeMergesFrozen]]), the
+  *     encode-only path a production nightly run uses (never retrain
+  *     on the batch being curated).
+  *  5. Deterministic order + token-budget shards — the two-phase
+  *     bucketed rank ([[Shards.orderedFrom]]) assigns every survivor a
+  *     reproducible global position AND global token offset; shards
+  *     are fixed TOKEN budgets (`floor(tok_start / ShardTokens)` —
+  *     document-atomic, the Megatron handoff convention), written one
+  *     bounded file per shard, manifest read back from the written
+  *     layout (the sink_shards round-trip discipline).
+  *
+  * Output: one manifest row per shard — doc count, BPE token total,
+  * packed 2048-token sequence count, position span, and the
+  * position-ordered content md5 — the receipt a training job verifies
+  * before consuming the shard.
+  *
+  * Declared no-oracle: stages 2 and 4 have no SQL form (engine-defined
+  * LSH candidates; iterative BPE). PipelineSpec instead proves the
+  * composition against the standalone operators: the survivor set
+  * equals (ccnet keep ∖ semantic dropped), shard positions tile
+  * 1..N exactly, token totals are conserved across the shard grouping,
+  * and the manifest is deterministic across rebuilds.
+  *
+  * Scale shape: every stage keeps its standalone plan (the corpus
+  * rides each stage once; stage outputs are narrow per-doc relations);
+  * the only new state is the stage-4 output pinned once —
+  * (doc_id, md5, count), persisted MEMORY_AND_DISK with lineage, NOT
+  * localCheckpoint — before the order pass consumes it twice (bucket
+  * counts + rank join). Driver state stays the union of the stages'
+  * own bounded collections (vocab, centroids, ≤65536 bucket counts).
+  */
+object Pipeline extends QueryGroup {
+
+  /** Packed sequence length (the pack_sequences currency). */
+  private val SeqLen = 2048L
+  /** BPE tokens per shard — fixture-sized (≈5 shards at sf0.01); at
+    * production scale this is the "~100-500 MB per shard" knob and
+    * changes nothing structural. */
+  private val ShardTokens = 16384L
+
+  private val roots = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stages 1-4: the curated, cleaned, tokenized survivor surface —
+    * (doc_id, doc_md5, n_tokens) where md5 is of the CLEANED text and
+    * n_tokens is the frozen-BPE token count of the cleaned words. */
+  private def curated(s: SparkSession, dir: String): DataFrame = {
+    val gate = Perplexity.sampleCcnetBuckets(s, dir)
+      .filter(col("keep")).select("doc_id")
+    // real ids only: dedupSemantic's corpus plants +2^40 copies to
+    // exercise its own drop paths; those ids never exist in documents
+    val dropped = Similarity.dedupSemantic(s, dir)
+      .filter(col("dropped") && col("vec_id") < (1L << 40))
+      .select(col("vec_id").as("doc_id"))
+    val surviving = Tables.documents(s, dir).select("doc_id", "text")
+      .join(gate, "doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val cnt = TextOps.bpeCountUdf(TextOps.bpeMergesFrozen(s, dir))
+    Dedup.substringCleanedFrom(surviving)
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", col("clean_words"))).as("doc_md5"),
+        cnt(col("clean_words")).as("n_tokens"))
+  }
+
+  /** Build the sharded training layout once per (JVM, dir): one
+    * directory per shard_id, one data file per shard. */
+  private[graft] def pretrainRoot(s: SparkSession, dir: String): String =
+    roots.getOrElseUpdate(dir, {
+      val p = RunId.scratchKeyed("pretrain/shards", dir)
+      // pinned ONCE before the order pass: orderedFrom consumes its
+      // input twice (bucket-count collect, then the rank join), and
+      // unpinned each consumer would re-run perplexity + semantic
+      // dedup + substring scrub + BPE from the corpus
+      val staged = curated(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        Shards.orderedFrom(s, staged)
+          .withColumn("shard_id",
+            floor(col("tok_start") / ShardTokens).cast("long"))
+          .repartition(col("shard_id"))
+          .sortWithinPartitions("position")
+          .write.mode("overwrite").partitionBy("shard_id").parquet(p)
+      } finally staged.unpersist(blocking = false)
+      p
+    })
+
+  /** The manifest — read back from the WRITTEN shards, one row per
+    * shard with a position-ordered content fingerprint. */
+  def pipelinePretrain(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pretrainRoot(s, dir))
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_bpe_tokens"),
+        min("position").cast("long").as("first_pos"),
+        max("position").cast("long").as("last_pos"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("position"), col("doc_md5")))),
+            x => x.getField("doc_md5")),
+          ",")).as("content_md5"))
+      .withColumn("n_seqs",
+        expr(s"(n_bpe_tokens + ${SeqLen - 1}) div $SeqLen").cast("long"))
+      .select("shard_id", "n_docs", "n_bpe_tokens", "n_seqs",
+        "first_pos", "last_pos", "content_md5")
+      .orderBy("shard_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain" -> (pipelinePretrain _)
+  )
+
+  /** No SQL form (semantic dedup candidates are engine-defined; BPE is
+    * iterative) — PipelineSpec carries the correctness burden. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -40,26 +40,44 @@ object Shards extends QueryGroup {
     * whitespace token count (the packing currency of pack_sequences;
     * the manifest must be derivable from data alone, independent of
     * file layout). */
-  private def ordered(s: SparkSession, dir: String): DataFrame = {
-    val sp = s; import sp.implicits._
-    val bucketed = Tables.documents(s, dir)
+  private def ordered(s: SparkSession, dir: String): DataFrame =
+    orderedFrom(s, Tables.documents(s, dir)
       .select(
         col("doc_id"),
         md5(coalesce(col("text"), lit(""))).as("doc_md5"),
         size(split(coalesce(col("text"), lit("")), " ")).cast("long")
-          .as("n_tokens"),
-        md5(concat_ws(":", lit(Seed), col("doc_id").cast("string"))).as("skey"))
+          .as("n_tokens")))
+      .drop("tok_start")
+
+  /** The two-phase deterministic global order, generalized over any
+    * (doc_id, doc_md5, n_tokens) relation (pipeline_pretrain runs it
+    * on the curated survivor set). Emits BOTH the global position and
+    * the global token prefix start — the second two-phase sum rides
+    * the same ≤65536-bucket collect and the same per-bucket window,
+    * so token-budget sharding costs no extra pass. */
+  private[graft] def orderedFrom(s: SparkSession, base: DataFrame): DataFrame = {
+    val sp = s; import sp.implicits._
+    val bucketed = base
+      .withColumn("skey",
+        md5(concat_ws(":", lit(Seed), col("doc_id").cast("string"))))
       .withColumn("b", conv(substring(col("skey"), 1, 4), 16, 10).cast("int"))
-    val counts = bucketed.groupBy("b").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val counts = bucketed.groupBy("b")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+      .lazyZip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .lazyZip(counts.map(_._3).scanLeft(0L)(_ + _))
+      .toSeq
+    val byB = Window.partitionBy("b").orderBy("skey", "doc_id")
     bucketed
-      .join(broadcast(offsets.toDF("b", "off")), "b")
-      .withColumn("position", (col("off") +
-        row_number().over(Window.partitionBy("b").orderBy("skey", "doc_id")))
-        .cast("long"))
-      .select("doc_id", "doc_md5", "n_tokens", "position")
+      .join(broadcast(offsets.toDF("b", "off", "tok_off")), "b")
+      .withColumn("position",
+        (col("off") + row_number().over(byB)).cast("long"))
+      .withColumn("tok_start",
+        (col("tok_off") +
+          sum("n_tokens").over(byB.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) - col("n_tokens")).cast("long"))
+      .select("doc_id", "doc_md5", "n_tokens", "position", "tok_start")
   }
 
   private val shardRoots =

@@ -366,10 +366,31 @@ object Similarity extends QueryGroup {
     * sorted by vec_id, so the index is independent of partition
     * layout. nprobe=5/16 is set so every query still fills top-10 on
     * the smallest fixture. Returns (centroidsPath, assignedPath). */
+  /** Cell argmax over broadcast-literal centroids (sim desc, smaller
+    * cell on ties) — shared by the index build, the delta append, and
+    * SemDeDup; stays in whole-stage codegen. */
+  private def cellOf(cents: IndexedSeq[Seq[Float]]): org.apache.spark.sql.Column =
+    -array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
+        lit(-i).as("negcell"))
+    }: _*)).getField("negcell")
+
   private def ivfIndexPaths(s: SparkSession, dir: String): (String, String) = {
     val cacheKey = ivfCacheKey(s, dir)
     ivfIndexDirs.getOrElseUpdate(cacheKey, {
-      val emb = Tables.embeddings(s, dir)
+      val centPath = RunId.scratchKeyed("ivf_centroids", cacheKey)
+      val assignPath = RunId.scratchKeyed("ivf_assigned", cacheKey)
+      buildIvfIndex(s, Tables.embeddings(s, dir), centPath, assignPath)
+      (centPath, assignPath)
+    })
+  }
+
+  /** Train the 16-cell coarse quantizer on a bounded sample of `emb`
+    * and write (centroids, cell-partitioned assignments) — the build
+    * body of [[ivfIndexPaths]], reusable over any embedding slice
+    * (sim_index_delta trains on the standing-corpus slice only). */
+  private def buildIvfIndex(s: SparkSession, emb: DataFrame,
+      centPath: String, assignPath: String): Unit = {
       val sample = emb
         .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
         .orderBy("vec_id").limit(4096)
@@ -377,7 +398,7 @@ object Similarity extends QueryGroup {
         .collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       require(sample.nonEmpty,
-        s"IVF index build: training sample from $dir/embeddings is empty")
+        s"IVF index build: training sample for $centPath is empty")
       val k = 16
       val dim = sample.head.length
       var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
@@ -406,34 +427,74 @@ object Similarity extends QueryGroup {
           }
         }
       }
-      // Hashing is fine HERE (scratch paths just need to be short and
-      // distinct per build); only the TrieMap key must be collision-proof.
-      val centPath = RunId.scratchKeyed("ivf_centroids", cacheKey)
-      val assignPath = RunId.scratchKeyed("ivf_assigned", cacheKey)
-      val centsF = cents.map(_.map(_.toFloat).toSeq)
-      s.createDataFrame(centsF.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      val centsF = cents.map(_.map(_.toFloat).toSeq).toIndexedSeq
+      s.createDataFrame(centsF.zipWithIndex.map { case (c, i) => (i, c) })
         .toDF("cent_cell", "cent")
         .write.mode("overwrite").parquet(centPath)
-      // argmax over the 16 broadcast centroids as a struct-max (sim,
-      // then smaller cell id on ties) — stays in whole-stage codegen.
-      val cellExpr = array_max(array(centsF.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
-          lit(-i).as("negcell"))
-      }: _*))
       // Partitioned by cell: a 100 TB probe reads only the nprobe
       // matching cell partitions (dynamic partition pruning via the
       // broadcast probe join), not the whole index.
-      emb.select(col("vec_id"), col("embedding"),
-          (-cellExpr.getField("negcell")).as("cell"))
+      emb.select(col("vec_id"), col("embedding"), cellOf(centsF).as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(assignPath)
+  }
+
+  private val ivfDeltaDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** Incremental IVF maintenance — the nightly-delta sibling of
+    * dedup_delta_near, closing the last rebuilt-from-scratch standing
+    * artifact: the coarse quantizer is trained ONCE on the standing
+    * corpus slice (vec_id % 10 < 8) and persisted; the nightly delta
+    * batch (% 10 ≥ 8) is assigned to cells REUSING the stored
+    * centroids — assign-only, no retrain, no touch of the standing
+    * cell files — and appended as new files under the matching cell
+    * partitions. At 100 TB the nightly cost is delta-sized: one
+    * broadcast-literal argmax scan of the batch plus one partitioned
+    * append; the standing index is never re-read or re-clustered.
+    * DedupSimilaritySpec proves the merge is lossless and that probe
+    * recall on the merged index matches a fresh full build. */
+  private[graft] def ivfDeltaPaths(s: SparkSession, dir: String): (String, String) = {
+    val cacheKey = ivfCacheKey(s, dir)
+    ivfDeltaDirs.getOrElseUpdate(cacheKey, {
+      val emb = Tables.embeddings(s, dir)
+      val centPath = RunId.scratchKeyed("ivf_delta_centroids", cacheKey)
+      val assignPath = RunId.scratchKeyed("ivf_delta_assigned", cacheKey)
+      buildIvfIndex(s, emb.filter(pmod(col("vec_id"), lit(10)) < 8),
+        centPath, assignPath)
+      // the delta append: stored centroids in, new cell files out
+      val cents = s.read.parquet(centPath).orderBy("cent_cell")
+        .collect().map(_.getSeq[Float](1)).toIndexedSeq
+      emb.filter(pmod(col("vec_id"), lit(10)) >= 8)
+        .select(col("vec_id"), col("embedding"), cellOf(cents).as("cell"))
+        .write.mode("append").partitionBy("cell").parquet(assignPath)
       (centPath, assignPath)
     })
   }
 
+  /** Per-cell accounting of the merged (standing + delta) index — the
+    * audit surface of [[ivfDeltaPaths]]. Declared no-oracle (cell ids
+    * are engine-defined, like every IVF op); the spec carries the
+    * lossless-merge and recall assertions. */
+  def simIndexDelta(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ivfDeltaPaths(s, dir)._2)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(
+        sum(when(pmod(col("vec_id"), lit(10)) < 8, 1L).otherwise(0L))
+          .cast("long").as("n_corpus"),
+        sum(when(pmod(col("vec_id"), lit(10)) >= 8, 1L).otherwise(0L))
+          .cast("long").as("n_delta"),
+        count(lit(1)).cast("long").as("n_total"))
+      .orderBy("cell")
+
   def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val (centPath, assignPath) = ivfIndexPaths(s, dir)
-    val cents = s.read.parquet(centPath)
-    val assigned = s.read.parquet(assignPath)
+    ivfProbe(s.read.parquet(centPath), s.read.parquet(assignPath))
+  }
+
+  /** The nprobe=5 / top-10 IVF probe over any (centroids, assigned)
+    * pair — shared by [[simTopkIvf]] and the sim_index_delta recall
+    * spec (which probes the merged standing+delta index). */
+  private[graft] def ivfProbe(cents: DataFrame, assigned: DataFrame): DataFrame = {
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val wCell = Window.partitionBy("query_id")
@@ -614,17 +675,12 @@ object Similarity extends QueryGroup {
     // 16×64 floats — bounded planning state, same class as the IVF
     // build's own centroid collect.
     val cents = s.read.parquet(centPath).orderBy("cent_cell")
-      .collect().map(r => r.getSeq[Float](1))
-    val cellExpr = array_max(array(cents.zipWithIndex.toIndexedSeq.map {
-      case (c, i) =>
-        struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
-          lit(-i).as("negcell"))
-    }: _*))
+      .collect().map(r => r.getSeq[Float](1)).toIndexedSeq
     val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val corpus = base.unionByName(
         base.filter(pmod(col("vec_id"), lit(100)) === 0)
           .select((col("vec_id") + (1L << 40)).as("vec_id"), col("embedding")))
-      .withColumn("cell", -cellExpr.getField("negcell"))
+      .withColumn("cell", cellOf(cents))
       .localCheckpoint()
     val bands = thresholdBands(corpus.count(), occupancy = 4)
     // (id, cell, band, bucket) — embeddings never ride the band shuffle
@@ -709,8 +765,11 @@ object Similarity extends QueryGroup {
         .collect() // k·d rows — bounded at any corpus size
       val next = centroids.clone()
       sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
-        val dim = centroids(0).length
-        val v = new Array[Float](dim)
+        // start from the PRIOR centroid, not zeros: posexplode emits
+        // every (cluster, pos) today, but if a dim were ever absent
+        // (heterogeneous lengths, filtered dim) it must carry over,
+        // not silently collapse to 0.0
+        val v = next(c).clone()
         rows.foreach { r =>
           v(r.getInt(1)) =
             ((r.getLong(2).toDouble / r.getLong(3)) / 1048576.0).toFloat
@@ -738,6 +797,7 @@ object Similarity extends QueryGroup {
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_pq" -> (simTopkIvfPq _),
+    "sim_index_delta" -> (simIndexDelta _),
     "dedup_embed" -> (dedupEmbed _)
   )
 

@@ -292,7 +292,7 @@ object TextOps extends QueryGroup {
     * rank-ordered symbol merging is per-row imperative logic with no
     * Catalyst-expression form (same justification as
     * multimodal_decode's mapPartitions). */
-  private def bpeCountUdf(merges: Vector[(String, String)]) = {
+  private[graft] def bpeCountUdf(merges: Vector[(String, String)]) = {
     val rank = merges.zipWithIndex.toMap
     udf { (ws: Seq[String]) =>
       var n = 0L

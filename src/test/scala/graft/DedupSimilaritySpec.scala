@@ -172,6 +172,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(overlap.nonEmpty, "IVF shares no neighbor with brute force")
   }
 
+  test("sim_index_delta: lossless append merge; probe recall matches a fresh full build") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val nCorpus = emb.filter(pmod(col("vec_id"), lit(10)) < 8).count()
+    val nDelta = emb.filter(pmod(col("vec_id"), lit(10)) >= 8).count()
+    val out = SparkEntry.queries("sim_index_delta")(spark, sf001).collect()
+    // lossless: every standing and delta vector lands in exactly one cell
+    assert(out.map(_.getAs[Long]("n_corpus")).sum == nCorpus)
+    assert(out.map(_.getAs[Long]("n_delta")).sum == nDelta)
+    assert(out.map(_.getAs[Long]("n_total")).sum == nCorpus + nDelta)
+    val merged = spark.read.parquet(
+      graft.operators.Similarity.ivfDeltaPaths(spark, sf001)._2)
+    assert(merged.select("vec_id").distinct().count() == nCorpus + nDelta,
+      "append duplicated or lost vec_ids")
+    // recall: probing the delta-appended index must match a fresh
+    // full-corpus build (both vs the exact brute-force top-10)
+    val brute = SparkEntry.queries("sim_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (centPath, assignPath) = graft.operators.Similarity.ivfDeltaPaths(spark, sf001)
+    val mergedProbe = graft.operators.Similarity
+      .ivfProbe(spark.read.parquet(centPath), spark.read.parquet(assignPath))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freshProbe = SparkEntry.queries("sim_topk_ivf")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (mr, fr) = ((mergedProbe & brute).size, (freshProbe & brute).size)
+    assert(mr >= fr - 5,
+      s"delta-merged recall $mr/50 fell more than 5 under fresh-build $fr/50")
+    assert(mr > 0, "merged index shares no neighbor with brute force")
+  }
+
   test("sim_topk_ivf_pq: int8 detour costs no recall vs float IVF at equal nprobe") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -34,6 +34,20 @@ class EntrySpec extends SparkSpec {
       s"${SparkEntry.queries.size} merged vs $expected declared")
   }
 
+  test("events fixture event_type domain matches the declared pivot columns") {
+    // agg_pivot hard-codes the value list (one-scan plan) and would
+    // silently DROP any event_type outside it, while the agg_unpivot
+    // oracle (plain GROUP BY) would keep it — a regenerated fixture
+    // with a new type must fail HERE with a clear message, not at the
+    // driver with a confusing row-count diff.
+    val actual = graft.core.Tables.events(spark, sf001)
+      .select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(actual == graft.operators.Aggregates.EventTypes,
+      s"events.event_type domain drifted: fixture has $actual, " +
+        s"agg_pivot declares ${graft.operators.Aggregates.EventTypes}")
+  }
+
   test("every declared query executes on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf001).count(); None }

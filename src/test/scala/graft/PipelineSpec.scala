@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** pipeline_pretrain carries no oracle (semantic dedup + BPE have no
+  * SQL form) — these assertions are its correctness gate: the composed
+  * chain must agree with the STANDALONE operators it chains, the shard
+  * layout must tile the survivor order exactly, and the manifest must
+  * be deterministic. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val manifest =
+    graft.operators.Pipeline.pipelinePretrain(spark, sf001).collect()
+
+  test("survivor count equals ccnet-keep minus semantic-dropped (composition vs standalone)") {
+    val keep = graft.operators.Perplexity.sampleCcnetBuckets(spark, sf001)
+      .filter(col("keep")).select("doc_id")
+    val dropped = graft.operators.Similarity.dedupSemantic(spark, sf001)
+      .filter(col("dropped") && col("vec_id") < (1L << 40))
+      .select(col("vec_id").as("doc_id"))
+    val expected = keep.join(dropped, Seq("doc_id"), "left_anti").count()
+    val got = manifest.map(_.getAs[Long]("n_docs")).sum
+    assert(got == expected,
+      s"pipeline carried $got docs into shards; standalone stages say $expected")
+    assert(expected > 0 && got < 500, "gate dropped nothing — stages not composing")
+  }
+
+  test("shard positions tile 1..N contiguously and shards never overlap") {
+    val rows = manifest.sortBy(_.getAs[Long]("shard_id"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("first_pos") == 1L, "order does not start at 1")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("first_pos") == a.getAs[Long]("last_pos") + 1,
+          s"gap/overlap between shards ${a.getAs[Long]("shard_id")} and ${b.getAs[Long]("shard_id")}")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("last_pos") - r.getAs[Long]("first_pos") + 1 ==
+        r.getAs[Long]("n_docs"), s"shard ${r.getAs[Long]("shard_id")} span != n_docs")
+    }
+  }
+
+  test("token totals are conserved and every shard meets its budget shape") {
+    // re-aggregate the WRITTEN layout directly — the manifest's
+    // grouping must conserve what was written
+    val raw = spark.read.parquet(
+      graft.operators.Pipeline.pretrainRoot(spark, sf001))
+    val rawTokens = raw.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val manTokens = manifest.map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(manTokens == rawTokens, s"manifest says $manTokens tokens, layout has $rawTokens")
+    manifest.foreach { r =>
+      val (t, s) = (r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_seqs"))
+      assert(s == (t + 2047) / 2048, s"shard ${r.getAs[Long]("shard_id")} n_seqs wrong")
+      assert(t > 0, "empty shard")
+    }
+    // document-atomic token-budget sharding: every shard STARTS within
+    // its budget window, so no shard is empty and none skips a window
+    val ids = manifest.map(_.getAs[Long]("shard_id")).sorted
+    assert(ids.head == 0L && ids.sameElements(ids.head to ids.last),
+      s"shard ids not contiguous: ${ids.mkString(",")}")
+  }
+
+  test("manifest is deterministic across a fresh rebuild") {
+    val again = graft.operators.Pipeline.pipelinePretrain(spark, sf001)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(manifest.map(_.toString).sorted))
+  }
+}

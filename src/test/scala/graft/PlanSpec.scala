@@ -414,6 +414,12 @@ class PlanSpec extends SparkSpec {
     // rewrite so partitions forward at most k rows per group
     val fk = plan("sample_fixed_k")
     assert("WindowGroupLimit".r.findAllIn(fk).size >= 2, fk.take(1200))
+    // agg_retention: the flag-sum rewrite must hold — four
+    // countDistincts in one aggregate compile to a multi-distinct
+    // Expand that replicates every (user, day) row 5× through the
+    // shuffle (the stats_analyze lesson, round 8)
+    val ret = plan("agg_retention")
+    assert(!ret.contains("Expand"), "agg_retention compiled to a multi-distinct Expand")
     // search_phrase: adjacency must be equi-joins of postings — a
     // theta/cartesian form would be all-pairs at scale
     val ph = plan("search_phrase")

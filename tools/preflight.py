@@ -54,7 +54,8 @@ def main():
             print(f"FAIL {name}: no spark output at {spark_dir}")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        got = got_rel.df()
         want = want[sorted(want.columns)]
         got_cols = sorted(got.columns)
         if sorted(want.columns) != got_cols:
@@ -62,6 +63,22 @@ def main():
             n_fail += 1
             continue
         got = got[got_cols]
+        # Dtype-KIND check (the stats_corpus r8 lesson): the driver's
+        # exact-value hash tolerates width drift within a kind (INT32 vs
+        # BIGINT, DATE vs TIMESTAMP — both coerce to the same pandas
+        # kind and serialize identically) but NOT cross-kind drift: a
+        # DuckDB HUGEINT (un-CAST sum()) coerces to float64, so every
+        # value serializes as "665.0" vs Spark's "665" and the hash
+        # fails even though the values are equal. Calibrated against
+        # CORRECTNESS_r08: all 170 green rows pass this check; the one
+        # red row (pre-fix stats_corpus) fails it.
+        kind_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                    for c in got_cols
+                    if got[c].dtype.kind != want[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind drift (col, spark, oracle): {kind_bad}")
+            n_fail += 1
+            continue
         if len(want) != len(got):
             print(f"FAIL {name}: rows differ spark={len(got)} oracle={len(want)}")
             n_fail += 1
