@@ -253,12 +253,63 @@ object Repair extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Quorum WRITE at RF=3 — [[consistencyQuorum]]'s write-path
+    * sibling, completing the coordinator pair: every mutation goes to
+    * all three replicas, the coordinator counts acks against
+    * CL=QUORUM, stores a hint for each missed replica still inside its
+    * hint window (Cassandra `max_hint_window`, modeled as the first
+    * 2 days of a planned outage; transient per-write drops are always
+    * hinted), and accounts the result per day. Cassandra semantics
+    * kept deliberately: a write acked by only ONE replica reports a
+    * timeout to the client but is NOT rolled back — it stays durable
+    * where it landed (the `one` column counts exactly these), and
+    * writes missed past the hint window are LOST to hints and only
+    * anti-entropy ([[repairDiff]]) finds them.
+    *
+    * Outage model over `events` (ts spans 2024-01): replica A down
+    * [01-05, 01-08) with hints through 01-07; replica B down
+    * [01-10, 01-15) with hints through 01-12 (the [[hintReplay]]
+    * outage); replica C drops `event_id % 17 == 0` transiently
+    * (always hinted). A and B outages never overlap, so acks ≥ 1.
+    *
+    * Scale shape: availability and hint decisions are ROW-LOCAL
+    * predicates on (ts, event_id) — the whole op is one scan + one
+    * map-side-combining aggregate to ≤ days rows; no join, no window,
+    * nothing driver-side. At 100 TB this is the coordinator ledger a
+    * cluster would emit per day at write time. */
+  def writeQuorum(s: SparkSession, dir: String): DataFrame = {
+    def ts(x: String) = lit(x).cast("timestamp_ntz")
+    val t = col("ts")
+    val aDown = t >= ts("2024-01-05 00:00:00") && t < ts("2024-01-08 00:00:00")
+    val bDown = t >= ts("2024-01-10 00:00:00") && t < ts("2024-01-15 00:00:00")
+    val cDown = col("event_id") % 17 === 0
+    val aHint = aDown && t < ts("2024-01-07 00:00:00")
+    val bHint = bDown && t < ts("2024-01-12 00:00:00")
+    val acks = lit(3) - aDown.cast("int") - bDown.cast("int") - cDown.cast("int")
+    Tables.events(s, dir).select(col("event_id"), col("ts"))
+      .withColumn("acks", acks)
+      .withColumn("n_hints",
+        aHint.cast("int") + bHint.cast("int") + cDown.cast("int"))
+      .withColumn("n_lost",
+        (aDown && !aHint).cast("int") + (bDown && !bHint).cast("int"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).cast("long").as("n_writes"),
+        count(when(col("acks") === 3, 1)).cast("long").as("n_all"),
+        count(when(col("acks") === 2, 1)).cast("long").as("n_quorum"),
+        count(when(col("acks") === 1, 1)).cast("long").as("n_one"),
+        sum("n_hints").cast("long").as("n_hints"),
+        sum("n_lost").cast("long").as("n_lost"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repair_diff" -> (repairDiff _),
     "repair_apply" -> (repairApply _),
     "read_repair" -> (readRepair _),
     "hint_replay" -> (hintReplay _),
-    "consistency_quorum" -> (consistencyQuorum _)
+    "consistency_quorum" -> (consistencyQuorum _),
+    "write_quorum" -> (writeQuorum _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +431,40 @@ object Repair extends QueryGroup {
         CASE len(avail) WHEN 3 THEN 'all' WHEN 2 THEN 'quorum'
           ELSE 'one' END AS cl
       FROM m WHERE len(avail) >= 1
-      ORDER BY user_id"""
+      ORDER BY user_id""",
+    // Same row-local availability/hint predicates, same per-day
+    // ledger; acks/hint arithmetic stated as CASE sums.
+    "write_quorum" -> """
+      WITH w AS (
+        SELECT event_id, ts,
+          (ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts < TIMESTAMP '2024-01-08 00:00:00') AS a_down,
+          (ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-15 00:00:00') AS b_down,
+          (event_id % 17 = 0) AS c_down
+        FROM events),
+      x AS (
+        SELECT ts,
+          3 - (CASE WHEN a_down THEN 1 ELSE 0 END)
+            - (CASE WHEN b_down THEN 1 ELSE 0 END)
+            - (CASE WHEN c_down THEN 1 ELSE 0 END) AS acks,
+          (CASE WHEN a_down AND ts < TIMESTAMP '2024-01-07 00:00:00'
+                THEN 1 ELSE 0 END)
+          + (CASE WHEN b_down AND ts < TIMESTAMP '2024-01-12 00:00:00'
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN c_down THEN 1 ELSE 0 END) AS n_hints,
+          (CASE WHEN a_down AND ts >= TIMESTAMP '2024-01-07 00:00:00'
+                THEN 1 ELSE 0 END)
+          + (CASE WHEN b_down AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+                  THEN 1 ELSE 0 END) AS n_lost
+        FROM w)
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(count(*) AS BIGINT) AS n_writes,
+        CAST(count(CASE WHEN acks = 3 THEN 1 END) AS BIGINT) AS n_all,
+        CAST(count(CASE WHEN acks = 2 THEN 1 END) AS BIGINT) AS n_quorum,
+        CAST(count(CASE WHEN acks = 1 THEN 1 END) AS BIGINT) AS n_one,
+        CAST(sum(n_hints) AS BIGINT) AS n_hints,
+        CAST(sum(n_lost) AS BIGINT) AS n_lost
+      FROM x GROUP BY 1 ORDER BY 1"""
   )
 }

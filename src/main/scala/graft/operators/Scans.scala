@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -83,6 +84,32 @@ object Scans extends QueryGroup {
       .filter(col("o_orderkey") > 400L) // paging state from the previous page
       .orderBy("o_orderkey")
       .limit(200)
+
+  /** CQL `PER PARTITION LIMIT k` composed with driver paging — the
+    * "newest k rows per partition, one page at a time" read every
+    * wide-column inbox/timeline runs: resume past the paging state
+    * (the previous page fully consumed partitions ≤ 150), take the
+    * newest 2 clustering rows per partition, emit one 200-row page in
+    * (partition, rank) order.
+    *
+    * Scale shape: the paging-state predicate pushes to the scan
+    * (partition pruning at the storage layer), the per-partition cap
+    * rides Spark's WindowGroupLimit rewrite (each task forwards ≤2
+    * rows per partition key — the shuffle carries capped groups, not
+    * partitions' full history), and the page LIMIT compiles to
+    * TakeOrderedAndProject (no global sort materializes). PlanSpec
+    * pins all three. */
+  def scanPagingPplimit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") > 150L) // paging state: partitions ≤150 done
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+      .limit(200)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+  }
 
   /** Sparse-column schema evolution — CQL `ALTER TABLE ADD`: rows
     * written before the column existed read back as null. Two file
@@ -610,6 +637,7 @@ object Scans extends QueryGroup {
     "scan_pk_in" -> (scanPkIn _),
     "scan_token_range" -> (scanTokenRange _),
     "scan_paging" -> (scanPaging _),
+    "scan_paging_pplimit" -> (scanPagingPplimit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "source_parquet" -> (sourceParquet _),
     "source_csv" -> (sourceCsv _),
@@ -642,6 +670,13 @@ object Scans extends QueryGroup {
       "SELECT * FROM orders WHERE o_orderkey IN (1, 7, 42, 99, 123) ORDER BY o_orderkey",
     "scan_paging" ->
       "SELECT * FROM orders WHERE o_orderkey > 400 ORDER BY o_orderkey LIMIT 200",
+    "scan_paging_pplimit" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey > 150) t
+      WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 200""",
     "scan_schema_evolution" -> """
       SELECT o_orderkey, o_custkey,
         CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE NULL END AS o_totalprice

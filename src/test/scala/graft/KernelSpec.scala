@@ -482,6 +482,38 @@ class KernelSpec extends SparkSpec {
       s"divergence did not localize: $dirty dirty of $total buckets")
   }
 
+  test("write_quorum: per-day ack/hint/loss ledger on a known-answer outage calendar") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wquorum").toString
+    // One write per interesting calendar point; A down [01-05,01-08)
+    // hinted through 01-07, B down [01-10,01-15) hinted through 01-12,
+    // C drops id%17==0 (always hinted).
+    Seq(
+      (1L,  "2024-01-02 12:00:00", 1L), // all up            → all
+      (17L, "2024-01-02 13:00:00", 1L), // C drop, hinted    → quorum
+      (2L,  "2024-01-05 12:00:00", 1L), // A down, hinted    → quorum
+      (3L,  "2024-01-07 12:00:00", 1L), // A down, PAST hint → quorum + lost
+      (34L, "2024-01-05 13:00:00", 1L), // A down + C drop   → one, A hint + C hint
+      (4L,  "2024-01-11 12:00:00", 1L), // B down, hinted    → quorum
+      (5L,  "2024-01-13 12:00:00", 1L)) // B down, past hint → quorum + lost
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Repair.writeQuorum(spark, dir).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      //            writes all quorum one hints lost
+      "2024-01-02" -> ((2L, 1L, 1L, 0L, 1L, 0L)),
+      "2024-01-05" -> ((2L, 0L, 1L, 1L, 3L, 0L)),
+      "2024-01-07" -> ((1L, 0L, 1L, 0L, 0L, 1L)),
+      "2024-01-11" -> ((1L, 0L, 1L, 0L, 1L, 0L)),
+      "2024-01-13" -> ((1L, 0L, 1L, 0L, 0L, 1L))), got.toString)
+  }
+
   test("consistency_quorum: LWW winner, reply count and stale accounting per key") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("quorum").toString

@@ -420,6 +420,17 @@ class PlanSpec extends SparkSpec {
     // shuffle (the stats_analyze lesson, round 8)
     val ret = plan("agg_retention")
     assert(!ret.contains("Expand"), "agg_retention compiled to a multi-distinct Expand")
+    // scan_paging_pplimit: paging-state predicate pushed to the scan,
+    // per-partition cap riding WindowGroupLimit (partial+final), page
+    // limit as TakeOrderedAndProject — the three properties that keep
+    // a 100 TB timeline page read partition-pruned and cap-bounded
+    val pp = plan("scan_paging_pplimit")
+    assert(pp.contains("PushedFilters") && pp.contains("o_custkey"),
+      "paging-state filter not pushed to the scan")
+    assert("WindowGroupLimit".r.findAllIn(pp).size >= 2,
+      "per-partition cap lost the WindowGroupLimit rewrite")
+    assert(pp.contains("TakeOrderedAndProject"),
+      "page limit materialized a global sort")
     // search_phrase: adjacency must be equi-joins of postings — a
     // theta/cartesian form would be all-pairs at scale
     val ph = plan("search_phrase")
