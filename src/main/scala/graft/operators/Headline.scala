@@ -141,17 +141,102 @@ object Headline extends QueryGroup {
         col("promo_rev"), col("total_rev"))
   }
 
+  /** Q7-shaped: bilateral trade volume — revenue by (supplier nation,
+    * customer nation, ship year) for one nation pair, both directions.
+    * The two-dimension-alias join classic: nation joins twice
+    * (broadcast both), the pair predicate prunes BEFORE the
+    * fact-to-fact shuffles, and the aggregate output is bounded by
+    * 2 directions × years. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Num.dsumExact(
+        Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount")))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q19-shaped: bracketed discounted revenue — the OR-of-ANDs
+    * predicate classic (three (brand, size, quantity) brackets), all
+    * row-local after one broadcast part join; one degenerate
+    * decimal-exact aggregate. */
+  def q19Brackets(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    val br =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#8" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(br)
+      .agg(Num.dsumExact(
+        Num.d2(col("l_extendedprice")) * (one - Num.d2(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q6_forecast" -> (q6Forecast _),
     "q4_priority" -> (q4Priority _),
     "q14_promo" -> (q14Promo _),
     "q3_shipping" -> (q3Shipping _),
     "q5_supplier" -> (q5Supplier _),
+    "q7_volume" -> (q7Volume _),
+    "q19_brackets" -> (q19Brackets _),
     "q10_returns" -> (q10Returns _),
     "q18_large_orders" -> (q18LargeOrders _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q7_volume" -> """
+      WITH j AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+      SELECT supp_nation, cust_nation, l_year,
+             CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+      FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q19_brackets" -> """
+      SELECT
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+          AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
     "q6_forecast" -> """
       SELECT
         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
