@@ -338,10 +338,23 @@ object Joins extends QueryGroup {
     // (backward inclusive) and the following frame does not (forward
     // strict); okey asc makes preceding-last = max okey and
     // following-first = min okey, the two directional tiebreaks.
-    val spec = Window.partitionBy("k")
+    val back = Window.partitionBy("k")
       .orderBy(col("t").asc, col("pri").asc, col("okey").asc_nulls_first)
-    val back = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = spec.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The forward direction is the SAME prefix frame over the exact
+    // REVERSE ordering — never (currentRow, unboundedFollowing):
+    // Spark evaluates growing prefix frames incrementally (O(n) per
+    // partition) but recomputes an UnboundedFollowing frame from
+    // scratch at every row (O(n²) per key) — measured 1922 s at ×100
+    // vs ~25 s for this form, first exposed when Bench stopped
+    // count-pruning the window columns. In reverse order (t desc,
+    // pri desc, okey desc) the equal-t orders sort AFTER the event
+    // row, so the prefix excludes them (forward stays strict) and
+    // prefix-last = the min-t / min-okey forward order, exactly the
+    // following-first of the old frame.
+    val fwdRev = Window.partitionBy("k")
+      .orderBy(col("t").desc, col("pri").desc, col("okey").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val oT = when(col("pri") === 0, col("t"))
     val dtb = Tables.epochMs(col("t")) - Tables.epochMs(col("back_t"))
     val dtf = Tables.epochMs(col("fwd_t")) - Tables.epochMs(col("t"))
@@ -350,8 +363,8 @@ object Joins extends QueryGroup {
     o.unionByName(e)
       .withColumn("back_key", last("okey", ignoreNulls = true).over(back))
       .withColumn("back_t", last(oT, ignoreNulls = true).over(back))
-      .withColumn("fwd_key", first("okey", ignoreNulls = true).over(fwd))
-      .withColumn("fwd_t", first(oT, ignoreNulls = true).over(fwd))
+      .withColumn("fwd_key", last("okey", ignoreNulls = true).over(fwdRev))
+      .withColumn("fwd_t", last(oT, ignoreNulls = true).over(fwdRev))
       .filter(col("pri") === 1)
       .select(col("event_id"), col("k").as("user_id"),
         when(takeBack, col("back_key")).otherwise(col("fwd_key"))

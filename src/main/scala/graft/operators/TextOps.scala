@@ -131,16 +131,26 @@ object TextOps extends QueryGroup {
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val w = Text.words(col("text"))
-    val base = d.select(
-      col("doc_id"),
-      size(w).as("n_words"),
-      size(array_distinct(w)).as("n_distinct_words"),
-      size(Text.shingles(w, 2)).as("n_bigrams"),
-      size(array_distinct(Text.shingles(w, 2))).as("n_distinct_bigrams"))
-    val top = d.select(col("doc_id"), explode(w).as("word"))
+    // Distinct counts via exploded two-level aggregates, NOT row-local
+    // array_distinct: Spark's array_distinct has no hash fast-path for
+    // string elements — it is a nested-loop O(n²) PER ROW, measured
+    // 662 s at ×100 (first exposed when Bench stopped count-pruning
+    // these columns). The exploded form partial-aggregates (doc, gram)
+    // map-side, so the shuffle carries surviving distinct grams and
+    // every step is linear; the word pass also yields the top-word
+    // count that previously rode its own explode.
+    val base = d.select(col("doc_id"), explode(w).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_word_count"))
-    base.join(top, "doc_id")
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_count"))
+    val bg = d.select(col("doc_id"), explode(Text.shingles(w, 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    base.join(bg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)

@@ -424,6 +424,12 @@ class PlanSpec extends SparkSpec {
     // per-partition cap riding WindowGroupLimit (partial+final), page
     // limit as TakeOrderedAndProject — the three properties that keep
     // a 100 TB timeline page read partition-pruned and cap-bounded
+    // join_asof_nearest: BOTH directions must ride growing prefix
+    // frames — an (currentRow, unboundedFollowing) frame is recomputed
+    // from scratch per row (O(n²) per key; 1922 s at ×100 vs ~72 s)
+    val asofN = plan("join_asof_nearest")
+    assert(!asofN.contains("UNBOUNDED FOLLOWING"),
+      "join_asof_nearest regressed to an UnboundedFollowing window frame")
     val pp = plan("scan_paging_pplimit")
     assert(pp.contains("PushedFilters") && pp.contains("o_custkey"),
       "paging-state filter not pushed to the scan")
