@@ -208,7 +208,7 @@ object Headline extends QueryGroup {
     "q7_volume" -> """
       WITH j AS (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               year(l_shipdate) AS l_year,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
                CAST(l_extendedprice AS DECIMAL(18,2)) *
                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
         FROM lineitem

@@ -12,7 +12,7 @@ trait QueryGroup {
 object Registry {
   def groups: Seq[QueryGroup] =
     Seq(Aggregates, Scans, Filters, SortLimit, SetOps, Joins, Windows, ScalarFns,
-      StreamingBatch, TextOps, Dedup, Similarity, Udfs, Multimodal, Headline, CellStore,
+      StreamingBatch, TextOps, Dedup, Similarity, Udfs, Multimodal, Headline, HeadlineFaces, CellStore,
       Repair, QualityModel, Ring, Search, Mixture, Perplexity, Shards, Analytics, Pipeline)
 
   private def merged[V](maps: Seq[Map[String, V]], what: String): Map[String, V] = {
