@@ -783,7 +783,115 @@ object Similarity extends QueryGroup {
       .orderBy("vec_id")
   }
 
+  /** Distributed PCA over the embedding corpus (whitening /
+    * dimensionality reduction — the standard quantizer pre-step an
+    * ANN build runs before IVF-PQ, and the missing sibling of
+    * [[kmeansFit]] in the iterative-ML family).
+    *
+    * Shape: ONE aggregate pass accumulates the exact fixed-point
+    * second-moment buffer ([[graft.functions.GramAgg]] — 1+d+d(d+1)/2
+    * longs, constant in the corpus; map-side partials mean the
+    * shuffle carries one ~17 KB buffer per partition, never vectors).
+    * The driver unquantizes to the covariance matrix, runs a cyclic
+    * Jacobi eigensolver (fixed sweeps, deterministic), sign-normalizes
+    * each component, and broadcasts the k×d projection as literals —
+    * the projection pass is row-local codegen [[Vectors.fdot]], no
+    * shuffle. Bit-identical on any partition layout: quantized longs
+    * sum exactly, and everything after the aggregate is sequential
+    * driver arithmetic (DedupSimilaritySpec asserts both the planted
+    * component recovery and cross-layout equality).
+    *
+    * Declared no-oracle: the iterative Jacobi eigensolver is not
+    * expressible in DuckDB SQL. */
+  def embeddingPca(s: SparkSession, dir: String): DataFrame =
+    pcaProject(Tables.embeddings(s, dir).select("vec_id", "embedding"), k = 8)
+
+  /** Fit on any (vec_id, embedding) relation and project to k dims —
+    * exposed for the spec's planted-covariance assertions. */
+  private[graft] def pcaFit(
+      emb: DataFrame, k: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import org.apache.spark.sql.functions.udaf
+    val spark = emb.sparkSession
+    implicit val seqFloatEnc: org.apache.spark.sql.Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    val gramUdaf = udaf(graft.functions.GramAgg)
+    val buf = emb.select(gramUdaf(col("embedding")).as("g"))
+      .head().getSeq[Long](0).toArray // one bounded buffer — never data-proportional
+    val n = buf(0)
+    require(n > 0, "PCA over an empty relation")
+    val d = {
+      val len = buf.length
+      ((math.sqrt(9.0 + 8.0 * (len - 1)) - 3.0) / 2.0).round.toInt
+    }
+    val sc = graft.functions.GramAgg.Scale
+    val mean = Array.tabulate(d)(i => buf(1 + i).toDouble / sc / n)
+    // covariance C = E[v vᵀ] − μ μᵀ (symmetric, from the upper triangle)
+    val c = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val e = buf(t).toDouble / sc / n - mean(i) * mean(j)
+        c(i)(j) = e; c(j)(i) = e
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    // cyclic Jacobi: fixed sweep count ⇒ deterministic; 64×64 is
+    // driver-trivial (d³ per sweep ≈ 260k flops)
+    val v = Array.tabulate(d, d)((a, b) => if (a == b) 1.0 else 0.0)
+    for (_ <- 1 to 24; p <- 0 until d - 1; q <- p + 1 until d) {
+      val apq = c(p)(q)
+      if (math.abs(apq) > 1e-14) {
+        val theta = (c(q)(q) - c(p)(p)) / (2.0 * apq)
+        val tt = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val cos = 1.0 / math.sqrt(tt * tt + 1.0)
+        val sin = tt * cos
+        var r = 0
+        while (r < d) {
+          val crp = c(r)(p); val crq = c(r)(q)
+          c(r)(p) = cos * crp - sin * crq
+          c(r)(q) = sin * crp + cos * crq
+          r += 1
+        }
+        r = 0
+        while (r < d) {
+          val cpr = c(p)(r); val cqr = c(q)(r)
+          c(p)(r) = cos * cpr - sin * cqr
+          c(q)(r) = sin * cpr + cos * cqr
+          val vrp = v(r)(p); val vrq = v(r)(q)
+          v(r)(p) = cos * vrp - sin * vrq
+          v(r)(q) = sin * vrp + cos * vrq
+          r += 1
+        }
+      }
+    }
+    val order = (0 until d).sortBy(i => -c(i)(i)).take(k)
+    val comps = order.map { ci =>
+      val comp = Array.tabulate(d)(r => v(r)(ci))
+      // sign convention: the largest-|x| coordinate (first on ties) is
+      // positive — eigenvectors are sign-ambiguous otherwise
+      var mi = 0
+      var r = 1
+      while (r < d) { if (math.abs(comp(r)) > math.abs(comp(mi))) mi = r; r += 1 }
+      if (comp(mi) < 0) comp.map(-_) else comp
+    }.toArray
+    (mean, comps, order.map(i => c(i)(i)).toArray)
+  }
+
+  private[graft] def pcaProject(emb: DataFrame, k: Int): DataFrame = {
+    val (mean, comps, _) = pcaFit(emb, k)
+    val projCols = comps.zipWithIndex.map { case (comp, i) =>
+      val center = comp.zip(mean).map { case (e, m) => e * m }.sum
+      round(Vectors.fdot(col("embedding"), typedlit(comp.map(_.toFloat).toSeq))
+        .cast("double") - lit(center), 6).as(s"pc$i")
+    }
+    emb.select(col("vec_id") +: projCols.toIndexedSeq: _*).orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_pca" -> (embeddingPca _),
     "kmeans_fit" -> (kmeansFit _),
     "dedup_semantic" -> (dedupSemantic _),
     "embedding_quantize" -> (embeddingQuantize _),

@@ -389,6 +389,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fix.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 10))
   }
 
+  test("embedding_pca recovers planted components; bit-identical across layouts") {
+    import graft.operators.Similarity
+    // planted anisotropic cloud in d=16: variance 9 along u (e0+e1)/√2,
+    // variance 1 along w (e2−e3)/√2, 0.01² isotropic noise — the top-2
+    // eigenvectors are u then w by construction
+    val d = 16
+    val rnd = new scala.util.Random(42)
+    val u = Array.tabulate(d)(i => if (i <= 1) (1.0 / math.sqrt(2)).toFloat else 0f)
+    val w = Array.tabulate(d)(i =>
+      if (i == 2) (1.0 / math.sqrt(2)).toFloat
+      else if (i == 3) (-1.0 / math.sqrt(2)).toFloat else 0f)
+    val rows = (0 until 400).map { id =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.0
+      val vec = Array.tabulate(d)(i =>
+        (a * u(i) + b * w(i) + rnd.nextGaussian() * 0.01).toFloat)
+      (id.toLong, vec.toSeq)
+    }
+    import spark.implicits._
+    val emb = rows.toDF("vec_id", "embedding")
+    val (_, comps, eig) = Similarity.pcaFit(emb, k = 2)
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum)
+    }
+    assert(eig(0) > eig(1), s"eigenvalues not ordered: ${eig.toSeq}")
+    assert(math.abs(cos(comps(0), u)) > 0.99,
+      s"top component missed planted u: cos=${cos(comps(0), u)}")
+    assert(math.abs(cos(comps(1), w)) > 0.99,
+      s"second component missed planted w: cos=${cos(comps(1), w)}")
+    // cross-layout determinism: the fixed-point Gram buffer sums longs,
+    // so 1-partition and 7-partition fits must agree BIT-FOR-BIT
+    val p1 = Similarity.pcaProject(emb.repartition(1), k = 2).collect()
+    val p7 = Similarity.pcaProject(emb.repartition(7), k = 2).collect()
+    assert(p1.length == p7.length && p1.zip(p7).forall { case (x, y) =>
+      x.getLong(0) == y.getLong(0) &&
+        x.getDouble(1) == y.getDouble(1) && x.getDouble(2) == y.getDouble(2)
+    }, "projection differs across partition layouts")
+    // the declared query on the fixture: total, 8 components, finite
+    val fix = SparkEntry.queries("embedding_pca")(spark, sf001).collect()
+    val n = graft.core.Tables.embeddings(spark, sf001).count()
+    assert(fix.length.toLong == n && fix.head.length == 9)
+    assert(fix.forall(r => (1 to 8).forall(i => !r.getDouble(i).isNaN)))
+  }
+
   test("sim_topk_lsh candidates agree with brute force on shared pairs") {
     val brute = SparkEntry.queries("sim_topk")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
