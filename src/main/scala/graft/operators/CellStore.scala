@@ -551,7 +551,57 @@ object CellStore extends QueryGroup {
     byUser.join(byType, "batch_id").orderBy("batch_id")
   }
 
+  /** CQL STATIC columns: a static cell belongs to the PARTITION
+    * (user_id), not the clustering row — every clustering row of the
+    * partition reads the same static value, the static cell is
+    * LWW-merged independently of the regular cells, and a partition
+    * holding ONLY a static cell still surfaces as one row with null
+    * clustering columns (Cassandra's static-only row).
+    *
+    * Model on events: 'signup' writes are the static column
+    * (s_val, s_writetime); the other event types are regular
+    * clustering rows, windowed so some partitions are static-only.
+    *
+    * Scale shape: both LWW merges shuffle once on user_id (the
+    * regular one on (user_id, event_type) — a superset key the same
+    * exchange serves); the static side is user-domain bounded, the
+    * visibility join and the static-only anti join both key on
+    * user_id. No window over event volume survives the merges. */
+  def staticCells(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val winLo = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+    val winHi = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    val static = Lww.latest(
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("value").as("s_val"),
+            unix_micros(col("ts").cast("timestamp")).as("s_writetime"),
+            col("event_id")),
+        Seq("user_id"), Seq(col("s_writetime").desc, col("event_id").desc))
+      .select("user_id", "s_val", "s_writetime")
+    val regular = Lww.latest(
+        ev.filter(col("event_type") =!= "signup" &&
+            col("ts") >= winLo && col("ts") < winHi)
+          .select(col("user_id"), col("event_type"), col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("_writetime"),
+            col("event_id")),
+        Seq("user_id", "event_type"),
+        Seq(col("_writetime").desc, col("event_id").desc))
+      .select("user_id", "event_type", "value", "_writetime")
+    val withStatic = regular.join(static, Seq("user_id"), "left")
+      .select("user_id", "event_type", "value", "_writetime", "s_val", "s_writetime")
+    val staticOnly = static
+      .join(regular.select("user_id"), Seq("user_id"), "left_anti")
+      .select(col("user_id"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("double").as("value"),
+        lit(null).cast("long").as("_writetime"),
+        col("s_val"), col("s_writetime"))
+    withStatic.unionByName(staticOnly)
+      .orderBy(col("user_id"), col("event_type").asc_nulls_last)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "static_cells" -> (staticCells _),
     "cdc_apply" -> (cdcApply _),
     "cas_apply" -> (casApply _),
     "batch_apply" -> (batchApply _),
@@ -570,6 +620,27 @@ object CellStore extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "static_cells" -> """
+      WITH s0 AS (
+        SELECT user_id, value AS s_val, epoch_us(ts) AS s_writetime,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup'),
+      s AS (SELECT user_id, s_val, s_writetime FROM s0 WHERE rn = 1),
+      r0 AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS _writetime,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE event_type <> 'signup'
+          AND ts >= TIMESTAMP '2024-01-14' AND ts < TIMESTAMP '2024-01-15'),
+      r AS (SELECT user_id, event_type, value, _writetime FROM r0 WHERE rn = 1)
+      SELECT r.user_id, r.event_type, r.value, r._writetime,
+             s.s_val, s.s_writetime
+      FROM r LEFT JOIN s USING (user_id)
+      UNION ALL
+      SELECT s.user_id, NULL, NULL, NULL, s.s_val, s.s_writetime
+      FROM s WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = s.user_id)
+      ORDER BY user_id, event_type NULLS LAST""",
     "cas_apply" -> """
       WITH base AS (
         SELECT user_id, event_id, event_type, value FROM (

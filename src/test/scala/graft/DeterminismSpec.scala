@@ -90,7 +90,26 @@ class DeterminismSpec extends SparkSpec {
     "stats_analyze", "sample_fixed_k", "compact_twcs", "compact_lcs",
     // iterative Lloyd with quantized-long centroid updates — the whole
     // point of the fixed-point discipline is layout independence
-    "kmeans_fit")
+    "kmeans_fit",
+    // round-9: the composed 5-stage pipeline (every stage's artifact
+    // feeds the next — any layout leak compounds), the assign-only
+    // IVF delta append, the quorum write ledger's reply accounting,
+    // and the per-partition-limit page rank
+    "pipeline_pretrain", "sim_index_delta", "write_quorum",
+    "scan_paging_pplimit",
+    // round-9 faces: the argmin equality join-back, the LEFT-join
+    // double aggregation, the scalar-max equality join-back, the
+    // decorrelated float-avg comparison, the min/max correlation
+    // collapse, and the scalar-avg filter — every one compares
+    // aggregate outputs across relations, exactly where a
+    // layout-dependent float would flap
+    "q2_min_cost_supplier", "q13_custdist", "q15_top_supplier",
+    "q17_small_quantity", "q21_waiting_supplier", "q22_global_sales",
+    // fixed-point Gram + driver Jacobi — layout independence is the
+    // design claim (also asserted bit-for-bit in DedupSimilaritySpec)
+    "embedding_pca",
+    // static cell LWW + visibility join + static-only anti join
+    "static_cells")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
