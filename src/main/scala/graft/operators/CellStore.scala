@@ -600,8 +600,50 @@ object CellStore extends QueryGroup {
       .orderBy(col("user_id"), col("event_type").asc_nulls_last)
   }
 
+  /** Range tombstones: a CQL `DELETE … WHERE pk = ? AND ck <= ?`
+    * writes ONE marker that hides every version in the clustering
+    * range with an OLDER writetime — the version never has to exist
+    * when the delete lands. Model on events: each 'error' event is a
+    * range tombstone for its user hiding versions with value ≤ the
+    * error's value written before it; the surviving versions then
+    * LWW-merge per (user, event_type) as usual — Cassandra applies
+    * tombstones during merge, so a hidden newest version does NOT
+    * resurrect older ones it was shadowing (they are hidden by the
+    * same range or win the merge on their own).
+    *
+    * Scale shape: tombstones aggregate to ONE array per partition
+    * (range deletes per partition are marker-domain bounded — the
+    * Cassandra assumption; at sf0.01 ≈ 13/user), carried to the
+    * versions by a user-keyed join; coverage is a row-local
+    * `exists()` over that array. No per-(version × tombstone) rows
+    * ever materialize. */
+  def tombstoneRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val tombs = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("t_user"))
+      .agg(collect_list(struct(
+        col("value").as("v_hide"),
+        unix_micros(col("ts").cast("timestamp")).as("del_wt"))).as("tombs"))
+    val versions = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("_writetime"),
+        col("event_id"))
+    val visible = versions
+      .join(tombs, col("user_id") === col("t_user"), "left")
+      .filter(col("tombs").isNull ||
+        !exists(col("tombs"), t =>
+          t.getField("v_hide") >= col("value") &&
+            t.getField("del_wt") > col("_writetime")))
+      .drop("t_user", "tombs")
+    Lww.latest(visible, Seq("user_id", "event_type"),
+        Seq(col("_writetime").desc, col("event_id").desc))
+      .select("user_id", "event_type", "value", "_writetime")
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "static_cells" -> (staticCells _),
+    "tombstone_range" -> (tombstoneRange _),
     "cdc_apply" -> (cdcApply _),
     "cas_apply" -> (casApply _),
     "batch_apply" -> (batchApply _),
@@ -620,6 +662,23 @@ object CellStore extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "tombstone_range" -> """
+      WITH vis AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS _writetime,
+               event_id
+        FROM events v
+        WHERE event_type <> 'error'
+          AND NOT EXISTS (
+            SELECT 1 FROM events d
+            WHERE d.event_type = 'error' AND d.user_id = v.user_id
+              AND d.value >= v.value AND epoch_us(d.ts) > epoch_us(v.ts))),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          ORDER BY _writetime DESC, event_id DESC) AS rn
+        FROM vis)
+      SELECT user_id, event_type, value, _writetime
+      FROM ranked WHERE rn = 1
+      ORDER BY user_id, event_type""",
     "static_cells" -> """
       WITH s0 AS (
         SELECT user_id, value AS s_val, epoch_us(ts) AS s_writetime,

@@ -101,6 +101,26 @@ object StreamingBatch extends QueryGroup {
       .orderBy("win_start", "rank")
   }
 
+  /** Stream-STATIC dimension join in batch form: events enriched with
+    * the customer dimension (user_id ↦ c_custkey), aggregated to
+    * (mktsegment, event_type) counts + exact value sums. In the
+    * streaming form the static side is re-read per micro-batch and
+    * broadcast — no stream state for the join at all (the structural
+    * difference from stream_join's watermarked buffers); the twin in
+    * StreamingSpec asserts streamed ≡ batch. At 100 TB the dimension
+    * stays broadcast-sized by definition — this is THE enrichment
+    * shape for fact streams. */
+  def streamDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    Tables.events(s, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Num.dsum(col("value")).as("sum_value"))
+      .orderBy("segment", "event_type")
+  }
+
   /** Stream-stream interval join in batch form: click→purchase
     * attribution — every click by the same user within the hour
     * before a purchase. The equality key is (user_id, hour bucket),
@@ -166,6 +186,7 @@ object StreamingBatch extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_join" -> (streamJoin _),
+    "stream_dim_join" -> (streamDimJoin _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_topk" -> (streamTopk _),
@@ -177,6 +198,12 @@ object StreamingBatch extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_dim_join" -> """
+      SELECT c_mktsegment AS segment, event_type,
+        COUNT(*) AS n_events,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_sessionize" -> """
       WITH flagged AS (
         SELECT user_id, ts, event_id,

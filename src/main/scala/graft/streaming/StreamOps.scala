@@ -35,6 +35,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
 
+  /** Stream-static dimension enrichment: the static side is a plain
+    * batch DataFrame (re-read and broadcast per micro-batch by the
+    * engine), so the join itself holds NO stream state — the
+    * structural contrast to [[attributionJoin]]'s watermarked
+    * buffers. Aggregation output is (segment × event_type) bounded. */
+  def dimJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        graft.core.Num.dsum(col("value")).as("sum_value"))
+
   /** Exactly-once by event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")

@@ -109,7 +109,9 @@ class DeterminismSpec extends SparkSpec {
     // design claim (also asserted bit-for-bit in DedupSimilaritySpec)
     "embedding_pca",
     // static cell LWW + visibility join + static-only anti join
-    "static_cells")
+    "static_cells",
+    // per-partition tombstone array + row-local exists + LWW merge
+    "tombstone_range")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

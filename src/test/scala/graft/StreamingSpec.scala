@@ -38,6 +38,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-static dim join enriches per micro-batch, no join state") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      SEvent(1, t(1, 1), 10, "click", 1.5), SEvent(2, t(1, 2), 10, "click", 2.5),
+      SEvent(3, t(2, 1), 20, "view", 3.0), SEvent(4, t(3, 1), 30, "buy", 4.0))
+    val dim = Seq((10L, "BUILDING"), (20L, "AUTO"), (30L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[SEvent]
+    mem.addData(rows: _*)
+    StreamOps.runToMemory(
+      StreamOps.dimJoin(mem.toDF(), dim), "dimjoin_out", OutputMode.Complete())
+    val streamed = s.table("dimjoin_out").collect().map(_.toString).sorted.toList
+    val batch = StreamOps.dimJoin(rows.toDF(), dim)
+      .collect().map(_.toString).sorted.toList
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("trending top-k: rank over streamed windowed counts matches the batch form") {
     val s = spark; import s.implicits._
     // day 1: click×3, view×2, buy×1, refund×1 → top-3 excludes refund
