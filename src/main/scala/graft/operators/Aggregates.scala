@@ -389,7 +389,38 @@ object Aggregates extends QueryGroup {
       .orderBy("col_name")
   }
 
+  /** Equi-width histogram of a monetary column — the ANALYZE sibling
+    * (Cassandra's nodetool tablehistograms / the optimizer histogram
+    * a CBO keeps per column). Exact integer-cent arithmetic
+    * throughout: the 2-dp price becomes BIGINT cents, bucket ids are
+    * integer division against the min/max span — no float rounding
+    * anywhere, so the DuckDB hash matches bit-for-bit. Two passes over
+    * the data (inherent to exact equi-width): a 1-row min/max bounds
+    * aggregate broadcast into the second scan, then ONE hash aggregate
+    * onto the 20-bucket domain — map-side combine compacts every
+    * partition to ≤20 rows before the shuffle. At 100 TB both passes
+    * are embarrassingly parallel scans; nothing data-sized moves. */
+  def statsHistogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(s, dir)
+      .select((Num.d2(col("l_extendedprice")) * 100).cast("long").as("xc"))
+    // no broadcast hint: the bounds side is a GLOBAL aggregate (exactly
+    // 1 row) and Spark's post-aggregate size estimate already picks
+    // BroadcastNestedLoopJoin for the cross join — the repo-wide
+    // no-hint-over-aggregate guard (PlanSpec) stays intact.
+    val bounds = cents.agg(min("xc").as("minc"), max("xc").as("maxc"))
+    cents.crossJoin(bounds)
+      .select(col("xc"),
+        expr("((xc - minc) * 20) div (maxc - minc + 1)").cast("int").as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        (min("xc").cast("double") / 100).as("lo_v"),
+        (max("xc").cast("double") / 100).as("hi_v"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_histogram" -> (statsHistogram _),
     "stats_analyze" -> (statsAnalyze _),
     "agg_pivot" -> (aggPivot _),
     "agg_unpivot" -> (aggUnpivot _),
@@ -423,6 +454,17 @@ object Aggregates extends QueryGroup {
       FROM lineitem"""
 
   val oracles: Map[String, String] = Map(
+    // same integer-cent bucket formula, verbatim
+    "stats_histogram" -> """
+      WITH c AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        FROM lineitem),
+      b AS (SELECT min(xc) AS minc, max(xc) AS maxc FROM c)
+      SELECT CAST(((xc - minc) * 20) // (maxc - minc + 1) AS INTEGER) AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(min(xc) AS DOUBLE) / 100 AS lo_v,
+        CAST(max(xc) AS DOUBLE) / 100 AS hi_v
+      FROM c, b GROUP BY 1 ORDER BY 1""",
     "stats_analyze" -> (Seq(
       statsOracleRow("l_orderkey", "l_orderkey"),
       statsOracleRow("l_quantity", "l_quantity"),

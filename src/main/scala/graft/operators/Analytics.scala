@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Num, Tables}
 
 /** Event-sequence analytics over `events` — the funnel / cohort
   * queries a product-analytics workload runs against the same
@@ -96,9 +96,40 @@ object Analytics extends QueryGroup {
       .orderBy("d0")
   }
 
+  /** Time-series downsampling — the metrics-rollup read every
+    * wide-column time-series store serves (a Cassandra
+    * (metric, day)-partitioned table rolled up from raw points): per
+    * (event_type, day) bucket emit count, exact-decimal sum/avg
+    * ([[graft.core.Num]] discipline — order-independent, so the hash
+    * matches DuckDB), min/max, and the FIRST and LAST point value by
+    * (ts, event_id) — the OHLC shape. first/last ride `min_by`/
+    * `max_by` with a struct ordering key (event_id breaks ts ties
+    * deterministically), which keeps the whole query ONE hash
+    * aggregate: map-side partial min_by/max_by compacts every
+    * partition to one row per (metric, day) before the shuffle — no
+    * window, no sort, no per-key row transfer. At 100 TB of points the
+    * shuffle carries only the bucket domain (metrics × days), the
+    * exact shape a 1000-executor rollup job wants. */
+  def aggDownsample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("ts"), col("event_id"), col("value"))
+    e.groupBy("event_type", "d")
+      .agg(
+        count(lit(1)).cast("long").as("n_points"),
+        Num.dsum(col("value")).as("sum_v"),
+        Num.davg(col("value")).as("avg_v"),
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("first_v"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_funnel" -> (aggFunnel _),
-    "agg_retention" -> (aggRetention _)
+    "agg_retention" -> (aggRetention _),
+    "agg_downsample" -> (aggDownsample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +170,33 @@ object Analytics extends QueryGroup {
         CAST(count(DISTINCT CASE WHEN d = d0 + 7 THEN a.user_id END)
              AS BIGINT) AS n_d7
       FROM a JOIN d0 USING (user_id)
-      GROUP BY d0 ORDER BY d0"""
+      GROUP BY d0 ORDER BY d0""",
+    // first/last via row_number (duckdb 1.0's arg_min cannot take a
+    // struct ordering key); the engine side is the one-aggregate
+    // min_by/max_by form — same (ts, event_id) total order.
+    "agg_downsample" -> s"""
+      WITH b AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id, value
+        FROM events),
+      r AS (
+        SELECT event_type, d, value,
+          row_number() OVER (PARTITION BY event_type, d
+                             ORDER BY ts, event_id) AS rn_a,
+          row_number() OVER (PARTITION BY event_type, d
+                             ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b),
+      agg AS (
+        SELECT event_type, d,
+          CAST(count(*) AS BIGINT) AS n_points,
+          ${Num.sqlDsum("value")} AS sum_v,
+          ${Num.sqlDavg("value")} AS avg_v,
+          min(value) AS min_v, max(value) AS max_v
+        FROM b GROUP BY event_type, d)
+      SELECT agg.event_type, agg.d, n_points, sum_v, avg_v, min_v, max_v,
+             f.value AS first_v, l.value AS last_v
+      FROM agg
+      JOIN r f ON f.event_type = agg.event_type AND f.d = agg.d AND f.rn_a = 1
+      JOIN r l ON l.event_type = agg.event_type AND l.d = agg.d AND l.rn_d = 1
+      ORDER BY agg.event_type, agg.d"""
   )
 }

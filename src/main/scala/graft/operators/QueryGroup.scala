@@ -13,7 +13,7 @@ object Registry {
   def groups: Seq[QueryGroup] =
     Seq(Aggregates, Scans, Filters, SortLimit, SetOps, Joins, Windows, ScalarFns,
       StreamingBatch, TextOps, Dedup, Similarity, Udfs, Multimodal, Headline, HeadlineFaces, CellStore,
-      Repair, QualityModel, Ring, Search, Mixture, Perplexity, Shards, Analytics, Pipeline)
+      Repair, QualityModel, Ring, Search, Mixture, Perplexity, Shards, Analytics, Pipeline, Graph)
 
   private def merged[V](maps: Seq[Map[String, V]], what: String): Map[String, V] = {
     val keys = maps.flatMap(_.keys)

@@ -805,7 +805,34 @@ object TextOps extends QueryGroup {
       .filter(col("n_copies") > 1)
       .orderBy("chunk_md5")
 
+  /** Corpus n-gram vocabulary: top-20 unigrams and bigrams PER
+    * LANGUAGE by occurrence count (ties broken lexicographically) —
+    * the corpus-statistics read behind stopword lists, tokenizer-vocab
+    * sanity checks, and boilerplate detection. Shape: one exploded
+    * hash aggregate per n (map-side combine compacts each partition to
+    * its surviving gram counts — the shuffle carries the gram domain,
+    * not the token stream), then the per-(n, lang) top-20 rides a
+    * rank window that Spark executes as WindowGroupLimit: each partition
+    * forwards at most 20 rows per group before the final sort. At
+    * 100 TB the only data-sized work is the scan+explode; everything
+    * that moves is gram-domain-sized. */
+  def textNgramTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val w = Text.words(col("text"))
+    def counts(n: Int): DataFrame =
+      d.select(col("lang"),
+          explode(if (n == 1) w else Text.shingles(w, n)).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).cast("long").as("n_occ"))
+        .select(lit(n).as("n"), col("lang"), col("gram"), col("n_occ"))
+    val rk = row_number().over(
+      Window.partitionBy("n", "lang").orderBy(col("n_occ").desc, col("gram")))
+    counts(1).unionByName(counts(2))
+      .withColumn("rk", rk).filter(col("rk") <= 20)
+      .orderBy("n", "lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_topk" -> (textNgramTopk _),
     "dedup_chunk" -> (dedupChunk _),
     "chunk_cdc" -> (chunkCdc _),
     "sample_fixed_k" -> (sampleFixedK _),
@@ -835,6 +862,23 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_topk" -> """
+      WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      u AS (
+        SELECT 1 AS n, lang, unnest(w) AS gram FROM w
+        UNION ALL
+        SELECT 2 AS n, lang,
+          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+        FROM w),
+      c AS (
+        SELECT n, lang, gram, CAST(count(*) AS BIGINT) AS n_occ
+        FROM u GROUP BY n, lang, gram),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+          PARTITION BY n, lang ORDER BY n_occ DESC, gram) AS INTEGER) AS rk
+        FROM c)
+      SELECT n, lang, gram, n_occ, rk FROM r WHERE rk <= 20
+      ORDER BY n, lang, rk""",
     // The two-phase bucketed rank must equal the plain global rank.
     "sample_fixed_k" -> """
       SELECT lang, rk, doc_id FROM (

@@ -111,7 +111,14 @@ class DeterminismSpec extends SparkSpec {
     // static cell LWW + visibility join + static-only anti join
     "static_cells",
     // per-partition tombstone array + row-local exists + LWW merge
-    "tombstone_range")
+    "tombstone_range",
+    // round-9 third wave: struct-keyed min_by/max_by first/last in one
+    // aggregate (tie-break must not depend on layout), the broadcast
+    // min/max bounds + integer bucket ids, the per-(n, lang) gram rank,
+    // and the integer fixed-point power iteration over the collected
+    // bounded adjacency (collect order must not leak into ranks)
+    "agg_downsample", "stats_histogram", "text_ngram_topk",
+    "graph_pagerank")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -478,6 +478,29 @@ class PlanSpec extends SparkSpec {
     assert(q13.contains("LeftOuter"), q13.take(1200))
   }
 
+  test("round-9 third wave: one-aggregate downsample, broadcast bounds, group-limited grams") {
+    // agg_downsample: first/last via min_by/max_by keep the query ONE
+    // hash aggregate — a Window here would sort the full point stream.
+    val ds = plan("agg_downsample")
+    assert(!ds.contains("Window"), ds.take(1200))
+    // stats_histogram: the 1-row bounds relation must broadcast into
+    // the second scan — shuffling the data against a 1-row side would
+    // be the wrong plan at any scale.
+    val h = plan("stats_histogram")
+    assert(h.contains("BroadcastNestedLoopJoin") || h.contains("BroadcastExchange"),
+      h.take(1200))
+    assert(!h.contains("CartesianProduct"), h.take(1200))
+    // text_ngram_topk: the per-(n, lang) top-20 must ride the
+    // WindowGroupLimit rewrite so partitions forward ≤20 rows per
+    // group instead of the whole gram table.
+    assert(plan("text_ngram_topk").contains("WindowGroupLimit"))
+    // graph_pagerank's one data-sized stage: dims broadcast, the only
+    // shuffle join is lineitem⋈orders on the orderkey.
+    val pr = plan("graph_pagerank")
+    assert(pr.contains("BroadcastHashJoin"), pr.take(1200))
+    assert(!pr.contains("CartesianProduct"), pr.take(1200))
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
