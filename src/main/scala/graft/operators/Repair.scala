@@ -303,7 +303,61 @@ object Repair extends QueryGroup {
       .orderBy("day")
   }
 
+  /** Multi-DC consistency read — [[consistencyQuorum]] extended to a
+    * NetworkTopologyStrategy keyspace: two datacenters at RF=3 each,
+    * coordinator in DC1. Cassandra's cross-DC replication is ASYNC, so
+    * DC2 replicas are additionally BEHIND: they have not yet received
+    * any mutation from the last replication window (ts ≥ 01-25) on top
+    * of their own per-replica delivery gaps (primes 17/19/23; DC1 uses
+    * consistency_quorum's 7/11/13). The merge is still LWW over
+    * whoever replied; the bookkeeping is per-DC: local/remote reply
+    * counts, the achieved consistency level (`each_quorum` needs a
+    * quorum in EVERY dc, `local_quorum` only in the coordinator's,
+    * else `local_one`/`unavailable`), and n_stale = replicas (of 6)
+    * whose answer is not the newest — exactly what drives Cassandra's
+    * read-repair and `nodetool status` staleness accounting.
+    *
+    * Scale shape: identical to consistency_quorum — ONE keyed
+    * aggregate with six row-local max_by FILTER states, merged
+    * row-local; cost ∝ keys read, never RF², and nothing about the
+    * second DC adds a shuffle. */
+  def consistencyMultidc(s: SparkSession, dir: String): DataFrame = {
+    val lag = "CAST('2024-01-25 00:00:00' AS TIMESTAMP_NTZ)"
+    def state(miss: Int, lagged: Boolean) = expr(
+      s"""max_by(struct(ts, event_id, event_type, value), struct(ts, event_id))
+          FILTER (WHERE event_id % $miss != 0${if (lagged) s" AND ts < $lag" else ""})""")
+    val local = array(col("sa"), col("sb"), col("sc"))
+    val remote = array(col("sd"), col("se"), col("sf"))
+    val all = concat(local, remote)
+    val nLocal = size(filter(local, _.isNotNull))
+    val nRemote = size(filter(remote, _.isNotNull))
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        state(7, lagged = false).as("sa"), state(11, lagged = false).as("sb"),
+        state(13, lagged = false).as("sc"),
+        state(17, lagged = true).as("sd"), state(19, lagged = true).as("se"),
+        state(23, lagged = true).as("sf"))
+      .withColumn("avail", array_sort(filter(all, _.isNotNull)))
+      .filter(size(col("avail")) >= 1)
+      .withColumn("m", element_at(col("avail"), -1))
+      .select(
+        col("user_id"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        col("m.value").as("value"),
+        nLocal.cast("long").as("local_replies"),
+        nRemote.cast("long").as("remote_replies"),
+        (lit(6) - size(filter(all, _ <=> col("m")))).cast("long").as("n_stale"),
+        when(nLocal >= 2 && nRemote >= 2, "each_quorum")
+          .when(nLocal >= 2, "local_quorum")
+          .when(nLocal >= 1, "local_one")
+          .otherwise("unavailable").as("cl"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "consistency_multidc" -> (consistencyMultidc _),
     "repair_diff" -> (repairDiff _),
     "repair_apply" -> (repairApply _),
     "read_repair" -> (readRepair _),
@@ -312,7 +366,50 @@ object Repair extends QueryGroup {
     "write_quorum" -> (writeQuorum _)
   )
 
+  // One per-replica newest-state block of the multidc oracle's states
+  // CTE (row_number mirror of the engine's max_by FILTER).
+  private def mdcReplica(dc: String, miss: Int, lagged: Boolean): String = s"""
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT '$dc' AS dc, user_id, ts, event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE event_id % $miss <> 0${
+      if (lagged) " AND ts < TIMESTAMP '2024-01-25 00:00:00'" else ""})
+      WHERE rn = 1"""
+
   val oracles: Map[String, String] = Map(
+    // Six replica states (DC2 behind the async replication cutoff),
+    // LWW winner via row_number, per-DC reply counts + staleness via
+    // one grouped join against the winner.
+    "consistency_multidc" -> s"""
+      WITH states AS (${
+      Seq(("dc1", 7, false), ("dc1", 11, false), ("dc1", 13, false),
+        ("dc2", 17, true), ("dc2", 19, true), ("dc2", 23, true))
+        .map { case (dc, p, lag) => mdcReplica(dc, p, lag) }
+        .mkString(" UNION ALL ")}),
+      w AS (
+        SELECT * FROM (
+          SELECT s.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+          FROM states s) WHERE rn = 1),
+      c AS (
+        SELECT s.user_id,
+          CAST(COUNT(*) FILTER (WHERE s.dc = 'dc1') AS BIGINT) AS local_replies,
+          CAST(COUNT(*) FILTER (WHERE s.dc = 'dc2') AS BIGINT) AS remote_replies,
+          CAST(COUNT(*) FILTER (WHERE (s.ts, s.event_id) = (w.ts, w.event_id))
+               AS BIGINT) AS n_match
+        FROM states s JOIN w ON s.user_id = w.user_id
+        GROUP BY s.user_id)
+      SELECT w.user_id, w.event_id, w.event_type, w.value,
+        c.local_replies, c.remote_replies,
+        CAST(6 - c.n_match AS BIGINT) AS n_stale,
+        CASE WHEN c.local_replies >= 2 AND c.remote_replies >= 2 THEN 'each_quorum'
+             WHEN c.local_replies >= 2 THEN 'local_quorum'
+             WHEN c.local_replies >= 1 THEN 'local_one'
+             ELSE 'unavailable' END AS cl
+      FROM w JOIN c ON w.user_id = c.user_id
+      ORDER BY w.user_id""",
     // The digest phase is pure pruning — the end-to-end answer is the
     // plain replica diff, which SQL states directly.
     "repair_diff" -> """

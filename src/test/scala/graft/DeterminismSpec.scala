@@ -118,7 +118,10 @@ class DeterminismSpec extends SparkSpec {
     // and the integer fixed-point power iteration over the collected
     // bounded adjacency (collect order must not leak into ranks)
     "agg_downsample", "stats_histogram", "text_ngram_topk",
-    "graph_pagerank")
+    "graph_pagerank",
+    // six max_by FILTER replica states + row-local LWW merge — the
+    // consistency_quorum shape at 2-DC width
+    "consistency_multidc")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
