@@ -611,30 +611,48 @@ object CellStore extends QueryGroup {
     * resurrect older ones it was shadowing (they are hidden by the
     * same range or win the merge on their own).
     *
-    * Scale shape: tombstones aggregate to ONE array per partition
-    * (range deletes per partition are marker-domain bounded — the
-    * Cassandra assumption; at sf0.01 ≈ 13/user), carried to the
-    * versions by a user-keyed join; coverage is a row-local
-    * `exists()` over that array. No per-(version × tombstone) rows
-    * ever materialize. */
+    * Scale shape: coverage is a STAIRCASE lookup, not a per-version
+    * scan of the partition's tombstone list. A version is hidden iff
+    * max(del_wt | v_hide ≥ value) > writetime, and that max is a
+    * running aggregate once tombstones and versions share one
+    * descending-value order: union both, sort per user by (value
+    * DESC, tombstones-first), carry `max(del_wt)` over the prefix —
+    * ONE window over ONE user-keyed sort, O(n log n) regardless of
+    * how many range deletes a partition has accumulated. The first
+    * form (per-user collect_list + row-local exists()) was
+    * O(versions × tombstones/partition): fine under Cassandra's
+    * bounded-markers assumption, but the ×100 fixture densifies
+    * per-user history 100× and measured 53 s vs ~8 s for this shape —
+    * and a real cluster's tombstone_failure_threshold exists exactly
+    * because partitions violate that assumption in practice. */
   def tombstoneRange(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val tombs = ev.filter(col("event_type") === "error")
-      .groupBy(col("user_id").as("t_user"))
-      .agg(collect_list(struct(
-        col("value").as("v_hide"),
-        unix_micros(col("ts").cast("timestamp")).as("del_wt"))).as("tombs"))
+      .select(col("user_id"), col("value").as("v"),
+        unix_micros(col("ts").cast("timestamp")).as("del_wt"),
+        lit(0).as("kind"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("_writetime"),
+        lit(null).cast("long").as("event_id"))
     val versions = ev.filter(col("event_type") =!= "error")
-      .select(col("user_id"), col("event_type"), col("value"),
+      .select(col("user_id"), col("value").as("v"),
+        lit(null).cast("long").as("del_wt"), lit(1).as("kind"),
+        col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("_writetime"),
         col("event_id"))
-    val visible = versions
-      .join(tombs, col("user_id") === col("t_user"), "left")
-      .filter(col("tombs").isNull ||
-        !exists(col("tombs"), t =>
-          t.getField("v_hide") >= col("value") &&
-            t.getField("del_wt") > col("_writetime")))
-      .drop("t_user", "tombs")
+    // kind asc puts equal-value tombstones BEFORE the versions they
+    // cover (the ≥ of the range); max over the prefix is insensitive
+    // to order within ties, so the window is layout-deterministic.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("v").desc, col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val visible = tombs.unionByName(versions)
+      .withColumn("cover_wt",
+        max(when(col("kind") === 0, col("del_wt"))).over(w))
+      .filter(col("kind") === 1 &&
+        (col("cover_wt").isNull || col("cover_wt") <= col("_writetime")))
+      .select(col("user_id"), col("event_type"), col("v").as("value"),
+        col("_writetime"), col("event_id"))
     Lww.latest(visible, Seq("user_id", "event_type"),
         Seq(col("_writetime").desc, col("event_id").desc))
       .select("user_id", "event_type", "value", "_writetime")
