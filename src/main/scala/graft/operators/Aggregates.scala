@@ -419,7 +419,45 @@ object Aggregates extends QueryGroup {
       .orderBy("bucket")
   }
 
+  /** Pearson correlation between column pairs per group — the
+    * cross-column statistic a cost-based optimizer keeps alongside
+    * the [[statsAnalyze]] per-column stats (and the sanity check a
+    * feature-engineering pass runs before training). Hash-exact by
+    * the [[graft.core.Num]] discipline extended to second moments:
+    * every Σx, Σx², Σxy is an ORDER-INDEPENDENT exact decimal sum
+    * (2-dp inputs ⇒ 4-dp products, exact in decimal(38,4)); only the
+    * final scalar formula runs in float64, written with identical
+    * association in both engines, so the result is bit-identical.
+    * ONE map-side-combining hash aggregate onto the flag domain —
+    * nothing data-sized shuffles at any scale. */
+  def statsCorr(s: SparkSession, dir: String): DataFrame = {
+    val q = Num.d2(col("l_quantity"))
+    val p = Num.d2(col("l_extendedprice"))
+    val d = Num.d2(col("l_discount"))
+    def corr(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column,
+        n: Column): Column =
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("nf"),
+        sum(q).cast("double").as("sq"), sum(p).cast("double").as("sp"),
+        sum(d).cast("double").as("sd"),
+        sum(q * q).cast("double").as("sqq"), sum(p * p).cast("double").as("spp"),
+        sum(d * d).cast("double").as("sdd"),
+        sum(q * p).cast("double").as("sqp"), sum(q * d).cast("double").as("sqd"))
+      .select(col("l_returnflag"),
+        col("nf").cast("long").as("n"),
+        corr(col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp"),
+          col("nf")).as("corr_qty_price"),
+        corr(col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd"),
+          col("nf")).as("corr_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_corr" -> (statsCorr _),
     "stats_histogram" -> (statsHistogram _),
     "stats_analyze" -> (statsAnalyze _),
     "agg_pivot" -> (aggPivot _),
@@ -454,6 +492,34 @@ object Aggregates extends QueryGroup {
       FROM lineitem"""
 
   val oracles: Map[String, String] = Map(
+    // exact decimal first/second moments, float64 only in the final
+    // identically-associated scalar formula
+    "stats_corr" -> """
+      WITH a AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS nf,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+          CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(nf AS BIGINT) AS n,
+        ROUND((nf * sqp - sq * sp)
+          / sqrt((nf * sqq - sq * sq) * (nf * spp - sp * sp)), 6)
+          AS corr_qty_price,
+        ROUND((nf * sqd - sq * sd)
+          / sqrt((nf * sqq - sq * sq) * (nf * sdd - sd * sd)), 6)
+          AS corr_qty_disc
+      FROM a ORDER BY l_returnflag""",
     // same integer-cent bucket formula, verbatim
     "stats_histogram" -> """
       WITH c AS (

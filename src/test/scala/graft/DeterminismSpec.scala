@@ -121,7 +121,10 @@ class DeterminismSpec extends SparkSpec {
     "graph_pagerank",
     // six max_by FILTER replica states + row-local LWW merge — the
     // consistency_quorum shape at 2-DC width
-    "consistency_multidc")
+    "consistency_multidc",
+    // decimal second moments: the order-independence claim extended
+    // to Σx²/Σxy must hold on any layout
+    "stats_corr")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
