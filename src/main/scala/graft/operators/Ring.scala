@@ -126,9 +126,96 @@ object Ring extends QueryGroup {
   def ringDecommission(s: SparkSession, dir: String): DataFrame =
     withCounts(s, dir, decommissionRanges)
 
+  // ---- NetworkTopologyStrategy placement (ring_multidc) ----------------
+  // Topology: 8 nodes, dc1 = {0,1,2,3}, dc2 = {4,5,6,7}; two racks per
+  // DC (nodes 0,1 / 4,5 on rack 0; 2,3 / 6,7 on rack 1).
+  private[graft] val multidcNodes: Seq[Int] = 0 until 8
+  private[graft] def dcOf(n: Int): String = if (n < 4) "dc1" else "dc2"
+  private[graft] def rackOf(n: Int): Int = (n % 4) / 2
+
+  /** Cassandra's NetworkTopologyStrategy walk for one range: starting
+    * at the range's end token, walk the ring clockwise; per DC, a node
+    * whose RACK is not yet represented becomes a replica immediately,
+    * same-rack nodes are remembered as "skipped" and only fill the
+    * remaining slots after the rack pass — so with rf=3 over 2 racks
+    * every replica set spans BOTH racks (the guarantee that lets a
+    * whole rack fail without losing quorum). Walk order is total and
+    * deterministic; the whole computation is ring-domain bounded. */
+  private[graft] def ntsReplicas(ring: Seq[(Long, Int)], startIdx: Int,
+      rf: Int): Map[String, Seq[Int]] = {
+    val dcs = Seq("dc1", "dc2")
+    var replicas = Map("dc1" -> Vector.empty[Int], "dc2" -> Vector.empty[Int])
+    var racks = Map("dc1" -> Set.empty[Int], "dc2" -> Set.empty[Int])
+    var skipped = Map("dc1" -> Vector.empty[Int], "dc2" -> Vector.empty[Int])
+    for (i <- ring.indices) {
+      val node = ring((startIdx + i) % ring.size)._2
+      val dc = dcOf(node)
+      if (replicas(dc).size < rf && !replicas(dc).contains(node)) {
+        if (!racks(dc).contains(rackOf(node))) {
+          replicas = replicas.updated(dc, replicas(dc) :+ node)
+          racks = racks.updated(dc, racks(dc) + rackOf(node))
+        } else if (!skipped(dc).contains(node))
+          skipped = skipped.updated(dc, skipped(dc) :+ node)
+      }
+    }
+    for (dc <- dcs; n <- skipped(dc)
+         if replicas(dc).size < rf && !replicas(dc).contains(n))
+      replicas = replicas.updated(dc, replicas(dc) :+ n)
+    replicas
+  }
+
+  /** Per-range NTS placement rows: (start, end, dc1 replicas, dc2
+    * replicas) for every vnode range of the 8-node 2-DC ring, rf=3
+    * per DC. Wraparound ranges stay whole here (the split happens in
+    * the counting join). */
+  private[graft] def multidcPlacement: Seq[(Long, Long, Seq[Int], Seq[Int])] = {
+    val ring = vnodeTokens(multidcNodes)
+    ring.indices.map { i =>
+      val (t, _) = ring(i)
+      val pred = ring((i - 1 + ring.size) % ring.size)._1
+      val r = ntsReplicas(ring, i, 3)
+      (pred, t, r("dc1"), r("dc2"))
+    }
+  }
+
+  /** NetworkTopologyStrategy placement — the replica map behind
+    * [[Repair.consistencyMultidc]]'s 2-DC quorum ledger: every vnode
+    * range of the 8-node / 2-DC / 2-racks-per-DC ring placed at rf=3
+    * PER DC by Cassandra's rack-aware walk, with per-range row
+    * accounting over the real `cass_token` positions of `events`.
+    * Both-racks coverage per DC is structural (KernelSpec pins it,
+    * plus replica distinctness and row conservation). Scale shape:
+    * identical to the other ring ops — bounded driver ring, broadcast
+    * range table, one partial-aggregated scan. */
+  def ringMultidc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = multidcPlacement.flatMap { case (start, end, d1, d2) =>
+      // same wraparound convention as wrapSplit; placement unchanged
+      val spans =
+        if (start < end) Seq((start, end))
+        else Seq((start, Long.MaxValue), (Long.MinValue, end))
+      spans.map { case (a, b) =>
+        (a, b, d1(0), d1(1), d1(2), d2(0), d2(1), d2(2))
+      }
+    }
+    val moves = rows.toDF("range_start", "range_end",
+      "dc1_r1", "dc1_r2", "dc1_r3", "dc2_r1", "dc2_r2", "dc2_r3")
+    val toks = Tables.events(s, dir)
+      .select(CassTokenExpr.token(col("event_id")).as("tok"))
+    val counts = toks
+      .join(broadcast(moves.select("range_start", "range_end")),
+        col("tok") > col("range_start") && col("tok") <= col("range_end"))
+      .groupBy("range_start", "range_end")
+      .agg(count(lit(1)).as("n_rows"))
+    moves.join(counts, Seq("range_start", "range_end"), "left_outer")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .orderBy("range_start", "range_end")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ring_rebalance" -> (ringRebalance _),
-    "ring_decommission" -> (ringDecommission _)
+    "ring_decommission" -> (ringDecommission _),
+    "ring_multidc" -> (ringMultidc _)
   )
 
   // No oracle: range bounds are murmur3-128 token values, which DuckDB

@@ -124,7 +124,10 @@ class DeterminismSpec extends SparkSpec {
     "consistency_multidc",
     // decimal second moments: the order-independence claim extended
     // to Σx²/Σxy must hold on any layout
-    "stats_corr")
+    "stats_corr",
+    // driver-ring placement + broadcast range-join accounting (the
+    // ring_rebalance shape with the NTS walk on top)
+    "ring_multidc")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -462,6 +462,40 @@ class KernelSpec extends SparkSpec {
       toks.count(t => Ring.ownerOf(all, t) == Ring.leavingNode))
   }
 
+  test("ring multidc: rf=3 per DC, both racks covered, first replica = DC successor, rows conserved") {
+    import graft.operators.Ring
+    import graft.functions.CassandraMurmur3
+    val ring = Ring.vnodeTokens(Ring.multidcNodes)
+    val placement = Ring.multidcPlacement
+    assert(placement.size == ring.size)
+    placement.foreach { case (_, end, d1, d2) =>
+      for ((dc, reps) <- Seq("dc1" -> d1, "dc2" -> d2)) {
+        assert(reps.size == 3 && reps.distinct.size == 3, s"$dc at $end: $reps")
+        assert(reps.forall(n => Ring.dcOf(n) == dc), s"$dc at $end: $reps")
+        assert(reps.map(Ring.rackOf).toSet == Set(0, 1),
+          s"$dc at $end misses a rack: $reps")
+      }
+      // NTS invariant: the first replica in each DC is the first node
+      // of that DC reached walking clockwise from the range's end.
+      val idx = ring.indexWhere(_._1 == end)
+      def firstOf(dc: String): Int =
+        ring.indices.map(i => ring((idx + i) % ring.size)._2)
+          .find(n => Ring.dcOf(n) == dc).get
+      assert(d1.head == firstOf("dc1") && d2.head == firstOf("dc2"))
+    }
+    // Ranges tile the ring: every real key falls in exactly one range,
+    // and the operator's accounting sums to the full table.
+    val got = Ring.ringMultidc(spark, sf001).collect()
+    val toks = graft.core.Tables.events(spark, sf001)
+      .select("event_id").collect()
+      .map(r => CassandraMurmur3.tokenOfLong(r.getLong(0)))
+    toks.foreach { t =>
+      val n = got.count(r => t > r.getLong(0) && t <= r.getLong(1))
+      assert(n == 1, s"token $t covered by $n ranges")
+    }
+    assert(got.map(_.getLong(8)).sum == toks.length)
+  }
+
   test("repair digests: identical replicas agree on every bucket, divergence localizes") {
     import graft.operators.Repair
     val a = Repair.replicaA(spark, sf001)
