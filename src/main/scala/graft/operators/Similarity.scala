@@ -890,7 +890,59 @@ object Similarity extends QueryGroup {
     emb.select(col("vec_id") +: projCols.toIndexedSeq: _*).orderBy("vec_id")
   }
 
+  /** IVF index-quality gate: candidate recall@10 of the engine's own
+    * persisted index as a function of nprobe — the measurement that
+    * picks nprobe in production (probe cost is linear in nprobe;
+    * recall is what you buy). Ground truth = exact top-10 for a
+    * 50-query bounded kernel (the [[simTopk]] broadcast shape, the
+    * declared all-pairs mirror class); the evaluation itself is then
+    * TINY: each true neighbor's cell comes from one broadcast lookup
+    * into the assignment table, its probe rank from the 16-row
+    * centroid table, and every nprobe row is an aggregate over the
+    * same ≤500-row relation. recall@16 (= all cells probed) must be
+    * exactly 1.0 — the self-check that the index partitions the
+    * corpus losslessly (DedupSimilaritySpec pins it, plus
+    * monotonicity in nprobe). All counts integer; the only float is
+    * the final hits/n division — deterministic on any layout. */
+  def simRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignPath) = ivfIndexPaths(s, dir)
+    val cents = s.read.parquet(centPath)
+    val assigned = s.read.parquet(assignPath)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 10)
+      .select("query_id", "vec_id")
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("cent_sim").desc, col("cent_cell").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", Vectors.fdot(col("qvec"), col("cent")))
+      .withColumn("cell_rk", row_number().over(wCell))
+      .select(col("query_id"), col("cent_cell").as("cell"), col("cell_rk"))
+    // (query, true neighbor) -> the probe rank of the neighbor's cell;
+    // ≤ 500 rows, pinned once and re-aggregated per nprobe.
+    import org.apache.spark.storage.StorageLevel
+    val ranked = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(truth), "vec_id")
+      .join(broadcast(probed), Seq("query_id", "cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Seq(1, 2, 4, 8, 16).map { np =>
+      ranked.agg(
+        count(lit(1)).cast("long").as("n_truth"),
+        sum(when(col("cell_rk") <= np, 1L).otherwise(0L)).cast("long").as("hits"))
+        .select(lit(np).as("nprobe"), col("n_truth"), col("hits"),
+          round(col("hits").cast("double") / col("n_truth"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_eval" -> (simRecallEval _),
     "embedding_pca" -> (embeddingPca _),
     "kmeans_fit" -> (kmeansFit _),
     "dedup_semantic" -> (dedupSemantic _),

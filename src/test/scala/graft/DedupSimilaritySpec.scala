@@ -443,4 +443,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shared.nonEmpty, "LSH found no brute-force neighbor at all")
     assert(shared.forall(k => brute(k) == lsh(k)), "scores differ between paths")
   }
+
+  test("sim_recall_eval: recall monotone in nprobe, exactly 1.0 when every cell is probed") {
+    val rows = SparkEntry.queries("sim_recall_eval")(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+    val n = rows.head.getLong(1)
+    assert(n > 0 && rows.forall(_.getLong(1) == n),
+      "ground-truth size must be fixed across nprobe rows")
+    val recalls = rows.map(_.getDouble(3)).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: $recalls")
+    // nprobe=16 probes all 16 cells: the candidate set is the whole
+    // corpus, so candidate recall MUST be exactly 1 — the index
+    // partitions losslessly or this fires.
+    assert(rows.last.getLong(2) == n && rows.last.getDouble(3) == 1.0,
+      s"full probe missed truth: ${rows.last}")
+    // and a partial probe must already find something (planted
+    // structure puts neighbors in near cells)
+    assert(recalls.head > 0.0, "nprobe=1 found nothing — probe broken")
+  }
 }

@@ -127,7 +127,10 @@ class DeterminismSpec extends SparkSpec {
     "stats_corr",
     // driver-ring placement + broadcast range-join accounting (the
     // ring_rebalance shape with the NTS walk on top)
-    "ring_multidc")
+    "ring_multidc",
+    // bounded-kernel truth + broadcast cell lookups — integer counts
+    // must not depend on layout
+    "sim_recall_eval")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
