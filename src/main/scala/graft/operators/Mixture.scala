@@ -121,13 +121,95 @@ object Mixture extends QueryGroup {
       .orderBy("source")
   }
 
+  /** Epoch allocation — the data-recipe step between [[statsCorpus]]
+    * (what each source holds) and [[mixSources]] (the interleave
+    * order): given a token budget of 2× the corpus, per-source
+    * weights, and a 3-epoch repetition cap (the "don't repeat a small
+    * source forever" rule every published pre-training recipe
+    * carries), how many EPOCHS of each source does the run consume?
+    * Two-round capped water-filling, entirely in 64-bit integer
+    * fixed-point (epochs scaled 1e6): round 1 allocates the budget
+    * weight-proportionally and caps, round 2 redistributes the
+    * leftover over the uncapped sources by the same rule. Fixed round
+    * count ⇒ SQL-expressible ⇒ hash-exact oracle.
+    *
+    * Scale shape: ONE corpus-sized aggregate (per-source token
+    * totals, map-side combined to the source domain); every later
+    * step is arithmetic over source-domain rows with 1-row aggregate
+    * cross-joins — no collect, no window, nothing driver-side. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val E6 = 3000000L // 3-epoch cap, 1e6 fixed point
+    val w = when(col("source") === "src0", lit(4L))
+      .when(col("source") === "src1", lit(2L)).otherwise(lit(1L))
+    val src = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("nw"))
+      .groupBy("source")
+      .agg(sum("nw").as("n_tokens"))
+      .withColumn("w", w)
+    val tot = src.agg(
+      sum(col("w") * col("n_tokens")).cast("long").as("wt_sum"),
+      (sum("n_tokens") * 2).cast("long").as("budget"))
+    val r1 = src.crossJoin(tot)
+      .withColumn("e1",
+        least(lit(E6), expr("(budget * w * 1000000) div wt_sum")))
+    val r1agg = r1.agg(
+      sum(expr("(e1 * n_tokens) div 1000000")).cast("long").as("used"),
+      sum(when(col("e1") < E6, col("w") * col("n_tokens"))
+        .otherwise(0L)).cast("long").as("wt_unc"))
+    r1.crossJoin(r1agg)
+      .withColumn("e2",
+        when(col("e1") < E6 && col("wt_unc") > 0,
+          least(lit(E6), col("e1") +
+            expr("((budget - used) * w * 1000000) div wt_unc")))
+          .otherwise(col("e1")))
+      .select(col("source"), col("n_tokens"), col("w").as("weight"),
+        col("budget"), col("e2").as("epochs_fp"),
+        expr("(e2 * n_tokens) div 1000000").as("tokens_alloc"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_epochs" -> (mixEpochs _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "mix_sources" -> (mixSources _),
     "stats_corpus" -> (statsCorpus _)
   )
 
   val oracles: Map[String, String] = Map(
+    // same two-round integer water-filling, verbatim; every SUM cast
+    // back to BIGINT (DuckDB sums into HUGEINT)
+    "mix_epochs" -> """
+      WITH src AS (
+        SELECT source,
+          CAST(SUM(CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT))
+               AS BIGINT) AS n_tokens,
+          CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END AS w
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(SUM(w * n_tokens) AS BIGINT) AS wt_sum,
+               CAST(SUM(n_tokens) * 2 AS BIGINT) AS budget
+        FROM src),
+      r1 AS (
+        SELECT src.*, tot.budget,
+          LEAST(3000000, (budget * w * 1000000) // wt_sum) AS e1
+        FROM src CROSS JOIN tot),
+      r1agg AS (
+        SELECT CAST(SUM((e1 * n_tokens) // 1000000) AS BIGINT) AS used,
+          CAST(SUM(CASE WHEN e1 < 3000000 THEN w * n_tokens ELSE 0 END)
+               AS BIGINT) AS wt_unc
+        FROM r1)
+      SELECT source, n_tokens, CAST(w AS BIGINT) AS weight, budget,
+        CAST(CASE WHEN e1 < 3000000 AND wt_unc > 0
+          THEN LEAST(3000000,
+                     e1 + ((budget - used) * w * 1000000) // wt_unc)
+          ELSE e1 END AS BIGINT) AS epochs_fp,
+        CAST((CASE WHEN e1 < 3000000 AND wt_unc > 0
+          THEN LEAST(3000000,
+                     e1 + ((budget - used) * w * 1000000) // wt_unc)
+          ELSE e1 END * n_tokens) // 1000000 AS BIGINT) AS tokens_alloc
+      FROM r1 CROSS JOIN r1agg
+      ORDER BY source""",
     "stats_corpus" -> """
       WITH d AS (
         SELECT source, lang,

@@ -130,7 +130,9 @@ class DeterminismSpec extends SparkSpec {
     "ring_multidc",
     // bounded-kernel truth + broadcast cell lookups — integer counts
     // must not depend on layout
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // two-round integer water-filling over source-domain aggregates
+    "mix_epochs")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
