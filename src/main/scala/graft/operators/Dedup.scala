@@ -271,6 +271,32 @@ object Dedup extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** SOFT dedup — the keep-everything alternative to
+    * [[dedupSurvivor]]'s keep-one: every document stays in the corpus
+    * but near-dup cluster members are DOWN-WEIGHTED to 1/cluster_size
+    * (so a 5-way duplicated page contributes one page's worth of
+    * loss — the re-weighting framing of dedup used when dropping data
+    * is too aggressive, e.g. for rare-domain corpora). Weights are
+    * 1e6 integer fixed-point (exact, layout-free); singletons — docs
+    * in no near-dup pair — carry weight 1.0 by definition. Composes
+    * the oracle-checked cluster labels (cached scratch parquet, the
+    * dedupSurvivor pattern): at scale this is one label-relation join
+    * over the corpus keys, never a second fixpoint. */
+  def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    if (!clusterLabelPaths.contains(dir)) { dedupCluster(s, dir); () }
+    val clusters = s.read.parquet(clusterLabelPaths(dir))
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    Tables.documents(s, dir).filter(col("doc_id") < 60).select("doc_id")
+      .join(clusters.join(sizes, "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("cluster_size"),
+        expr("1000000 div cluster_size").cast("long").as("weight_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Exact substring-level dedup — the third dedup mode of the
     * Lee et al. 2022 taxonomy (document-exact / near / SUBSTRING): find
     * long token spans repeated anywhere in the corpus, even across
@@ -612,7 +638,8 @@ object Dedup extends QueryGroup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_cluster" -> (dedupCluster _),
-    "dedup_survivor" -> (dedupSurvivor _)
+    "dedup_survivor" -> (dedupSurvivor _),
+    "dedup_soft" -> (dedupSoft _)
   )
 
   /** Shared oracle fragments — the 3-gram shingle relation and the
@@ -730,6 +757,21 @@ object Dedup extends QueryGroup {
              l.doc_id = l.cluster_id AS is_canonical
       FROM lbl l JOIN sz s USING (cluster_id)
       ORDER BY l.doc_id""",
+    // Same recursive-CTE labels; weight = 1e6 // cluster size, and the
+    // demo-domain docs outside every pair are weight-1 singletons.
+    "dedup_soft" -> s"""
+      WITH RECURSIVE $clusterCteSql,
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM lbl GROUP BY cluster_id),
+      d AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+      SELECT d.doc_id,
+        COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+        COALESCE(s.cluster_size, 1) AS cluster_size,
+        CAST(1000000 // COALESCE(s.cluster_size, 1) AS BIGINT) AS weight_fp
+      FROM d
+      LEFT JOIN lbl l ON d.doc_id = l.doc_id
+      LEFT JOIN sz s ON l.cluster_id = s.cluster_id
+      ORDER BY d.doc_id""",
     // Same recursive-CTE labels + keep-the-longest argmax window.
     "dedup_survivor" -> s"""
       WITH RECURSIVE $clusterCteSql,
