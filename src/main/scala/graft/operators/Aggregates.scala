@@ -434,10 +434,14 @@ object Aggregates extends QueryGroup {
     val q = Num.d2(col("l_quantity"))
     val p = Num.d2(col("l_extendedprice"))
     val d = Num.d2(col("l_discount"))
+    // zero-variance guard (NULLIF mirror): double ÷ 0 diverges between
+    // engines (Spark → NULL, DuckDB IEEE → ±inf), so a degenerate
+    // constant-column group must be NULL on BOTH surfaces.
     def corr(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column,
-        n: Column): Column =
-      round((n * sxy - sx * sy) /
-        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        n: Column): Column = {
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      when(den =!= 0, round((n * sxy - sx * sy) / sqrt(den), 6))
+    }
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
@@ -514,10 +518,10 @@ object Aggregates extends QueryGroup {
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, CAST(nf AS BIGINT) AS n,
         ROUND((nf * sqp - sq * sp)
-          / sqrt((nf * sqq - sq * sq) * (nf * spp - sp * sp)), 6)
+          / sqrt(NULLIF((nf * sqq - sq * sq) * (nf * spp - sp * sp), 0)), 6)
           AS corr_qty_price,
         ROUND((nf * sqd - sq * sd)
-          / sqrt((nf * sqq - sq * sq) * (nf * sdd - sd * sd)), 6)
+          / sqrt(NULLIF((nf * sqq - sq * sq) * (nf * sdd - sd * sd), 0)), 6)
           AS corr_qty_disc
       FROM a ORDER BY l_returnflag""",
     // same integer-cent bucket formula, verbatim

@@ -77,16 +77,20 @@ object Ring extends QueryGroup {
     }
   }
 
-  /** Wraparound ranges split in two, so every range is a plain
+  /** Wraparound spans split in two, so every range is a plain
     * `start < tok AND tok <= end` conjunction. MinValue as an open
     * lower bound is exact: Murmur3Partitioner normalizes
-    * Long.MinValue to MaxValue, so no key ever sits AT MinValue. */
+    * Long.MinValue to MaxValue, so no key ever sits AT MinValue.
+    * The ONE definition of the convention — every ring operator's
+    * range table goes through here. */
+  private[graft] def wrapSpans(start: Long, end: Long): Seq[(Long, Long)] =
+    if (start < end) Seq((start, end))
+    else Seq((start, Long.MaxValue), (Long.MinValue, end))
+
   private[graft] def wrapSplit(ranges: Seq[(Long, Long, Int, Int)])
       : Seq[(Long, Long, Int, Int)] =
     ranges.flatMap { case (start, end, from, to) =>
-      if (start < end) Seq((start, end, from, to))
-      else Seq((start, Long.MaxValue, from, to),
-               (Long.MinValue, end, from, to))
+      wrapSpans(start, end).map { case (a, b) => (a, b, from, to) }
     }
 
   private[graft] def movedRanges: Seq[(Long, Long, Int, Int)] =
@@ -190,11 +194,7 @@ object Ring extends QueryGroup {
   def ringMultidc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = multidcPlacement.flatMap { case (start, end, d1, d2) =>
-      // same wraparound convention as wrapSplit; placement unchanged
-      val spans =
-        if (start < end) Seq((start, end))
-        else Seq((start, Long.MaxValue), (Long.MinValue, end))
-      spans.map { case (a, b) =>
+      wrapSpans(start, end).map { case (a, b) =>
         (a, b, d1(0), d1(1), d1(2), d2(0), d2(1), d2(2))
       }
     }

@@ -925,12 +925,18 @@ object Similarity extends QueryGroup {
       .withColumn("cell_rk", row_number().over(wCell))
       .select(col("query_id"), col("cent_cell").as("cell"), col("cell_rk"))
     // (query, true neighbor) -> the probe rank of the neighbor's cell;
-    // ≤ 500 rows, pinned once and re-aggregated per nprobe.
-    import org.apache.spark.storage.StorageLevel
-    val ranked = assigned.select(col("vec_id"), col("cell"))
+    // ≤ 500 rows, materialized ONCE to scratch parquet (the
+    // dedupCluster pattern) and re-read per nprobe aggregate — a
+    // persist here would strand pinned blocks for the JVM lifetime in
+    // any driver that doesn't sweep between queries (VERDICT r5 #3),
+    // and without either, each of the five aggregates would re-run
+    // the corpus-sized truth kernel.
+    val rankedPath = RunId.scratchKeyed("recall_ranked", ivfCacheKey(s, dir))
+    assigned.select(col("vec_id"), col("cell"))
       .join(broadcast(truth), "vec_id")
       .join(broadcast(probed), Seq("query_id", "cell"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .write.mode("overwrite").parquet(rankedPath)
+    val ranked = s.read.parquet(rankedPath)
     Seq(1, 2, 4, 8, 16).map { np =>
       ranked.agg(
         count(lit(1)).cast("long").as("n_truth"),
