@@ -831,7 +831,43 @@ object TextOps extends QueryGroup {
       .orderBy("n", "lang", "rk")
   }
 
+  /** Shared verbatim with the DuckDB oracle (the text_perplexity
+    * discipline): per-character entropy term, quantized to a long
+    * BEFORE the per-doc sum so summation order cannot perturb the
+    * result. Free identifiers cv (char count) and nv (doc length). */
+  private val EntropyTermSql =
+    "CAST(floor((cv * (ln(nv) - ln(cv)) / ln(2) / nv) * 1e6) AS BIGINT)"
+
+  /** Character-level Shannon entropy per document — the
+    * degenerate-content gate (binary blobs, base64 runs, repeated-char
+    * padding and keyboard mash all sit far from natural-language
+    * entropy, so a [lo, hi] band on this column is a standard cheap
+    * quality filter alongside [[textQuality]]'s word-level ratios).
+    * H = Σ_c p_c·log2(1/p_c) in bits, each per-character term
+    * quantized `floor(·1e6)` to a long before the sum — the
+    * [[Perplexity]] quantized-ln discipline, so the DuckDB oracle
+    * shares the formula string verbatim and hash-matches exactly.
+    * Scale shape: the char explode is the only corpus-sized stage and
+    * it immediately partial-aggregates to the (doc, char) domain
+    * (≤ alphabet per doc); the doc-length window and final sum run on
+    * that bounded relation. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cv"))
+    val withN = c.withColumn("nv",
+      sum("cv").over(Window.partitionBy("doc_id")))
+    withN.groupBy("doc_id")
+      .agg(
+        max("nv").cast("long").as("n_chars_split"),
+        sum(expr(EntropyTermSql)).cast("long").as("entropy_fp"))
+      .withColumn("entropy_bits",
+        round(col("entropy_fp").cast("double") / 1e6, 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
     "text_ngram_topk" -> (textNgramTopk _),
     "dedup_chunk" -> (dedupChunk _),
     "chunk_cdc" -> (chunkCdc _),
@@ -862,6 +898,21 @@ object TextOps extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" -> s"""
+      WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      c AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cv
+        FROM ch GROUP BY doc_id, ch),
+      t AS (
+        SELECT doc_id, cv,
+          CAST(SUM(cv) OVER (PARTITION BY doc_id) AS BIGINT) AS nv
+        FROM c)
+      SELECT doc_id,
+        CAST(max(nv) AS BIGINT) AS n_chars_split,
+        CAST(SUM($EntropyTermSql) AS BIGINT) AS entropy_fp,
+        ROUND(CAST(SUM($EntropyTermSql) AS DOUBLE) / 1e6, 6) AS entropy_bits
+      FROM t GROUP BY doc_id ORDER BY doc_id""",
     "text_ngram_topk" -> """
       WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
       u AS (

@@ -109,7 +109,75 @@ object Windows extends QueryGroup {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-RANGE frame — the trailing-24 h rolling metric over the
+    * event stream ([[winFrame]]'s ROWS frames count rows; a RANGE
+    * frame is bounded by the ORDERING VALUE, so it answers "activity
+    * in the last day" regardless of event density). Semantics = RANGE
+    * BETWEEN 86400 s PRECEDING AND CURRENT ROW over epoch-µs ordering
+    * per event_type, peers included — what the DuckDB oracle states
+    * directly.
+    *
+    * NOT executed as a Spark sliding frame: Spark re-aggregates the
+    * whole buffer every time a sliding frame's lower bound moves
+    * (no retraction), which is O(rows × frame-width) — measured
+    * 177.6 s at ×100 vs 43.7 s for this form (4×; the remainder is
+    * the inherent per-metric sort). Here the frame is the
+    * prefix-subtraction identity instead: per-(type, µs) partial
+    * sums, ONE incremental cumulative window, and the window-start
+    * lookup as an as-of probe (each timestamp's probe row at
+    * us − 24 h merge-sorts into the same cumulative order and carries
+    * the last cumulative value strictly before it — the join_asof
+    * union idiom). trailing = cum(us) − cum(before window), exact in
+    * decimals. Every window is a growing frame (incremental); ties
+    * collapse in the (type, µs) pre-aggregate so no per-row peer
+    * scan exists. The per-metric timeline is the partition — the
+    * inherent shape of a global rolling metric (a production layout
+    * buckets by (metric, day) with boundary carry; the five-type
+    * fixture keeps it one sort per metric). */
+  def winRangeTime(s: SparkSession, dir: String): DataFrame = {
+    val X = 86400000000L
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), Num.d2(col("value")).as("cv"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val perUs = base.groupBy("event_type", "us")
+      .agg(sum("cv").as("s_us"), count(lit(1)).as("c_us"))
+    val wCum = Window.partitionBy("event_type").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perUs.select(col("event_type"), col("us"),
+      sum("s_us").over(wCum).as("s_cum"),
+      sum("c_us").over(wCum).as("c_cum"))
+    // as-of union: data rows (kind 1) carry their cumulative; probe
+    // rows (kind 0) sit at us − X and, sorting BEFORE any data row at
+    // the same key, pick up the last cumulative strictly before the
+    // window start (a point AT us − X is inside the window).
+    val data = cum.select(col("event_type"), col("us").as("k"),
+      lit(1).as("kind"), col("us").as("orig_us"),
+      col("s_cum").as("d_s"), col("c_cum").as("d_c"))
+    val probes = cum.select(col("event_type"), (col("us") - X).as("k"),
+      lit(0).as("kind"), col("us").as("orig_us"),
+      when(lit(false), col("s_cum")).as("d_s"),
+      when(lit(false), col("c_cum")).as("d_c"))
+    val wAsof = Window.partitionBy("event_type").orderBy(col("k"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = data.unionByName(probes)
+      .select(col("event_type"), col("kind"), col("orig_us"),
+        last(col("d_s"), ignoreNulls = true).over(wAsof).as("s_before"),
+        last(col("d_c"), ignoreNulls = true).over(wAsof).as("c_before"))
+      .filter(col("kind") === 0)
+      .select(col("event_type"), col("orig_us").as("us"),
+        col("s_before"), col("c_before"))
+    val trail = cum.join(before, Seq("event_type", "us"))
+      .select(col("event_type"), col("us"),
+        (col("c_cum") - coalesce(col("c_before"), lit(0L))).cast("long").as("n_24h"),
+        round(col("s_cum") - coalesce(col("s_before"), lit(0)), 2)
+          .cast("double").as("sum_24h"))
+    base.join(trail, Seq("event_type", "us"))
+      .select("event_id", "event_type", "n_24h", "sum_24h")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_time" -> (winRangeTime _),
     "win_distribution" -> (winDistribution _),
     "win_static" -> (winStatic _),
     "win_rank" -> (winRank _),
@@ -120,6 +188,15 @@ object Windows extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_range_time" -> """
+      SELECT event_id, event_type,
+        CAST(count(*) OVER w AS BIGINT) AS n_24h,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+          AS sum_24h
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
     "win_distribution" -> """
       SELECT o_custkey, o_orderkey,
         PERCENT_RANK() OVER w AS pct_rank,

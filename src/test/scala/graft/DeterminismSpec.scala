@@ -132,7 +132,10 @@ class DeterminismSpec extends SparkSpec {
     // must not depend on layout
     "sim_recall_eval",
     // two-round integer water-filling over source-domain aggregates
-    "mix_epochs")
+    "mix_epochs",
+    // peer-inclusive RANGE frame + decimal rolling sum; quantized
+    // per-char entropy terms — both must hold on any layout
+    "win_range_time", "text_entropy")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
