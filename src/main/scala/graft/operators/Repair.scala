@@ -356,7 +356,56 @@ object Repair extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Materialized-view validation — anti-entropy pointed at the MV
+    * problem: Cassandra MVs drift from their base table under write
+    * races and missed view updates (the documented production issue
+    * behind `nodetool viewbuildstatus` and the MV health warnings),
+    * and the only cure is periodic base↔view reconciliation. Model: a
+    * served per-user aggregate view where `user_id % 97 == 0` rows
+    * never received their view update (missing) and `% 89` rows
+    * double-applied one (stale count). Validation is the
+    * [[repairDiff]] shape verbatim: 256 token-bucket `bit_xor`
+    * digests per side (domain-bounded), drill into DIRTY buckets
+    * only, emit per-key status (missing_in_mv / stale) with both
+    * sides' values. At 100 TB the digest pass is two user-domain
+    * aggregates and the drill-down reads only the dirty slices —
+    * cost ∝ divergence, not view size. */
+  def mvValidate(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Num
+    val base = Tables.events(s, dir).select("user_id", "value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(Num.d2(col("value"))).as("sv"))
+    val mv = base
+      .filter(col("user_id") % 97 =!= 0)
+      .withColumn("n",
+        when(col("user_id") % 89 === 0, col("n") + 1).otherwise(col("n")))
+    def bucketed(df: DataFrame) = df.withColumn("bucket",
+      pmod(CassTokenExpr.token(col("user_id")), lit(buckets)))
+    def dg(df: DataFrame, nm: String) = bucketed(df)
+      .withColumn("h", xxhash64(col("user_id"), col("n"), col("sv")))
+      .groupBy("bucket").agg(expr("bit_xor(h)").as(nm))
+    val dirty = dg(base, "db").join(dg(mv, "dm"), Seq("bucket"), "full_outer")
+      .filter(!(col("db") <=> col("dm")))
+      .select("bucket")
+      .collect().map(_.getLong(0)).toSeq // ≤256 rows by domain bound
+    val bD = bucketed(base).filter(col("bucket").isin(dirty: _*))
+      .select(col("user_id"), col("n").as("base_n"), col("sv").as("base_sv"))
+    val mD = bucketed(mv).filter(col("bucket").isin(dirty: _*))
+      .select(col("user_id"), col("n").as("mv_n"), col("sv").as("mv_sv"))
+    bD.join(mD, Seq("user_id"), "left")
+      .filter(col("mv_n").isNull ||
+        col("mv_n") =!= col("base_n") || col("mv_sv") =!= col("base_sv"))
+      .select(col("user_id"),
+        when(col("mv_n").isNull, "missing_in_mv").otherwise("stale").as("status"),
+        col("base_n").cast("long").as("base_n"),
+        round(col("base_sv"), 2).cast("double").as("base_sv"),
+        col("mv_n").cast("long").as("mv_n"),
+        round(col("mv_sv"), 2).cast("double").as("mv_sv"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_validate" -> (mvValidate _),
     "consistency_multidc" -> (consistencyMultidc _),
     "repair_diff" -> (repairDiff _),
     "repair_apply" -> (repairApply _),
@@ -379,6 +428,25 @@ object Repair extends QueryGroup {
       WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
+    // Digest phase is pure pruning (the repair_diff declaration) —
+    // the end-to-end answer is the plain base↔view diff.
+    "mv_validate" -> """
+      WITH base AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY user_id),
+      mv AS (
+        SELECT user_id,
+               CASE WHEN user_id % 89 = 0 THEN n + 1 ELSE n END AS n, sv
+        FROM base WHERE user_id % 97 <> 0)
+      SELECT b.user_id,
+        CASE WHEN m.user_id IS NULL THEN 'missing_in_mv'
+             ELSE 'stale' END AS status,
+        b.n AS base_n, CAST(ROUND(b.sv, 2) AS DOUBLE) AS base_sv,
+        m.n AS mv_n, CAST(ROUND(m.sv, 2) AS DOUBLE) AS mv_sv
+      FROM base b LEFT JOIN mv m ON b.user_id = m.user_id
+      WHERE m.user_id IS NULL OR m.n <> b.n OR m.sv <> b.sv
+      ORDER BY b.user_id""",
     // Six replica states (DC2 behind the async replication cutoff),
     // LWW winner via row_number, per-DC reply counts + staleness via
     // one grouped join against the winner.

@@ -135,7 +135,10 @@ class DeterminismSpec extends SparkSpec {
     "mix_epochs",
     // peer-inclusive RANGE frame + decimal rolling sum; quantized
     // per-char entropy terms — both must hold on any layout
-    "win_range_time", "text_entropy")
+    "win_range_time", "text_entropy",
+    // digest-pruned drill-down: the dirty-bucket set and the keyed
+    // diff must not depend on layout
+    "mv_validate")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
