@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{Lww, RunId, Tables}
+import graft.core.{Lww, Num, RunId, Tables}
 
 /** Storage-layer semantics of the wide-column data model (SURVEY.md
   * §1.1): explicit cell metadata columns, tombstone merge, native
@@ -659,7 +659,68 @@ object CellStore extends QueryGroup {
       .orderBy("user_id", "event_type")
   }
 
+  /** Cassandra counter internals — the sharded CRDT behind
+    * `counter` columns (what [[Aggregates.aggCounter]]'s plain sum
+    * abstracts away): each replica-local SHARD carries (clock, local
+    * running total), a local increment bumps the shard's clock and
+    * total, and the counter's value is the per-(key, node) max-clock
+    * shard summed across nodes — so replicas exchange STATES, never
+    * deltas, and replays/stale copies merge idempotently. Model on
+    * events: node = event_id % 3, shard clock = (epoch µs, event_id),
+    * shard total = the node's running decimal sum; replicas B and C
+    * hold stale prefixes of the shard streams (cut at 01-20 / 01-10).
+    * Merge = max_by over the three replica snapshots per (key, node),
+    * then one sum per key, with staleness accounting (how many
+    * replica copies were behind the merged clock).
+    *
+    * Scale shape: one keyed window for the running totals (the write
+    * path), then everything is (key, node)-domain aggregates — the
+    * snapshots, the merge and the per-key sum all ride map-side
+    * combine; nothing is event-volume-sized past the first window. */
+  def counterCrdt(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), pmod(col("event_id"), lit(3)).as("node"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id").as("eid"), Num.d2(col("value")).as("inc"), col("ts"))
+    val wRun = Window.partitionBy("user_id", "node").orderBy("us", "eid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val states = base.withColumn("cnt", sum("inc").over(wRun))
+    // All three replica snapshots in ONE aggregate over the shard
+    // stream (conditional max_by FILTER per replica cut) — a
+    // per-replica groupBy would re-run the running-total window once
+    // per replica (measured 9.4 s vs 5.4 s at sf0.1). The complete
+    // replica's snapshot (sa) is by construction the max-clock state,
+    // so it IS the merge winner; the oracle computes the general
+    // cross-replica max and lands on the same rows.
+    val snaps = states.groupBy("user_id", "node").agg(
+      max_by(struct(col("us"), col("eid"), col("cnt")),
+        struct(col("us"), col("eid"))).as("sa"),
+      expr("""max_by(struct(us, eid, cnt), struct(us, eid))
+              FILTER (WHERE ts < CAST('2024-01-20 00:00:00' AS TIMESTAMP_NTZ))""")
+        .as("sb"),
+      expr("""max_by(struct(us, eid, cnt), struct(us, eid))
+              FILTER (WHERE ts < CAST('2024-01-10 00:00:00' AS TIMESTAMP_NTZ))""")
+        .as("sc"))
+    // a stale COPY is a present snapshot strictly behind the merged
+    // clock; a replica holding no shard at all is absent, not stale
+    // (matches the union-of-snapshots formulation).
+    def staleOf(x: String) = when(col(x).isNotNull &&
+      (col(s"$x.us") < col("sa.us") ||
+        (col(s"$x.us") === col("sa.us") && col(s"$x.eid") < col("sa.eid"))),
+      1L).otherwise(0L)
+    snaps
+      .select(col("user_id"), col("sa.cnt").as("mcnt"),
+        (staleOf("sb") + staleOf("sc")).as("stale"))
+      .groupBy("user_id")
+      .agg(
+        round(sum("mcnt"), 2).cast("double").as("counter_value"),
+        count(lit(1)).cast("long").as("n_nodes"),
+        sum("stale").cast("long").as("n_stale_copies"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "counter_crdt" -> (counterCrdt _),
     "static_cells" -> (staticCells _),
     "tombstone_range" -> (tombstoneRange _),
     "cdc_apply" -> (cdcApply _),
@@ -679,7 +740,51 @@ object CellStore extends QueryGroup {
     "fn_duration" -> (fnDuration _)
   )
 
+  // One replica-snapshot block of the counter_crdt oracle: the
+  // max-clock shard state per (key, node) visible to that replica.
+  private def crdtSnap(tag: String, cut: Option[String]): String = s"""
+      SELECT user_id, node, '$tag' AS replica, us, eid, cnt FROM (
+        SELECT user_id, node, us, eid, cnt,
+          ROW_NUMBER() OVER (PARTITION BY user_id, node
+                             ORDER BY us DESC, eid DESC) AS rn
+        FROM states${cut.map(c => s" WHERE ts < TIMESTAMP '$c'").getOrElse("")})
+      WHERE rn = 1"""
+
   val oracles: Map[String, String] = Map(
+    // same shard/merge recurrence: running decimal shard totals, three
+    // replica prefix snapshots, max-clock merge per (key, node),
+    // per-key sum + staleness accounting
+    "counter_crdt" -> s"""
+      WITH base AS (
+        SELECT user_id, event_id % 3 AS node, epoch_us(ts) AS us,
+               event_id AS eid, CAST(value AS DECIMAL(18,2)) AS inc, ts
+        FROM events),
+      states AS (
+        SELECT *, SUM(inc) OVER (PARTITION BY user_id, node
+          ORDER BY us, eid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        FROM base),
+      alls AS (${Seq(
+        crdtSnap("a", None),
+        crdtSnap("b", Some("2024-01-20 00:00:00")),
+        crdtSnap("c", Some("2024-01-10 00:00:00"))).mkString(" UNION ALL ")}),
+      merged AS (
+        SELECT user_id, node, us AS mus, eid AS meid, cnt AS mcnt FROM (
+          SELECT a.*, ROW_NUMBER() OVER (PARTITION BY user_id, node
+                                         ORDER BY us DESC, eid DESC) AS rn
+          FROM alls a) WHERE rn = 1),
+      pernode AS (
+        SELECT a.user_id, a.node, m.mcnt,
+          CAST(SUM(CASE WHEN (a.us, a.eid) < (m.mus, m.meid)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS stale
+        FROM alls a JOIN merged m
+          ON a.user_id = m.user_id AND a.node = m.node
+        GROUP BY a.user_id, a.node, m.mcnt)
+      SELECT user_id,
+        CAST(ROUND(SUM(mcnt), 2) AS DOUBLE) AS counter_value,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(stale) AS BIGINT) AS n_stale_copies
+      FROM pernode GROUP BY user_id ORDER BY user_id""",
     "tombstone_range" -> """
       WITH vis AS (
         SELECT user_id, event_type, value, epoch_us(ts) AS _writetime,

@@ -138,7 +138,10 @@ class DeterminismSpec extends SparkSpec {
     "win_range_time", "text_entropy",
     // digest-pruned drill-down: the dirty-bucket set and the keyed
     // diff must not depend on layout
-    "mv_validate")
+    "mv_validate",
+    // shard running totals + struct-max merges — the CRDT value must
+    // be identical on any layout
+    "counter_crdt")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
