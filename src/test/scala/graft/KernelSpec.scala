@@ -496,6 +496,37 @@ class KernelSpec extends SparkSpec {
     assert(got.map(_.getLong(8)).sum == toks.length)
   }
 
+  test("NTS walk invariants hold on random vnode rings (property)") {
+    import graft.operators.Ring
+    val gen = for {
+      counts <- Gen.listOfN(8, Gen.choose(0, 4)).suchThat(_.sum >= 1)
+      seed <- Gen.choose(0L, Long.MaxValue)
+      start <- Gen.choose(0, 200)
+      rf <- Gen.choose(1, 3)
+    } yield (counts, seed, start, rf)
+    check(Prop.forAll(gen) { case (counts, seed, start, rf) =>
+      val nodes = counts.zipWithIndex.flatMap { case (c, n) => Seq.fill(c)(n) }
+      val ring = new scala.util.Random(seed).shuffle(nodes).zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }
+      val reps = Ring.ntsReplicas(ring, start % ring.size, rf)
+      Seq("dc1", "dc2").forall { dc =>
+        val dcNodes = nodes.filter(n => Ring.dcOf(n) == dc).distinct
+        val racksAvail = dcNodes.map(Ring.rackOf).distinct.size
+        val r = reps(dc)
+        // rf satisfied up to the DC's node supply, no duplicates,
+        // DC-pure, rack coverage maximal for the replica count, and
+        // the first replica is the first DC node reached on the walk.
+        r.size == math.min(rf, dcNodes.size) &&
+          r.distinct.size == r.size &&
+          r.forall(n => Ring.dcOf(n) == dc) &&
+          r.map(Ring.rackOf).distinct.size == math.min(racksAvail, r.size) &&
+          (r.isEmpty || r.head == ring.indices
+            .map(i => ring((start % ring.size + i) % ring.size)._2)
+            .find(n => Ring.dcOf(n) == dc).get)
+      }
+    })
+  }
+
   test("repair digests: identical replicas agree on every bucket, divergence localizes") {
     import graft.operators.Repair
     val a = Repair.replicaA(spark, sf001)
