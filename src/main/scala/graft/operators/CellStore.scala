@@ -299,9 +299,8 @@ object CellStore extends QueryGroup {
   private val snapPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def scanSnapshot(s: SparkSession, dir: String): DataFrame = {
-    val T = "2024-01-10 00:00:00"
-    val path = snapPaths.getOrElseUpdate(dir, {
+  private def snapPath(s: SparkSession, dir: String): String =
+    snapPaths.getOrElseUpdate(dir, {
       val p = RunId.scratchKeyed("cell_store/events_cells_snap", dir)
       cellTable(s, dir)
         .repartition(col("user_id"))
@@ -309,12 +308,48 @@ object CellStore extends QueryGroup {
         .write.mode("overwrite").parquet(p)
       p
     })
-    val stored = s.read.parquet(path)
-      .filter(col("_writetime") <= unix_micros(lit(T).cast("timestamp")))
+
+  /** Consistency-point LWW state of the stored cell layout at `ts`:
+    * newest write ≤ ts per PK, TTL-expired cells invisible. Shared by
+    * [[scanSnapshot]] and [[scanSnapshotDiff]]. */
+  private def snapshotStateAt(s: SparkSession, dir: String, ts: String): DataFrame = {
+    val stored = s.read.parquet(snapPath(s, dir))
+      .filter(col("_writetime") <= unix_micros(lit(ts).cast("timestamp")))
     Lww.latest(stored, Seq("user_id", "event_type"),
         Seq(col("_writetime").desc, col("event_id").desc))
-      .filter(col("_ttl_expires") > lit(T).cast("timestamp_ntz"))
-      .select("user_id", "event_type", "value", "_writetime")
+      .filter(col("_ttl_expires") > lit(ts).cast("timestamp_ntz"))
+      .select(col("user_id"), col("event_type"), col("value"), col("_writetime"))
+  }
+
+  def scanSnapshot(s: SparkSession, dir: String): DataFrame =
+    snapshotStateAt(s, dir, "2024-01-10 00:00:00")
+      .orderBy("user_id", "event_type")
+
+  /** Snapshot CHANGELOG — the incremental-consumer read between two
+    * consistency points (what a downstream sync pulls instead of a
+    * full re-export; the Iceberg/Delta changelog pattern applied to
+    * the wide-column snapshot): per PK, the LWW state at T1 vs T2
+    * full-outer joined and classified inserted / updated / deleted —
+    * a "deleted" here is a cell whose TTL expired in the window with
+    * no newer write, exactly the class a full-state copy silently
+    * misses. Scale shape: two filtered LWW passes over ONE stored
+    * sorted layout + a PK-keyed join — cost ∝ the keyspace, output ∝
+    * the churn. */
+  def scanSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = snapshotStateAt(s, dir, "2024-01-10 00:00:00")
+      .select(col("user_id"), col("event_type"),
+        col("value").as("old_value"), col("_writetime").as("old_wt"))
+    val b = snapshotStateAt(s, dir, "2024-01-20 00:00:00")
+      .select(col("user_id"), col("event_type"),
+        col("value").as("new_value"), col("_writetime").as("new_wt"))
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .withColumn("change",
+        when(col("old_wt").isNull, "inserted")
+          .when(col("new_wt").isNull, "deleted")
+          .when(col("new_wt") =!= col("old_wt"), "updated"))
+      .filter(col("change").isNotNull)
+      .select("user_id", "event_type", "change",
+        "old_value", "new_value", "old_wt", "new_wt")
       .orderBy("user_id", "event_type")
   }
 
@@ -734,6 +769,7 @@ object CellStore extends QueryGroup {
     "compact_twcs" -> (compactTwcs _),
     "compact_lcs" -> (compactLcs _),
     "scan_snapshot" -> (scanSnapshot _),
+    "scan_snapshot_diff" -> (scanSnapshotDiff _),
     "fn_map_stored" -> (fnMapStored _),
     "filter_collection_stored" -> (filterCollectionStored _),
     "udt_struct_stored" -> (udtStructStored _),
@@ -1003,6 +1039,43 @@ object CellStore extends QueryGroup {
       ORDER BY user_id""",
     // sink_cell_store's oracle with BOTH clocks pinned to T: writes
     // after T don't exist, TTL expiry is evaluated at T.
+    // two consistency-point states (the scan_snapshot CTE at T1/T2),
+    // full-outer on the PK, churn classified
+    "scan_snapshot_diff" -> """
+      WITH snap AS (
+        SELECT user_id, event_type, value, event_id,
+          epoch_us(ts) AS wt,
+          ts + to_days(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                            AS INTEGER) % 14) AS ttl_expires
+        FROM events),
+      a AS (
+        SELECT user_id, event_type, value AS old_value, wt AS old_wt FROM (
+          SELECT user_id, event_type, value, wt, ttl_expires,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY wt DESC, event_id DESC) AS rn2
+          FROM snap
+          WHERE wt <= epoch_us(TIMESTAMP '2024-01-10 00:00:00'))
+        WHERE rn2 = 1 AND ttl_expires > TIMESTAMP '2024-01-10 00:00:00'),
+      b AS (
+        SELECT user_id, event_type, value AS new_value, wt AS new_wt FROM (
+          SELECT user_id, event_type, value, wt, ttl_expires,
+            ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY wt DESC, event_id DESC) AS rn2
+          FROM snap
+          WHERE wt <= epoch_us(TIMESTAMP '2024-01-20 00:00:00'))
+        WHERE rn2 = 1 AND ttl_expires > TIMESTAMP '2024-01-20 00:00:00')
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        COALESCE(a.event_type, b.event_type) AS event_type,
+        CASE WHEN a.old_wt IS NULL THEN 'inserted'
+             WHEN b.new_wt IS NULL THEN 'deleted'
+             WHEN b.new_wt <> a.old_wt THEN 'updated' END AS change,
+        a.old_value, b.new_value, a.old_wt, b.new_wt
+      FROM a FULL OUTER JOIN b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type
+      WHERE (CASE WHEN a.old_wt IS NULL THEN 'inserted'
+                  WHEN b.new_wt IS NULL THEN 'deleted'
+                  WHEN b.new_wt <> a.old_wt THEN 'updated' END) IS NOT NULL
+      ORDER BY user_id, event_type""",
     "scan_snapshot" -> """
       SELECT user_id, event_type, value, _writetime FROM (
         SELECT user_id, event_type, value,

@@ -141,7 +141,10 @@ class DeterminismSpec extends SparkSpec {
     "mv_validate",
     // shard running totals + struct-max merges — the CRDT value must
     // be identical on any layout
-    "counter_crdt")
+    "counter_crdt",
+    // two LWW passes + PK outer join — churn classification must not
+    // depend on layout
+    "scan_snapshot_diff")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
