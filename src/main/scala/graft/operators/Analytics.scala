@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Num, Tables}
@@ -126,10 +127,42 @@ object Analytics extends QueryGroup {
       .orderBy("event_type", "d")
   }
 
+  /** Gap-filled daily series — the serving-layer read over
+    * [[aggDownsample]]'s rollup (a dashboard cannot skip empty days;
+    * the KairosDB/metrics-on-Cassandra gap-fill): a dense
+    * (metric, day) spine generated from the global date bounds, daily
+    * count zero-filled, daily exact-decimal average carried FORWARD
+    * over gaps (last observation carried forward; null before a
+    * metric's first observation). Scale shape: the only corpus-sized
+    * stage is the daily aggregate (map-side combined onto the
+    * (metric, day) domain); the spine, join and carry-forward window
+    * all run on domain-sized relations, and the 1-row date bounds
+    * broadcast into the spine — no collect. */
+  def aggGapfill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+    val daily = e.groupBy("event_type", "d").agg(
+      count(lit(1)).as("n"), Num.davg(col("value")).as("avg_v"))
+    val bounds = e.agg(min("d").as("d0"), max("d").as("d1"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+        col("avg_v"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("avg_v_filled"))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_funnel" -> (aggFunnel _),
     "agg_retention" -> (aggRetention _),
-    "agg_downsample" -> (aggDownsample _)
+    "agg_downsample" -> (aggDownsample _),
+    "agg_gapfill" -> (aggGapfill _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,6 +230,30 @@ object Analytics extends QueryGroup {
       FROM agg
       JOIN r f ON f.event_type = agg.event_type AND f.d = agg.d AND f.rn_a = 1
       JOIN r l ON l.event_type = agg.event_type AND l.d = agg.d AND l.rn_d = 1
-      ORDER BY agg.event_type, agg.d"""
+      ORDER BY agg.event_type, agg.d""",
+    // dense spine from the global bounds, LOCF via IGNORE NULLS
+    "agg_gapfill" -> s"""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, value FROM events),
+      daily AS (
+        SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+          ${Num.sqlDavg("value")} AS avg_v
+        FROM e GROUP BY event_type, d),
+      b AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+      spine AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                      CAST(d1 AS TIMESTAMP),
+                                      INTERVAL 1 DAY)) AS DATE) AS d
+        FROM (SELECT DISTINCT event_type FROM e) CROSS JOIN b)
+      SELECT s.event_type, s.d,
+        COALESCE(daily.n, 0) AS n_events,
+        daily.avg_v,
+        last_value(daily.avg_v IGNORE NULLS) OVER (
+          PARTITION BY s.event_type ORDER BY s.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v_filled
+      FROM spine s LEFT JOIN daily
+        ON s.event_type = daily.event_type AND s.d = daily.d
+      ORDER BY s.event_type, s.d"""
   )
 }

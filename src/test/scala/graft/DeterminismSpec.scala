@@ -144,7 +144,9 @@ class DeterminismSpec extends SparkSpec {
     "counter_crdt",
     // two LWW passes + PK outer join — churn classification must not
     // depend on layout
-    "scan_snapshot_diff")
+    "scan_snapshot_diff",
+    // spine join + LOCF window over domain-sized relations
+    "agg_gapfill")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
