@@ -146,7 +146,9 @@ class DeterminismSpec extends SparkSpec {
     // depend on layout
     "scan_snapshot_diff",
     // spine join + LOCF window over domain-sized relations
-    "agg_gapfill")
+    "agg_gapfill",
+    // vocabulary prefilter + struct-min best match per doc
+    "search_fuzzy")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
