@@ -201,16 +201,20 @@ object Search extends QueryGroup {
       .filter(size(array_intersect(tri(col("w")), qTri)) >= 1)
       .filter(levenshtein(col("w"), lit(FuzzyTerm)) <= FuzzyMaxDist)
       .select(col("w"), levenshtein(col("w"), lit(FuzzyTerm)).as("dist"))
-    // broadcast the (tiny) match set INTO the explode so the
-    // (doc, word) aggregate shuffles only matching-word rows. At ×100
-    // both orders measure ≈49 s — the cost is the two corpus-sized
-    // explodes themselves, map-side-compacted either way on this
-    // fixture — but at a 100 TB corpus the unfiltered order's shuffle
-    // carries every (doc, word) pair where this one carries only the
-    // query's matches; the filtered order is the scale-safe shape.
+    // join the (tiny) match set INTO the explode so the (doc, word)
+    // aggregate shuffles only matching-word rows. At ×100 both orders
+    // measure ≈49 s — the cost is the two corpus-sized explodes
+    // themselves, map-side-compacted either way on this fixture — but
+    // at a 100 TB corpus the unfiltered order's shuffle carries every
+    // (doc, word) pair where this one carries only the query's
+    // matches; the filtered order is the scale-safe shape. NO
+    // broadcast hint: matches derives from an aggregate, and the
+    // repo-wide guard (PlanSpec, VERDICT r2 #4) forbids forcing a
+    // broadcast whose size is data-dependent — AQE broadcasts it at
+    // runtime when it is actually small.
     val posts = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Text.words(col("text"))).as("w"))
-      .join(broadcast(matches), "w")
+      .join(matches, "w")
       .groupBy("doc_id", "w", "dist").agg(count(lit(1)).as("tf"))
     posts
       .groupBy("doc_id")
