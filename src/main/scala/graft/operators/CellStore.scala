@@ -468,6 +468,41 @@ object CellStore extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Commitlog crash recovery — the write-durability half of the CDC
+    * story ([[cdcApply]] consumes a change feed; this RECOVERS from
+    * one). Cassandra acks a write once it is in the commitlog; the
+    * memtable is volatile, and a flush records the commitlog position
+    * it covered. After a crash the node rebuilds state as
+    * sstables (flushed segments) + replay of every log segment at or
+    * after the last covered position — the boundary SEGMENT is
+    * replayed WHOLE, so some mutations apply twice and recovery is
+    * only correct because LWW reconciliation is idempotent. Model:
+    * segments = days, flush covered segments < day 13, crash loses
+    * the memtable, replay re-applies day 13 onward — one day of
+    * OVERLAP with the flushed snapshot (day 13 mutations ≤ the flush
+    * cutoff below are in both inputs; their duplicates are
+    * byte-identical rows, so the LWW pick is order-free). The
+    * invariant the oracle states: recovered state ≡ LWW over the full
+    * mutation history — a crash is invisible. `recovered_from_log`
+    * marks keys whose newest state existed ONLY in the log (the
+    * mutations a flush-only restore would have lost). One keyed
+    * window over snapshot ∪ tail segments; at 100 TB the replay input
+    * is the tail segments only, never the log history. */
+  def commitlogReplay(s: SparkSession, dir: String): DataFrame = {
+    val flushCut = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+    val replayFrom = lit("2024-01-13 00:00:00").cast("timestamp_ntz")
+    val log = Tables.events(s, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val flushed = Lww.latest(log.filter(col("ts") < flushCut),
+      Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+    val replayed = log.filter(col("ts") >= replayFrom)
+    Lww.latest(flushed.unionByName(replayed), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        (col("ts") >= flushCut).as("recovered_from_log"))
+      .orderBy("user_id")
+  }
+
   /** CAS merge kernel for [[casApply]]: base state LEFT JOIN attempts
     * on the key; an attempt applies iff it exists AND the CURRENT
     * row's event_type equals the attempt's expected_type (CQL
@@ -759,6 +794,7 @@ object CellStore extends QueryGroup {
     "static_cells" -> (staticCells _),
     "tombstone_range" -> (tombstoneRange _),
     "cdc_apply" -> (cdcApply _),
+    "commitlog_replay" -> (commitlogReplay _),
     "cas_apply" -> (casApply _),
     "batch_apply" -> (batchApply _),
     "sink_cell_store" -> (sinkCellStore _),
@@ -902,6 +938,17 @@ object CellStore extends QueryGroup {
                                      ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) t
       WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id""",
+    // the recovery invariant IS the oracle: flushed snapshot + tail
+    // replay must equal LWW over the full mutation history
+    "commitlog_replay" -> """
+      SELECT user_id, event_id, event_type, value,
+        ts >= TIMESTAMP '2024-01-14 00:00:00' AS recovered_from_log
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
       ORDER BY user_id""",
     "sink_cell_store" -> s"""
       SELECT user_id, event_type, value, _writetime FROM (

@@ -77,7 +77,36 @@ object Multimodal extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** CLIP-score filtering (the LAION curation gate): a paired-modality
+    * corpus keeps a pair only when the image embedding and its
+    * caption embedding agree — cosine(img, txt) ≥ τ. Pairs are modeled
+    * as consecutive embedding rows (img = even vec_id, caption =
+    * odd vec_id = img + 1 — the layout a contact-sheet ingest writes);
+    * the score is the engine's codegen float-dot kernel, mirrored
+    * bit-for-bit in the oracle (the sim_topk discipline: FLOAT
+    * products CAST to DOUBLE, left-to-right sum). The keep flag stays
+    * in the output (the audit table a curation run publishes) rather
+    * than dropping rows, so the filter rate is visible. One equi-join
+    * on the derived pair key — shuffle bounded by the pair count, and
+    * at 100 TB the pair key is the ingest's own co-partitioning, so
+    * the join is shuffle-free on a bucketed layout. */
+  def multimodalClipFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(s, dir)
+    val img = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("img_id"), col("embedding").as("vimg"))
+    val txt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select((col("vec_id") - 1).as("img_id"), col("vec_id").as("txt_id"),
+        col("embedding").as("vtxt"))
+    img.join(txt, "img_id")
+      .withColumn("clip_score", round(Vectors.fdot(col("vimg"), col("vtxt")), 6))
+      .select(col("img_id"), col("txt_id"), col("clip_score"),
+        (col("clip_score") >= 0.1).as("keep"))
+      .orderBy("img_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_clip_filter" -> (multimodalClipFilter _),
     "multimodal_cols" -> (multimodalCols _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -85,6 +114,22 @@ object Multimodal extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // float-mirror kernel (sim_topk discipline): FLOAT element
+    // products each CAST to DOUBLE, accumulated left-to-right
+    "multimodal_clip_filter" -> """
+      WITH img AS (
+        SELECT vec_id AS img_id, embedding AS vimg
+        FROM embeddings WHERE vec_id % 2 = 0),
+      txt AS (
+        SELECT vec_id - 1 AS img_id, vec_id AS txt_id, embedding AS vtxt
+        FROM embeddings WHERE vec_id % 2 = 1),
+      d AS (
+        SELECT img.img_id, txt.txt_id,
+          ROUND(list_aggregate(list_transform(range(1, len(vimg) + 1),
+            i -> CAST(vimg[i] * vtxt[i] AS DOUBLE)), 'sum'), 6) AS clip_score
+        FROM img JOIN txt USING (img_id))
+      SELECT img_id, txt_id, clip_score, clip_score >= 0.1 AS keep
+      FROM d ORDER BY img_id""",
     "multimodal_cols" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -451,6 +451,82 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Storage-Attached Index (Cassandra 5 SAI) — the index family the
+    * bloom/zone-map pair cannot cover: predicates on NON-key columns
+    * of an sstable the data is not sorted by. SAI keeps, PER SSTABLE,
+    * one postings structure per indexed column (term → row ids); a
+    * query with several indexed predicates INTERSECTS the postings
+    * lists and materializes only the surviving row ids — it never
+    * scans sstable rows, and sstables with an empty intersection are
+    * never opened. Model: events in 8 hash generations (the flush
+    * history — same substrate as [[scanBloomPruned]], built separately
+    * so the two layouts stay independent), two postings tables
+    * (user_id and the props "k" value — the 2i column and a JSON-path
+    * index, both real SAI targets). The probe filters each postings
+    * table (filters push to the postings scan; at 100 TB the postings
+    * are additionally partitioned by term so a probe lists one value
+    * partition), equi-joins them on (generation, row id) — the AND of
+    * the two predicates — then fetches full rows only from
+    * generations holding candidates. Residual re-verify keeps the
+    * result correct even if an index were stale. Driver state: the
+    * candidate GENERATION list (≤ the sstable count), never row ids. */
+  private val SaiGens = 8L
+  private def saiK(c: Column): Column =
+    regexp_extract(c, "\"k\": ([0-9]+)", 1).cast("int")
+  private val saiEventsPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def saiEventsPath(s: SparkSession, dir: String): String =
+    saiEventsPaths.getOrElseUpdate(dir, {
+      val root = graft.core.RunId.scratchKeyed("sai/events", dir)
+      val base = Tables.events(s, dir)
+        .withColumn("_gen", pmod(xxhash64(col("event_id")), lit(SaiGens)))
+      base.write.mode("overwrite").partitionBy("_gen").parquet(s"$root/data")
+      base.select(col("_gen"), col("user_id"), col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/idx_user")
+      base.select(col("_gen"), saiK(col("props")).as("k"), col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/idx_k")
+      root
+    })
+
+  /** Postings intersection for `user_id = user AND k ∈ [kLo, kHi]` —
+    * the planning step, shared with PlanSpec's subset assertion.
+    * Returns (candidate (gen, event_id) rows, generations holding at
+    * least one candidate). */
+  private[graft] def saiSelect(
+      s: SparkSession, dir: String,
+      user: Long, kLo: Int, kHi: Int): (DataFrame, Seq[Long]) = {
+    val root = saiEventsPath(s, dir)
+    val u = s.read.parquet(s"$root/idx_user")
+      .filter(col("user_id") === user).select("_gen", "event_id")
+    val k = s.read.parquet(s"$root/idx_k")
+      .filter(col("k").between(kLo, kHi)).select("_gen", "event_id")
+    val cand = u.join(k, Seq("_gen", "event_id"))
+    val gens = cand.select("_gen").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    (cand, gens)
+  }
+
+  /** Point-plus-range read answered THROUGH the SAI postings: index
+    * intersection picks the row ids, only candidate generations are
+    * opened, the fetch is a broadcast semi-join on the id set, and
+    * the residual predicate re-verifies. Index + layout are
+    * output-invisible ⇒ oracle runs the same filter on the original
+    * table (the bloom/manifest discipline). */
+  def scanSai(s: SparkSession, dir: String): DataFrame = {
+    val (user, kLo, kHi) = (7L, 80, 99)
+    val root = saiEventsPath(s, dir)
+    val (cand, gens) = saiSelect(s, dir, user, kLo, kHi)
+    val src =
+      if (gens.isEmpty) Tables.events(s, dir).filter(lit(false))
+      else s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    src
+      .join(broadcast(cand.select("event_id")), Seq("event_id"), "left_semi")
+      .withColumn("k", saiK(col("props")))
+      .filter(col("user_id") === user && col("k").between(kLo, kHi))
+      .select("event_id", "user_id", "event_type", "value", "k")
+      .orderBy("event_id")
+  }
+
   /** 2-D range aggregate answered from the Hilbert-clustered copy —
     * the sink_zorder surface on the better curve (different slice so
     * the two queries aren't duplicates). Layout is output-invisible ⇒
@@ -647,6 +723,7 @@ object Scans extends QueryGroup {
     "sink_sorted_stats" -> (sinkSortedStats _),
     "scan_manifest_pruned" -> (scanManifestPruned _),
     "scan_bloom_pruned" -> (scanBloomPruned _),
+    "scan_sai" -> (scanSai _),
     "backfill_partitioned" -> (backfillPartitioned _),
     "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
@@ -725,6 +802,17 @@ object Scans extends QueryGroup {
     "scan_bloom_pruned" -> """
       SELECT event_id, user_id, event_type, value
       FROM events WHERE event_id = 777 ORDER BY event_id""",
+    // SAI index + generation layout are output-invisible: same
+    // two-predicate filter on the original table (k extraction is the
+    // source_json regexp, shared string)
+    "scan_sai" -> """
+      SELECT event_id, user_id, event_type, value,
+        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+      FROM events
+      WHERE user_id = 7
+        AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
+              BETWEEN 80 AND 99
+      ORDER BY event_id""",
     "scan_manifest_pruned" -> s"""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -250,6 +250,101 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Whole-document greedy packing — the OTHER packing contract:
+    * [[packSequences]] concatenates and SPLITS docs at sequence
+    * boundaries (pretraining packing, zero padding, documents torn);
+    * SFT/instruction-tuning packing must keep each document intact,
+    * so bins are filled greedily and the unfilled tail of every bin is
+    * padding. Next-fit-decreasing inside deterministic content-hash
+    * shards: sort the shard's docs by (tokens desc, doc_id), walk
+    * once, close the bin whenever the next doc does not fit. The walk
+    * is inherently sequential, so it runs as ONE higher-order
+    * `aggregate` fold over the shard's collected doc list — legal
+    * only because shards are bounded by construction (shard count =
+    * smallest power of two with shards·512 ≥ corpus docs, so a shard
+    * holds ~512 docs at ANY corpus size; the fold state is one
+    * shard's (doc, bin) list, never the corpus). One shuffle on the
+    * shard key; `bin_tokens` (the padding report: budget − bin_tokens
+    * is wasted pad) is a bin-domain window over the same shuffle.
+    * Oracle = the identical recurrence as a recursive CTE over the
+    * identical (tokens desc, doc_id) order. */
+  def packGreedy(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(Text.words(col("text"))).as("n_tokens"),
+      md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))).as("skey"))
+    val n = docs.count()
+    var nShards = 1L
+    while (nShards * 512 < n) nShards <<= 1
+    val folded = docs
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 4), 16, 10).cast("int") % lit(nShards).cast("int")))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(
+        (-col("n_tokens")).as("nt_neg"), col("doc_id"), col("n_tokens")))).as("arr"))
+      .select(col("shard"), explode(expr(
+        s"""aggregate(arr,
+             named_struct(
+               'res', cast(array() as array<struct<doc_id:bigint,n_tokens:int,bin:int>>),
+               'bin', 0, 'used', 0),
+             (acc, x) -> named_struct(
+               'res', array_append(acc.res, named_struct(
+                 'doc_id', x.doc_id, 'n_tokens', x.n_tokens,
+                 'bin', if(acc.used + x.n_tokens > $budget and acc.used > 0,
+                           acc.bin + 1, acc.bin))),
+               'bin', if(acc.used + x.n_tokens > $budget and acc.used > 0,
+                         acc.bin + 1, acc.bin),
+               'used', if(acc.used + x.n_tokens > $budget and acc.used > 0,
+                          x.n_tokens, acc.used + x.n_tokens)),
+             acc -> acc.res)""")).as("p"))
+    folded
+      .select(col("p.doc_id").as("doc_id"), col("shard"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+      .withColumn("bin_tokens",
+        sum("n_tokens").over(Window.partitionBy("shard", "bin")))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-gate FUNNEL report — the rule-by-rule attrition table
+    * every published curation run ships (RefinedWeb/Dolma style):
+    * each rule sees only the previous rules' survivors, so the report
+    * is n_in → n_dropped → n_out per stage in declared order. Rules
+    * are row-local integer/array predicates (the engine's richer
+    * learned gates — perplexity, quality_model — publish their own
+    * reports; this is the cheap-heuristics front of the funnel):
+    * length window, language allowlist, minimum tokens, distinct-word
+    * ratio (integer cross-multiplied — no float threshold), stopword
+    * presence. ONE corpus pass: five cumulative-conjunction counters
+    * in a single aggregate, then a row-local stack to the
+    * rule-domain report. */
+  def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        Text.words(col("text")).as("w"))
+    val f1 = col("n_chars").between(100, 2000)
+    val f2 = col("lang").isin("en", "de", "fr", "es")
+    val f3 = size(col("w")) >= 20
+    val f4 = size(array_distinct(col("w"))) * 10 >= size(col("w")) * 4
+    val f5 = array_contains(col("w"), "the") || array_contains(col("w"), "a")
+    val cum = Seq(f1, f1 && f2, f1 && f2 && f3, f1 && f2 && f3 && f4,
+      f1 && f2 && f3 && f4 && f5)
+    val agg0 = d.agg(
+      count(lit(1)).as("s0"),
+      cum.zipWithIndex.map { case (c, i) =>
+        count(when(c, 1)).as(s"s${i + 1}")
+      }: _*)
+    val rules = Seq("len_window", "lang_allow", "min_tokens",
+      "distinct_ratio", "stopword_present")
+    agg0.select(expr(
+      "stack(5, " + rules.zipWithIndex.map { case (r, i) =>
+        s"${i + 1}, '$r', s$i, s${i + 1}"
+      }.mkString(", ") + ") as (stage, rule, n_in, n_out)"))
+      .select(col("stage"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_dropped"), col("n_out"))
+      .orderBy("stage")
+  }
+
   /** Per-(JVM, dir) learned BPE merges — the "train the tokenizer on
     * the corpus" offline job. The word-frequency table is a bounded
     * distributed aggregate (top-4096 words by count, deterministic
@@ -884,6 +979,8 @@ object TextOps extends QueryGroup {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "pack_sequences" -> (packSequences _),
+    "pack_greedy" -> (packGreedy _),
+    "quality_funnel" -> (qualityFunnel _),
     "tokenize_bpe" -> (tokenizeBpe _),
     "tokenize_bpe_frozen" -> (tokenizeBpeFrozen _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
@@ -1047,6 +1144,67 @@ object TextOps extends QueryGroup {
       WHERE ${sqlBucket("text")} <
         CASE WHEN lang = 'en' THEN 16384 ELSE 65536 END
       ORDER BY doc_id""",
+    // identical recurrence, identical (tokens desc, doc_id) walk order
+    "pack_greedy" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      p AS (
+        SELECT CAST(MIN(pw) AS INTEGER) AS nshards FROM (
+          SELECT (CAST(1 AS BIGINT) << i) AS pw FROM range(0, 31) t(i))
+        WHERE pw * 512 >= (SELECT COUNT(*) FROM docs)),
+      r AS (
+        SELECT doc_id, n_tokens,
+          CAST(concat('0x', substring(skey, 1, 4)) AS INTEGER)
+            % (SELECT nshards FROM p) AS shard
+        FROM docs),
+      rk AS (
+        SELECT shard, doc_id, n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY shard
+                             ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM r),
+      f AS (
+        SELECT shard, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS used
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT rk.shard, rk.doc_id, rk.n_tokens, rk.rn,
+          CASE WHEN f.used + rk.n_tokens > 512 THEN f.bin + 1 ELSE f.bin END,
+          CASE WHEN f.used + rk.n_tokens > 512 THEN rk.n_tokens
+               ELSE f.used + rk.n_tokens END
+        FROM f JOIN rk ON rk.shard = f.shard AND rk.rn = f.rn + 1)
+      SELECT doc_id, shard, bin, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY shard, bin) AS BIGINT)
+          AS bin_tokens
+      FROM f ORDER BY doc_id""",
+    // shared predicate strings; counts of cumulative conjunctions
+    "quality_funnel" -> """
+      WITH d AS (
+        SELECT doc_id, n_chars, lang, string_split(text, ' ') AS w
+        FROM documents),
+      f AS (
+        SELECT
+          (n_chars BETWEEN 100 AND 2000) AS f1,
+          (lang IN ('en', 'de', 'fr', 'es')) AS f2,
+          (len(w) >= 20) AS f3,
+          (len(list_distinct(w)) * 10 >= len(w) * 4) AS f4,
+          (list_contains(w, 'the') OR list_contains(w, 'a')) AS f5
+        FROM d),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+          CAST(COUNT(CASE WHEN f1 THEN 1 END) AS BIGINT) AS s1,
+          CAST(COUNT(CASE WHEN f1 AND f2 THEN 1 END) AS BIGINT) AS s2,
+          CAST(COUNT(CASE WHEN f1 AND f2 AND f3 THEN 1 END) AS BIGINT) AS s3,
+          CAST(COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 END) AS BIGINT) AS s4,
+          CAST(COUNT(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 END) AS BIGINT) AS s5
+        FROM f)
+      SELECT stage, rule, n_in, n_in - n_out AS n_dropped, n_out FROM (
+        SELECT 1 AS stage, 'len_window' AS rule, s0 AS n_in, s1 AS n_out FROM a
+        UNION ALL SELECT 2, 'lang_allow', s1, s2 FROM a
+        UNION ALL SELECT 3, 'min_tokens', s2, s3 FROM a
+        UNION ALL SELECT 4, 'distinct_ratio', s3, s4 FROM a
+        UNION ALL SELECT 5, 'stopword_present', s4, s5 FROM a)
+      ORDER BY stage""",
     "pack_sequences" -> s"""
       WITH d AS (
         SELECT doc_id,

@@ -148,7 +148,15 @@ class DeterminismSpec extends SparkSpec {
     // spine join + LOCF window over domain-sized relations
     "agg_gapfill",
     // vocabulary prefilter + struct-min best match per doc
-    "search_fuzzy")
+    "search_fuzzy",
+    // round-10: postings intersection + collected generation list
+    // (the planning collect must not leak layout into the fetch),
+    // snapshot ∪ overlap-replay LWW (duplicate identical rows tie),
+    // the per-shard collect_list + fold (collect order is sorted
+    // away — prove it), the pair-key equi-join float kernel, and the
+    // one-pass cumulative-conjunction funnel
+    "scan_sai", "commitlog_replay", "pack_greedy",
+    "multimodal_clip_filter", "quality_funnel")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -805,4 +805,77 @@ class KernelSpec extends SparkSpec {
     }
     assert(fixedShared <= 1, s"fixed stride unexpectedly re-synced: $fixedShared")
   }
+
+  test("pack_greedy: fold matches the sequential NFD walk; bins respect the budget") {
+    val rows = SparkEntry.queries("pack_greedy")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // every fixture doc packed exactly once
+    val total = graft.core.Tables.documents(spark, sf001).count()
+    assert(rows.length.toLong == total && rows.map(_._1).distinct.length == rows.length)
+    // bin_tokens is consistent and ≤ budget unless the bin is a single
+    // oversized doc (none exist in this fixture, so strictly ≤ 512)
+    for (((_, bin), members) <- rows.groupBy(r => (r._2, r._3))) {
+      val sumTok = members.map(_._4.toLong).sum
+      assert(members.forall(_._5 == sumTok), s"bin_tokens mismatch in bin $bin")
+      assert(sumTok <= 512 || members.length == 1, s"bin over budget: $sumTok")
+    }
+    // the distributed fold ≡ an independent sequential reimplementation
+    // of next-fit-decreasing over the same (tokens desc, doc_id) order
+    for ((_, members) <- rows.groupBy(_._2)) {
+      val walk = members.sortBy(r => (-r._4, r._1))
+      var bin = 0; var used = 0
+      val expect = walk.map { r =>
+        if (used + r._4 > 512 && used > 0) { bin += 1; used = r._4 }
+        else used += r._4
+        (r._1, bin)
+      }.toMap
+      assert(walk.forall(r => expect(r._1) == r._3), "fold diverged from NFD walk")
+    }
+    // no bin closes early: whenever bin b+1 exists, its first doc (the
+    // largest remaining) genuinely did not fit into bin b — the
+    // next-fit invariant that makes the packing tight
+    for ((_, members) <- rows.groupBy(_._2)) {
+      val byBin = members.groupBy(_._3)
+      for (b <- byBin.keys if byBin.contains(b + 1)) {
+        val fill = byBin(b).map(_._4.toLong).sum
+        val next = byBin(b + 1).sortBy(r => (-r._4, r._1)).head._4
+        assert(fill + next > 512, s"bin $b closed early: $fill + $next <= 512")
+      }
+    }
+  }
+
+  test("commitlog_replay: recovery is idempotent and flush-point-invariant") {
+    import org.apache.spark.sql.functions.col
+    val once = SparkEntry.queries("commitlog_replay")(spark, sf001)
+      .collect().map(_.toString).sorted.toSeq
+    val log = graft.core.Tables.events(spark, sf001)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val flushCut = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+    val ord = Seq(col("ts").desc, col("event_id").desc)
+    def out(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        (col("ts") >= flushCut).as("recovered_from_log"))
+        .collect().map(_.toString).sorted.toSeq
+    // independent twin: full-history LWW (no crash happened)
+    assert(once == out(Lww.latest(log, Seq("user_id"), ord)),
+      "recovered state differs from full-history LWW")
+    // a second crash mid-replay re-applies the tail segments AGAIN;
+    // LWW reconciliation must make the double replay a no-op
+    val flushed = Lww.latest(
+      log.filter(col("ts") < flushCut), Seq("user_id"), ord)
+    val tail = log.filter(
+      col("ts") >= lit("2024-01-13 00:00:00").cast("timestamp_ntz"))
+    val twice = Lww.latest(
+      flushed.unionByName(tail).unionByName(tail), Seq("user_id"), ord)
+    assert(once == out(twice), "double replay changed the recovered state")
+    // and recovery must not depend on WHERE the flush stopped: an
+    // earlier flush point with a correspondingly longer replay tail
+    // yields the identical state
+    val earlier = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    val alt = Lww.latest(
+      Lww.latest(log.filter(col("ts") < earlier), Seq("user_id"), ord)
+        .unionByName(log.filter(col("ts") >= earlier)),
+      Seq("user_id"), ord)
+    assert(once == out(alt), "recovered state depends on the flush point")
+  }
 }

@@ -501,6 +501,28 @@ class PlanSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr.take(1200))
   }
 
+  test("scan_sai: postings intersection opens only candidate generations, fetch is broadcast") {
+    // planning: the (user, k-range) intersection must name a strict
+    // subset of the 8 generations — 17 candidate rows at sf0.001
+    // cannot occupy every generation AND the scan must open exactly
+    // the generations the index named
+    val (cand, gens) = graft.operators.Scans.saiSelect(spark, sf001, 7L, 80, 84)
+    val nCand = cand.count()
+    assert(nCand > 0, "SAI intersection selected no rows — probe is vacuous")
+    assert(gens.nonEmpty && gens.length < 8,
+      s"SAI failed to prune: ${gens.length} of 8 generations for $nCand candidates")
+    val df = SparkEntry.queries("scan_sai")(spark, sf001)
+    val opened = df.inputFiles.filter(_.contains("/data/_gen="))
+      .map(_.replaceAll("/[^/]*$", "")).distinct.length
+    val (_, qGens) = graft.operators.Scans.saiSelect(spark, sf001, 7L, 80, 99)
+    assert(opened == qGens.length,
+      s"scan opened $opened generation dirs, SAI selected ${qGens.length}")
+    // the row fetch must be a broadcast semi-join on the id set —
+    // a shuffled fetch would move the generations' rows for a point read
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
