@@ -527,6 +527,36 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** SAI disjunction — the CQL 5.0 headline feature: `WHERE a = x OR
+    * b = y` becomes legal once every disjunct is SAI-indexed (classic
+    * CQL had no OR at all), executed as a postings UNION where
+    * [[scanSai]]'s AND intersects. Same index artifacts, same
+    * planning shape: filtered postings per disjunct, union + distinct
+    * on (generation, row id), open only generations holding
+    * candidates, broadcast-semi fetch, residual OR re-verify. The
+    * union's candidate count is the SUM of the disjuncts' postings
+    * (an OR is as selective as its weakest arm) — still bounded by
+    * matching rows, never a scan. */
+  def scanSaiOr(s: SparkSession, dir: String): DataFrame = {
+    val root = saiEventsPath(s, dir)
+    val u = s.read.parquet(s"$root/idx_user")
+      .filter(col("user_id") === 3).select("_gen", "event_id")
+    val k = s.read.parquet(s"$root/idx_k")
+      .filter(col("k") >= 97).select("_gen", "event_id")
+    val cand = u.unionByName(k).distinct()
+    val gens = cand.select("_gen").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val src =
+      if (gens.isEmpty) Tables.events(s, dir).filter(lit(false))
+      else s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    src
+      .join(broadcast(cand.select("event_id")), Seq("event_id"), "left_semi")
+      .withColumn("k", saiK(col("props")))
+      .filter(col("user_id") === 3 || col("k") >= 97)
+      .select("event_id", "user_id", "event_type", "value", "k")
+      .orderBy("event_id")
+  }
+
   /** 2-D range aggregate answered from the Hilbert-clustered copy —
     * the sink_zorder surface on the better curve (different slice so
     * the two queries aren't duplicates). Layout is output-invisible ⇒
@@ -724,6 +754,7 @@ object Scans extends QueryGroup {
     "scan_manifest_pruned" -> (scanManifestPruned _),
     "scan_bloom_pruned" -> (scanBloomPruned _),
     "scan_sai" -> (scanSai _),
+    "scan_sai_or" -> (scanSaiOr _),
     "backfill_partitioned" -> (backfillPartitioned _),
     "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
@@ -812,6 +843,13 @@ object Scans extends QueryGroup {
       WHERE user_id = 7
         AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
               BETWEEN 80 AND 99
+      ORDER BY event_id""",
+    "scan_sai_or" -> """
+      SELECT event_id, user_id, event_type, value,
+        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+      FROM events
+      WHERE user_id = 3
+         OR CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) >= 97
       ORDER BY event_id""",
     "scan_manifest_pruned" -> s"""
       SELECT l_returnflag, l_linestatus,

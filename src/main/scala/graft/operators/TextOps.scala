@@ -70,6 +70,37 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Scope-local dedup — the FineWeb finding (Penedo et al. 2024):
+    * deduplicating each crawl snapshot/source INDEPENDENTLY beats
+    * global dedup, because a passage repeated across scopes is
+    * evidence of quality while a passage repeated within one scope is
+    * boilerplate. The operator reports BOTH decisions side by side:
+    * `kept_global` (min-doc_id survivor per text, the [[dedupExact]]
+    * rule) vs `kept_scoped` (min-doc_id per (source, text)) — planted
+    * cross-source copies (originals mirrored into a foreign source)
+    * are dropped globally but KEPT scoped, which is exactly the
+    * retention policy difference the report exists to audit. Both
+    * decisions are window minimums over the text digest; the scoped
+    * partition (source, digest) refines the global one (digest), so
+    * Spark satisfies the second window with the FIRST window's
+    * exchange — one shuffle total, text never shuffles (digest only).
+    */
+  def dedupScoped(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        lit("src_mirror").as("source"), col("text")))
+    corpus
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("kept_global",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+      .withColumn("kept_scoped",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("source", "h")))
+      .select("doc_id", "source", "kept_global", "kept_scoped")
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus statistics (quality-gate inputs). */
   def textStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -981,6 +1012,7 @@ object TextOps extends QueryGroup {
     "pack_sequences" -> (packSequences _),
     "pack_greedy" -> (packGreedy _),
     "quality_funnel" -> (qualityFunnel _),
+    "dedup_scoped" -> (dedupScoped _),
     "tokenize_bpe" -> (tokenizeBpe _),
     "tokenize_bpe_frozen" -> (tokenizeBpeFrozen _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
@@ -1144,6 +1176,18 @@ object TextOps extends QueryGroup {
       WHERE ${sqlBucket("text")} <
         CASE WHEN lang = 'en' THEN 16384 ELSE 65536 END
       ORDER BY doc_id""",
+    // same planted mirror, same min-survivor windows (partition by the
+    // raw text ≡ partition by its digest)
+    "dedup_scoped" -> """
+      WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'src_mirror' AS source, text
+        FROM documents WHERE doc_id < 40)
+      SELECT doc_id, source,
+        doc_id = MIN(doc_id) OVER (PARTITION BY text) AS kept_global,
+        doc_id = MIN(doc_id) OVER (PARTITION BY source, text) AS kept_scoped
+      FROM corpus ORDER BY doc_id""",
     // identical recurrence, identical (tokens desc, doc_id) walk order
     "pack_greedy" -> """
       WITH RECURSIVE docs AS (

@@ -462,4 +462,40 @@ class DedupSimilaritySpec extends SparkSpec {
     // structure puts neighbors in near cells)
     assert(recalls.head > 0.0, "nprobe=1 found nothing — probe broken")
   }
+
+  test("dedup_minhash_eval: estimator tracks truth and separates planted from random") {
+    val rows = SparkEntry.queries("dedup_minhash_eval")(spark, sf001).collect()
+      .map(r => (r.getString(2), r.getDouble(4), r.getDouble(7)))
+    assert(rows.length == 30, s"expected 30 evaluation pairs, got ${rows.length}")
+    val planted = rows.filter(_._1 == "planted")
+    val random = rows.filter(_._1 == "random")
+    assert(planted.length == 20 && random.length == 10)
+    // k=64 binomial std at J≈0.9 is ~0.04; 0.2 is a 5-sigma band —
+    // a hashing/indexing bug lands far outside it
+    assert(planted.forall { case (_, est, truth) => math.abs(est - truth) < 0.2 },
+      s"estimator off by >0.2 on a planted pair: ${planted.filterNot {
+        case (_, e, t) => math.abs(e - t) < 0.2 }.toSeq}")
+    // the gate's purpose: the estimate must order high-J pairs above
+    // unrelated ones with a clean margin
+    val minPlanted = planted.map(_._2).min
+    val maxRandom = random.map(_._2).max
+    assert(minPlanted > maxRandom + 0.3,
+      s"no separation: min planted est $minPlanted vs max random est $maxRandom")
+  }
+
+  test("dedup_scoped: cross-source mirrors drop globally but survive scoped dedup") {
+    val rows = SparkEntry.queries("dedup_scoped")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+    val mirrors = rows.filter(_._2 == "src_mirror")
+    assert(mirrors.length == 40, s"expected 40 planted mirrors, got ${mirrors.length}")
+    // every mirror: the original (smaller id, same text) wins globally,
+    // but the mirror is alone in its scope
+    assert(mirrors.forall(m => !m._3 && m._4),
+      "a planted mirror was not (dropped globally, kept scoped)")
+    // originals win both rules (fixture originals < 40 are unique
+    // texts at sf0.001)
+    val originals = rows.filter(r => r._1 < 40 && r._2 != "src_mirror")
+    assert(originals.forall(o => o._3 && o._4),
+      "an original lost its survivor status")
+  }
 }

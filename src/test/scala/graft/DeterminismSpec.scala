@@ -156,7 +156,13 @@ class DeterminismSpec extends SparkSpec {
     // away — prove it), the pair-key equi-join float kernel, and the
     // one-pass cumulative-conjunction funnel
     "scan_sai", "commitlog_replay", "pack_greedy",
-    "multimodal_clip_filter", "quality_funnel")
+    "multimodal_clip_filter", "quality_funnel",
+    // round-10 second wave: the shared-exchange double window (global
+    // + scoped survivor flags) and the relational minhash signature
+    // (component mins + match-count join)
+    "dedup_scoped", "dedup_minhash_eval",
+    // postings union + collected generation list
+    "scan_sai_or")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
