@@ -134,11 +134,105 @@ object Pipeline extends QueryGroup {
         "first_pos", "last_pos", "content_md5")
       .orderBy("shard_id")
 
+  /** The composed SFT/instruction-tuning pipeline — the round-10
+    * sibling of [[pipelinePretrain]], built entirely from
+    * SQL-expressible stages so, unlike the pretraining chain, the
+    * WHOLE composition is hash-exact against one DuckDB query:
+    *  1. quality funnel — the five [[TextOps.funnelFlags]] gates
+    *     (shared definition, so report and pipeline cannot drift);
+    *  2. scope-local dedup — FineWeb rule, min-doc_id survivor per
+    *     (source, text) among the gated docs ([[TextOps.dedupScoped]]
+    *     semantics);
+    *  3. whole-document NFD packing — docs stay intact, bins filled
+    *     greedily ([[TextOps.nfdPack]], the shared fold kernel; shard
+    *     count derives from the SURVIVOR count);
+    *  4. per-bin manifest — doc/token totals + the walk-ordered
+    *     doc-id md5, the receipt a fine-tuning loader verifies.
+    * Output is bin-domain-sized. Corpus cost: one scan through the
+    * gates into the digest-keyed dedup window, survivors into the
+    * bounded-shard fold — each stage keeps its standalone plan. */
+  def pipelineSft(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+        col("text"), graft.functions.Text.words(col("text")).as("w"))
+      .filter(TextOps.funnelFlags.reduce(_ && _))
+    val survivors = gated
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("keep",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("source", "h")))
+      .filter(col("keep"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"))
+    TextOps.nfdPack(survivors)
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("bin_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-col("n_tokens")).as("a"), col("doc_id").as("b")))),
+            x => x.getField("b").cast("string")),
+          ",")).as("docs_md5"))
+      .orderBy("shard", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_pretrain" -> (pipelinePretrain _)
+    "pipeline_pretrain" -> (pipelinePretrain _),
+    "pipeline_sft" -> (pipelineSft _)
   )
 
-  /** No SQL form (semantic dedup candidates are engine-defined; BPE is
-    * iterative) — PipelineSpec carries the correctness burden. */
-  val oracles: Map[String, String] = Map.empty
+  /** pipeline_pretrain has no SQL form (semantic dedup candidates are
+    * engine-defined; BPE is iterative) — PipelineSpec carries its
+    * correctness burden. pipeline_sft composes only SQL-expressible
+    * stages, so its oracle chains the stage mirrors verbatim. */
+  val oracles: Map[String, String] = Map(
+    "pipeline_sft" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, source, n_chars, lang, text,
+          string_split(text, ' ') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, source, text, w FROM d
+        WHERE (n_chars BETWEEN 100 AND 2000)
+          AND lang IN ('en', 'de', 'fr', 'es')
+          AND len(w) >= 20
+          AND len(list_distinct(w)) * 10 >= len(w) * 4
+          AND (list_contains(w, 'the') OR list_contains(w, 'a'))),
+      sv AS (
+        SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens FROM (
+          SELECT doc_id, w,
+            doc_id = MIN(doc_id) OVER (PARTITION BY source, text) AS keep
+          FROM g)
+        WHERE keep),
+      p AS (
+        SELECT CAST(MIN(pw) AS INTEGER) AS nshards FROM (
+          SELECT (CAST(1 AS BIGINT) << i) AS pw FROM range(0, 31) t(i))
+        WHERE pw * 512 >= (SELECT COUNT(*) FROM sv)),
+      r AS (
+        SELECT doc_id, n_tokens,
+          CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+            1, 4)) AS INTEGER) % (SELECT nshards FROM p) AS shard
+        FROM sv),
+      rk AS (
+        SELECT shard, doc_id, n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY shard
+                             ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM r),
+      f AS (
+        SELECT shard, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS used
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT rk.shard, rk.doc_id, rk.n_tokens, rk.rn,
+          CASE WHEN f.used + rk.n_tokens > 512 THEN f.bin + 1 ELSE f.bin END,
+          CASE WHEN f.used + rk.n_tokens > 512 THEN rk.n_tokens
+               ELSE f.used + rk.n_tokens END
+        FROM f JOIN rk ON rk.shard = f.shard AND rk.rn = f.rn + 1)
+      SELECT shard, bin,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        md5(string_agg(CAST(doc_id AS VARCHAR), ','
+          ORDER BY n_tokens DESC, doc_id)) AS docs_md5
+      FROM f GROUP BY shard, bin ORDER BY shard, bin"""
+  )
 }

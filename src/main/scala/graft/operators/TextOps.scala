@@ -299,16 +299,18 @@ object TextOps extends QueryGroup {
     * is wasted pad) is a bin-domain window over the same shuffle.
     * Oracle = the identical recurrence as a recursive CTE over the
     * identical (tokens desc, doc_id) order. */
-  def packGreedy(s: SparkSession, dir: String): DataFrame = {
-    val budget = 512
-    val docs = Tables.documents(s, dir).select(
-      col("doc_id"),
-      size(Text.words(col("text"))).as("n_tokens"),
-      md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))).as("skey"))
-    val n = docs.count()
+  /** The NFD fold kernel shared by [[packGreedy]] and
+    * [[Pipeline.pipelineSft]]: input (doc_id, n_tokens) rows →
+    * (doc_id, shard, bin, n_tokens). Shard count is derived from the
+    * input's OWN count (smallest power of two with shards·512 ≥ rows),
+    * so the per-shard fold state stays ~512 docs at any input size. */
+  private[operators] def nfdPack(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val keyed = docs.withColumn("skey",
+      md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))))
+    val n = keyed.count()
     var nShards = 1L
     while (nShards * 512 < n) nShards <<= 1
-    val folded = docs
+    keyed
       .withColumn("shard",
         (conv(substring(col("skey"), 1, 4), 16, 10).cast("int") % lit(nShards).cast("int")))
       .groupBy("shard")
@@ -329,13 +331,16 @@ object TextOps extends QueryGroup {
                'used', if(acc.used + x.n_tokens > $budget and acc.used > 0,
                           x.n_tokens, acc.used + x.n_tokens)),
              acc -> acc.res)""")).as("p"))
-    folded
       .select(col("p.doc_id").as("doc_id"), col("shard"),
         col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+  }
+
+  def packGreedy(s: SparkSession, dir: String): DataFrame =
+    nfdPack(Tables.documents(s, dir).select(
+      col("doc_id"), size(Text.words(col("text"))).as("n_tokens")))
       .withColumn("bin_tokens",
         sum("n_tokens").over(Window.partitionBy("shard", "bin")))
       .orderBy("doc_id")
-  }
 
   /** Quality-gate FUNNEL report — the rule-by-rule attrition table
     * every published curation run ships (RefinedWeb/Dolma style):
@@ -349,15 +354,22 @@ object TextOps extends QueryGroup {
     * presence. ONE corpus pass: five cumulative-conjunction counters
     * in a single aggregate, then a row-local stack to the
     * rule-domain report. */
+  /** The five funnel gates over (n_chars, lang, w) columns — ONE
+    * definition shared by [[qualityFunnel]]'s report and
+    * [[Pipeline.pipelineSft]]'s filter, so the report and the
+    * pipeline cannot drift. */
+  private[graft] def funnelFlags: Seq[Column] = Seq(
+    col("n_chars").between(100, 2000),
+    col("lang").isin("en", "de", "fr", "es"),
+    size(col("w")) >= 20,
+    size(array_distinct(col("w"))) * 10 >= size(col("w")) * 4,
+    array_contains(col("w"), "the") || array_contains(col("w"), "a"))
+
   def qualityFunnel(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"), col("lang"),
         Text.words(col("text")).as("w"))
-    val f1 = col("n_chars").between(100, 2000)
-    val f2 = col("lang").isin("en", "de", "fr", "es")
-    val f3 = size(col("w")) >= 20
-    val f4 = size(array_distinct(col("w"))) * 10 >= size(col("w")) * 4
-    val f5 = array_contains(col("w"), "the") || array_contains(col("w"), "a")
+    val Seq(f1, f2, f3, f4, f5) = funnelFlags
     val cum = Seq(f1, f1 && f2, f1 && f2 && f3, f1 && f2 && f3 && f4,
       f1 && f2 && f3 && f4 && f5)
     val agg0 = d.agg(

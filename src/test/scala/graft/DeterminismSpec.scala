@@ -162,7 +162,10 @@ class DeterminismSpec extends SparkSpec {
     // (component mins + match-count join)
     "dedup_scoped", "dedup_minhash_eval",
     // postings union + collected generation list
-    "scan_sai_or")
+    "scan_sai_or",
+    // the composed funnel → scoped-dedup → NFD-pack chain: a layout
+    // leak in ANY stage surfaces in the walk-ordered bin md5s
+    "pipeline_sft")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -66,4 +66,28 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(again.sameElements(manifest.map(_.toString).sorted))
   }
+
+  test("pipeline_sft manifest conserves the independently-derived survivor set") {
+    import graft.core.Tables
+    import graft.functions.Text
+    val sft = graft.operators.Pipeline.pipelineSft(spark, sf001).collect()
+    // independent derivation via a DIFFERENT formulation (groupBy-min
+    // instead of the pipeline's window): gated docs → min-id survivor
+    // per (source, text) → doc/token totals
+    val gated = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+        col("text"), Text.words(col("text")).as("w"))
+      .filter(graft.operators.TextOps.funnelFlags.reduce(_ && _))
+    val survivors = gated.groupBy("source", "text")
+      .agg(min("doc_id").as("doc_id"), min(size(col("w"))).as("n_tokens"))
+    val (nDocs, nTokens) = (survivors.count(),
+      survivors.agg(sum("n_tokens")).head().getLong(0))
+    assert(sft.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "manifest doc total differs from the independent survivor count")
+    assert(sft.map(_.getAs[Long]("bin_tokens")).sum == nTokens,
+      "manifest token total differs from the independent survivor tokens")
+    // the gates must actually gate, and the packing must actually pack
+    assert(nDocs > 0 && nDocs < 500, s"funnel passed $nDocs of 500 docs")
+    assert(sft.length < nDocs, "every doc got its own bin — fold not folding")
+  }
 }
