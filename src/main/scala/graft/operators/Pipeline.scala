@@ -211,8 +211,8 @@ object Pipeline extends QueryGroup {
         WHERE pw * 512 >= (SELECT COUNT(*) FROM sv)),
       r AS (
         SELECT doc_id, n_tokens,
-          CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)),
-            1, 4)) AS INTEGER) % (SELECT nshards FROM p) AS shard
+          CAST(CAST(concat('0x', substring(md5('42:' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS BIGINT) % (SELECT nshards FROM p) AS INTEGER) AS shard
         FROM sv),
       rk AS (
         SELECT shard, doc_id, n_tokens,

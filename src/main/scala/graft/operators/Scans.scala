@@ -492,6 +492,18 @@ object Scans extends QueryGroup {
     * the planning step, shared with PlanSpec's subset assertion.
     * Returns (candidate (gen, event_id) rows, generations holding at
     * least one candidate). */
+  /** Pin a candidate relation and read off its generation list: the
+    * postings join is pinned BEFORE the planning collect, so the
+    * fetch's broadcast id set reuses the same execution instead of
+    * re-reading both postings tables (2× index I/O per probe
+    * otherwise). */
+  private def saiCandGens(cand: DataFrame): (DataFrame, Seq[Long]) = {
+    val pinned = cand.localCheckpoint()
+    val gens = pinned.select("_gen").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    (pinned, gens)
+  }
+
   private[graft] def saiSelect(
       s: SparkSession, dir: String,
       user: Long, kLo: Int, kHi: Int): (DataFrame, Seq[Long]) = {
@@ -500,10 +512,25 @@ object Scans extends QueryGroup {
       .filter(col("user_id") === user).select("_gen", "event_id")
     val k = s.read.parquet(s"$root/idx_k")
       .filter(col("k").between(kLo, kHi)).select("_gen", "event_id")
-    val cand = u.join(k, Seq("_gen", "event_id"))
-    val gens = cand.select("_gen").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    (cand, gens)
+    saiCandGens(u.join(k, Seq("_gen", "event_id")))
+  }
+
+  /** Fetch tail shared by the AND and OR probes: open only the
+    * candidate generations, broadcast-semi on the pinned id set,
+    * residual re-verify, fixed output shape. */
+  private def saiFetch(
+      s: SparkSession, dir: String,
+      pinned: DataFrame, gens: Seq[Long], residual: Column): DataFrame = {
+    val root = saiEventsPath(s, dir)
+    val src =
+      if (gens.isEmpty) Tables.events(s, dir).filter(lit(false))
+      else s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    src
+      .join(broadcast(pinned.select("event_id")), Seq("event_id"), "left_semi")
+      .withColumn("k", saiK(col("props")))
+      .filter(residual)
+      .select("event_id", "user_id", "event_type", "value", "k")
+      .orderBy("event_id")
   }
 
   /** Point-plus-range read answered THROUGH the SAI postings: index
@@ -514,17 +541,9 @@ object Scans extends QueryGroup {
     * table (the bloom/manifest discipline). */
   def scanSai(s: SparkSession, dir: String): DataFrame = {
     val (user, kLo, kHi) = (7L, 80, 99)
-    val root = saiEventsPath(s, dir)
     val (cand, gens) = saiSelect(s, dir, user, kLo, kHi)
-    val src =
-      if (gens.isEmpty) Tables.events(s, dir).filter(lit(false))
-      else s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
-    src
-      .join(broadcast(cand.select("event_id")), Seq("event_id"), "left_semi")
-      .withColumn("k", saiK(col("props")))
-      .filter(col("user_id") === user && col("k").between(kLo, kHi))
-      .select("event_id", "user_id", "event_type", "value", "k")
-      .orderBy("event_id")
+    saiFetch(s, dir, cand, gens,
+      col("user_id") === user && col("k").between(kLo, kHi))
   }
 
   /** SAI disjunction — the CQL 5.0 headline feature: `WHERE a = x OR
@@ -543,18 +562,9 @@ object Scans extends QueryGroup {
       .filter(col("user_id") === 3).select("_gen", "event_id")
     val k = s.read.parquet(s"$root/idx_k")
       .filter(col("k") >= 97).select("_gen", "event_id")
-    val cand = u.unionByName(k).distinct()
-    val gens = cand.select("_gen").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val src =
-      if (gens.isEmpty) Tables.events(s, dir).filter(lit(false))
-      else s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
-    src
-      .join(broadcast(cand.select("event_id")), Seq("event_id"), "left_semi")
-      .withColumn("k", saiK(col("props")))
-      .filter(col("user_id") === 3 || col("k") >= 97)
-      .select("event_id", "user_id", "event_type", "value", "k")
-      .orderBy("event_id")
+    val (cand, gens) = saiCandGens(u.unionByName(k).distinct())
+    saiFetch(s, dir, cand, gens,
+      col("user_id") === 3 || col("k") >= 97)
   }
 
   /** 2-D range aggregate answered from the Hilbert-clustered copy —

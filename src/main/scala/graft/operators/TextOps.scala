@@ -87,9 +87,13 @@ object TextOps extends QueryGroup {
     */
   def dedupScoped(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    // mirrors at +2^40 — the engine's collision-proof planted-id
+    // offset (dedup_semantic convention): a +1e6 offset collides with
+    // natural ids one decade past the ×100 fixture, making the output
+    // order non-total exactly when it matters
     val corpus = d.unionByName(
       d.filter(col("doc_id") < 40).select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + (1L << 40)).as("doc_id"),
         lit("src_mirror").as("source"), col("text")))
     corpus
       .withColumn("h", sha2(col("text"), 256))
@@ -305,14 +309,24 @@ object TextOps extends QueryGroup {
     * input's OWN count (smallest power of two with shards·512 ≥ rows),
     * so the per-shard fold state stays ~512 docs at any input size. */
   private[operators] def nfdPack(docs: DataFrame, budget: Int = 512): DataFrame = {
+    // pinned before the count: the shard-count derivation executes the
+    // whole input plan, and for pipeline_sft that plan is the gated +
+    // deduped corpus scan — unpinned, the pack pass would run it all a
+    // second time
     val keyed = docs.withColumn("skey",
       md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))))
+      .localCheckpoint()
     val n = keyed.count()
     var nShards = 1L
     while (nShards * 512 < n) nShards <<= 1
     keyed
+      // 8 hex chars = 32 hash bits: a 16-bit slice caps usable shards
+      // at 65536, silently unbounding the per-shard fold past ~33M
+      // docs; 32 bits keep the ~512-docs-per-shard claim real to 2^32
+      // shards
       .withColumn("shard",
-        (conv(substring(col("skey"), 1, 4), 16, 10).cast("int") % lit(nShards).cast("int")))
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long")
+          % lit(nShards)).cast("int"))
       .groupBy("shard")
       .agg(sort_array(collect_list(struct(
         (-col("n_tokens")).as("nt_neg"), col("doc_id"), col("n_tokens")))).as("arr"))
@@ -1194,7 +1208,7 @@ object TextOps extends QueryGroup {
       WITH corpus AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, 'src_mirror' AS source, text
+        SELECT doc_id + 1099511627776 AS doc_id, 'src_mirror' AS source, text
         FROM documents WHERE doc_id < 40)
       SELECT doc_id, source,
         doc_id = MIN(doc_id) OVER (PARTITION BY text) AS kept_global,
@@ -1212,8 +1226,8 @@ object TextOps extends QueryGroup {
         WHERE pw * 512 >= (SELECT COUNT(*) FROM docs)),
       r AS (
         SELECT doc_id, n_tokens,
-          CAST(concat('0x', substring(skey, 1, 4)) AS INTEGER)
-            % (SELECT nshards FROM p) AS shard
+          CAST(CAST(concat('0x', substring(skey, 1, 8)) AS BIGINT)
+            % (SELECT nshards FROM p) AS INTEGER) AS shard
         FROM docs),
       rk AS (
         SELECT shard, doc_id, n_tokens,

@@ -523,6 +523,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("pipeline_sft reads the corpus exactly once (checkpoint cuts the second pass)") {
+    // the shard-count derivation inside nfdPack executes the gated +
+    // deduped survivor plan; without the checkpoint the pack pass
+    // would scan documents a second time — pin the single scan
+    val p = plan("pipeline_sft")
+    val scans = "Scan parquet".r.findAllIn(p).size +
+      "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 0, // the fold consumes the checkpointed RDD only
+      s"pipeline_sft's executed plan re-reads parquet ($scans scans):\n${p.take(800)}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed survivor RDD at the leaves:\n${p.take(800)}")
+  }
+
   test("ring plans broadcast the bounded range table, never shuffle the keys") {
     // The range join is non-equi by nature; correctness at scale rests
     // on the ranges side being ring-domain-bounded and broadcast. The
