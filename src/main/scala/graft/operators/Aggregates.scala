@@ -246,6 +246,50 @@ object Aggregates extends QueryGroup {
       .orderBy("week")
   }
 
+  private val typedSketchBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Sketch set-operation — audience OVERLAP from persisted sketches
+    * ([[aggSketchMerge]]'s sibling): "how many users both clicked and
+    * purchased this week" answered WITHOUT re-reading events, via
+    * inclusion–exclusion over the per-(day, event_type) HLL sketches:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL unions are exact over
+    * the sketch lattice (register maxima), so the only approximation
+    * is HLL's own; intersection via inclusion–exclusion inherits both
+    * arms' error — acceptable for audience sizing, and the KernelSpec
+    * gate asserts the estimate lands within tolerance of the exact
+    * overlap. Deterministic (order-free register maxima) but
+    * engine-specific ⇒ rows-only. The sketch table is (days × types)
+    * rows at ANY event volume — the rollup never touches the corpus.
+    */
+  def aggSketchIntersect(s: SparkSession, dir: String): DataFrame = {
+    val path = typedSketchBuilt.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratchKeyed("daily_type_sketches", dir)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val sk = s.read.parquet(path)
+      .withColumn("week", weekofyear(col("day")))
+    val per = sk.groupBy("week", "event_type")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+    val arms = per.groupBy("week")
+      .pivot("event_type", Seq("click", "purchase"))
+      .agg(first(col("sk")))
+    val both = sk.groupBy("week").agg(hll_union_agg(col("sk")).as("sk_union"))
+    arms.join(both, "week")
+      .select(col("week"),
+        floor(hll_sketch_estimate(col("click"))).cast("long").as("est_click"),
+        floor(hll_sketch_estimate(col("purchase"))).cast("long").as("est_purchase"),
+        floor(hll_sketch_estimate(col("sk_union"))).cast("long").as("est_union"))
+      .withColumn("est_overlap",
+        col("est_click") + col("est_purchase") - col("est_union"))
+      .orderBy("week")
+  }
+
   /** Per-group mode (most frequent value): count per (group, value),
     * then an argmax aggregation — two hash aggregates, both
     * partial-aggregable, no sort/window. Tie-break: highest count,
@@ -470,6 +514,7 @@ object Aggregates extends QueryGroup {
     "mv_incremental" -> (mvIncremental _),
     "mv_incremental_join" -> (mvIncrementalJoin _),
     "agg_sketch_merge" -> (aggSketchMerge _),
+    "agg_sketch_intersect" -> (aggSketchIntersect _),
     "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_quantile_approx" -> (aggQuantileApprox _),

@@ -31,13 +31,14 @@ object Mixture extends QueryGroup {
     * cumulative offsets), phase 2 adds a per-bucket running window.
     * The kept set is a clean prefix: the first document that would
     * cross the budget blocks everything after it. */
-  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+  /** Two-phase distributed token-budget prefix over (doc_id, skey,
+    * n_tokens) rows: per-bucket totals (≤65536, collected + broadcast
+    * as cumulative offsets) + a per-bucket running window — the
+    * budget cut without a global single-task window. Shared by
+    * [[sampleTokenBudget]] and both phases of [[mixAnneal]]. */
+  private def budgetPrefix(s: SparkSession, base0: DataFrame, budget: Long): DataFrame = {
     val sp = s; import sp.implicits._
-    val budget = 10000L
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), skeyCol.as("skey"),
-        size(Text.words(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("b", bucketCol)
+    val base = base0.withColumn("b", bucketCol)
     val counts = base.groupBy("b").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
@@ -48,7 +49,48 @@ object Mixture extends QueryGroup {
         sum("n_tokens").over(Window.partitionBy("b").orderBy("skey", "doc_id")))
       .filter(col("cum_end") <= budget)
       .select("doc_id", "skey", "n_tokens", "cum_end")
+  }
+
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
+    budgetPrefix(s,
+      Tables.documents(s, dir)
+        .select(col("doc_id"), skeyCol.as("skey"),
+          size(Text.words(col("text"))).cast("long").as("n_tokens")),
+      budget = 10000L)
       .orderBy("doc_id")
+
+  /** Two-phase annealing schedule — the "midtraining" recipe current
+    * pretraining runs publish (late-stage quality upweighting): the
+    * MAIN phase fills 90% of the token budget from the full corpus in
+    * the standard seed-42 shuffle order; the ANNEAL phase fills the
+    * final 10% from the HIGH-QUALITY subset only (the
+    * [[TextOps.funnelFlags]] gates — shared definition, so the gate
+    * and the report cannot drift), re-shuffled under its own seed.
+    * A document may appear in both phases — annealing deliberately
+    * re-samples quality data the run has already seen. Both phases
+    * are the same distributed budget prefix as
+    * [[sampleTokenBudget]]; the union is stage-tagged, so the output
+    * IS the loader's schedule. */
+  def mixAnneal(s: SparkSession, dir: String): DataFrame = {
+    val annealSkey =
+      md5(concat_ws(":", lit("77"), col("doc_id").cast("string")))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("lang"),
+        Text.words(col("text")).as("w"))
+    val main = budgetPrefix(s,
+      d.select(col("doc_id"), skeyCol.as("skey"),
+        size(col("w")).cast("long").as("n_tokens")),
+      budget = 10800L)
+      .select(lit("main").as("stage"), col("doc_id"), col("n_tokens"),
+        col("cum_end"))
+    val anneal = budgetPrefix(s,
+      d.filter(TextOps.funnelFlags.reduce(_ && _))
+        .select(col("doc_id"), annealSkey.as("skey"),
+          size(col("w")).cast("long").as("n_tokens")),
+      budget = 1200L)
+      .select(lit("anneal").as("stage"), col("doc_id"), col("n_tokens"),
+        col("cum_end"))
+    main.unionByName(anneal).orderBy("stage", "doc_id")
   }
 
   /** Weighted mixture schedule — the "sample source A 4× as often as
@@ -170,6 +212,7 @@ object Mixture extends QueryGroup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_anneal" -> (mixAnneal _),
     "mix_epochs" -> (mixEpochs _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "mix_sources" -> (mixSources _),
@@ -177,6 +220,40 @@ object Mixture extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // both phases as plain global running-sum windows over the same
+    // seeded orders; the anneal subset repeats the funnel predicates
+    "mix_anneal" -> """
+      WITH d AS (
+        SELECT doc_id, n_chars, lang, string_split(text, ' ') AS w
+        FROM documents),
+      mainp AS (
+        SELECT 'main' AS stage, doc_id, n_tokens,
+          CAST(cum_end AS BIGINT) AS cum_end
+        FROM (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+            SUM(CAST(len(w) AS BIGINT)) OVER (
+              ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+              AS cum_end
+          FROM d)
+        WHERE cum_end <= 10800),
+      ann AS (
+        SELECT 'anneal' AS stage, doc_id, n_tokens,
+          CAST(cum_end AS BIGINT) AS cum_end
+        FROM (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+            SUM(CAST(len(w) AS BIGINT)) OVER (
+              ORDER BY md5('77:' || CAST(doc_id AS VARCHAR)), doc_id)
+              AS cum_end
+          FROM d
+          WHERE (n_chars BETWEEN 100 AND 2000)
+            AND lang IN ('en', 'de', 'fr', 'es')
+            AND len(w) >= 20
+            AND len(list_distinct(w)) * 10 >= len(w) * 4
+            AND (list_contains(w, 'the') OR list_contains(w, 'a')))
+        WHERE cum_end <= 1200)
+      SELECT stage, doc_id, n_tokens, cum_end FROM (
+        SELECT * FROM mainp UNION ALL SELECT * FROM ann)
+      ORDER BY stage, doc_id""",
     // same two-round integer water-filling, verbatim; every SUM cast
     // back to BIGINT (DuckDB sums into HUGEINT)
     "mix_epochs" -> """

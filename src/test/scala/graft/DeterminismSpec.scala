@@ -165,7 +165,10 @@ class DeterminismSpec extends SparkSpec {
     "scan_sai_or",
     // the composed funnel → scoped-dedup → NFD-pack chain: a layout
     // leak in ANY stage surfaces in the walk-ordered bin md5s
-    "pipeline_sft")
+    "pipeline_sft",
+    // two budget prefixes (collected offset maps) + the gated subset;
+    // register-maxima sketch estimates must be layout-free
+    "mix_anneal", "agg_sketch_intersect")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -806,6 +806,30 @@ class KernelSpec extends SparkSpec {
     assert(fixedShared <= 1, s"fixed stride unexpectedly re-synced: $fixedShared")
   }
 
+  test("agg_sketch_intersect: inclusion-exclusion estimate tracks the exact overlap") {
+    val sp = spark; import sp.implicits._
+    val est = SparkEntry.queries("agg_sketch_intersect")(spark, sf001)
+      .select("week", "est_overlap").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.events(spark, sf001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(weekofyear(col("ts")).as("week"), col("user_id"), col("event_type"))
+      .distinct()
+      .groupBy("week", "user_id").count()
+      .filter(col("count") === 2)
+      .groupBy("week").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, s"weeks differ: ${est.keySet} vs ${exact.keySet}")
+    for ((w, ex) <- exact) {
+      val e = est(w)
+      // inclusion-exclusion carries both arms' HLL error; at this
+      // cardinality (~15 users) the sketches are in sparse mode and
+      // near-exact — a loose band still catches any set-logic bug
+      assert(math.abs(e - ex) <= math.max(2L, ex / 5),
+        s"week $w: estimate $e vs exact $ex")
+    }
+  }
+
   test("pack_greedy: fold matches the sequential NFD walk; bins respect the budget") {
     val rows = SparkEntry.queries("pack_greedy")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
