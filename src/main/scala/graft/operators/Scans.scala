@@ -567,6 +567,52 @@ object Scans extends QueryGroup {
       col("user_id") === 3 || col("k") >= 97)
   }
 
+  /** SAI over a COLLECTION column — CQL `WHERE col CONTAINS x` made
+    * indexable (Cassandra 5 SAI indexes list/set/map elements, the
+    * query 2i/SASI could only answer by scanning): documents in 8
+    * hash generations, the stored `words` array exploded into a
+    * per-generation element-postings table (element → row ids; the
+    * postings are element-domain × docs-containing rows, the same
+    * bound an inverted index always has). Two CONTAINS predicates
+    * intersect their postings on (generation, row id) exactly like
+    * [[scanSai]]'s scalar AND; fetch + residual re-verify, same
+    * discipline. */
+  private val saiDocsPaths =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def saiDocsPath(s: SparkSession, dir: String): String =
+    saiDocsPaths.getOrElseUpdate(dir, {
+      val root = graft.core.RunId.scratchKeyed("sai/docs", dir)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"),
+          col("lang"), col("n_chars"))
+        .withColumn("_gen", pmod(xxhash64(col("doc_id")), lit(SaiGens)))
+      base.write.mode("overwrite").partitionBy("_gen").parquet(s"$root/data")
+      base.select(col("_gen"), explode(array_distinct(col("words"))).as("w"),
+        col("doc_id"))
+        .write.mode("overwrite").parquet(s"$root/idx_words")
+      root
+    })
+
+  def scanSaiContains(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = ("dup", "vector")
+    val root = saiDocsPath(s, dir)
+    val idx = s.read.parquet(s"$root/idx_words")
+    val p1 = idx.filter(col("w") === w1).select("_gen", "doc_id")
+    val p2 = idx.filter(col("w") === w2).select("_gen", "doc_id")
+    val (cand, gens) = saiCandGens(p1.join(p2, Seq("_gen", "doc_id")))
+    val src =
+      if (gens.isEmpty)
+        s.read.parquet(s"$root/data").filter(lit(false))
+      else s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    src
+      .join(broadcast(cand.select("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(array_contains(col("words"), w1) &&
+        array_contains(col("words"), w2))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("words")).as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** 2-D range aggregate answered from the Hilbert-clustered copy —
     * the sink_zorder surface on the better curve (different slice so
     * the two queries aren't duplicates). Layout is output-invisible ⇒
@@ -765,6 +811,7 @@ object Scans extends QueryGroup {
     "scan_bloom_pruned" -> (scanBloomPruned _),
     "scan_sai" -> (scanSai _),
     "scan_sai_or" -> (scanSaiOr _),
+    "scan_sai_contains" -> (scanSaiContains _),
     "backfill_partitioned" -> (backfillPartitioned _),
     "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
@@ -861,6 +908,15 @@ object Scans extends QueryGroup {
       WHERE user_id = 3
          OR CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) >= 97
       ORDER BY event_id""",
+    // collection index + layout are output-invisible: same double
+    // CONTAINS on the original table
+    "scan_sai_contains" -> """
+      SELECT doc_id, lang, n_chars,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+      FROM documents
+      WHERE list_contains(string_split(text, ' '), 'dup')
+        AND list_contains(string_split(text, ' '), 'vector')
+      ORDER BY doc_id""",
     "scan_manifest_pruned" -> s"""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_items,

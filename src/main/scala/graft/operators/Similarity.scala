@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{RunId, Tables}
@@ -741,23 +741,32 @@ object Similarity extends QueryGroup {
     * 0.021 vs 0.0003 cross — measured; a reference NumPy k-means gets
     * the same ~0.17 purity, so label recovery on the fixture is not a
     * meaningful assertion). */
-  private[graft] def kmeansAssign(
-      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Per-row (cluster id, squared-distance-to-centroid term) against a
+    * broadcast-literal centroid set: d = ‖c‖² − 2·c·x (the ‖x‖² term
+    * is cluster-independent and omitted — argmin-preserving, and on
+    * L2-normalized fixtures a constant). */
+  private def kmeansDistStruct(
+      centroids: Array[Array[Float]]): Column = {
+    val cand = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x.toDouble * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * Vectors.fdot(col("embedding"),
+          typedlit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }
+    array_min(array(cand: _*))
+  }
+
+  /** Lloyd iteration loop: returns the trained centroids (k·d driver
+    * state). Shared by [[kmeansAssign]] and [[sampleCoreset]]. */
+  private[graft] def kmeansCentroids(
+      emb: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
     // deterministic init: the k smallest vec_ids
     var centroids: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Float](1).toArray)
-    def assigned(): DataFrame = {
-      val cand = centroids.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(x => x.toDouble * x).sum
-        struct(
-          (lit(cc) - lit(2.0) * Vectors.fdot(col("embedding"),
-            typedlit(c.toSeq))).as("d"),
-          lit(i).as("i"))
-      }
-      emb.withColumn("cluster", array_min(array(cand: _*)).getField("i"))
-    }
     for (_ <- 1 to iters) {
-      val sums = assigned()
+      val sums = emb
+        .withColumn("cluster", kmeansDistStruct(centroids).getField("i"))
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy("cluster", "pos")
         .agg(sum(floor(col("col") * lit(1048576.0)).cast("long")).as("sq"),
@@ -778,9 +787,44 @@ object Similarity extends QueryGroup {
       }
       centroids = next
     }
-    assigned()
+    centroids
+  }
+
+  private[graft] def kmeansAssign(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val centroids = kmeansCentroids(emb, k, iters)
+    emb.withColumn("cluster", kmeansDistStruct(centroids).getField("i"))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** Cluster-balanced prototype selection — the diversity-sampling
+    * stage of embedding-space curation (the keep-side complement of
+    * SemDeDup's drop rule, the "prototypicality" selection of the
+    * coreset literature): train k-means once ([[kmeansCentroids]],
+    * k·d driver state), then keep the 4 most CENTRAL vectors of every
+    * cell — a subset that spans all k modes of the corpus instead of
+    * oversampling the dominant one. Assignment + distance are one
+    * row-local codegen pass over the broadcast centroid literals; the
+    * per-cell rank rides WindowGroupLimit (each partition forwards ≤4
+    * rows per cell before the shuffle). Declared no-oracle (cells are
+    * the engine's own float k-means); DedupSimilaritySpec pins
+    * per-cell counts, the min-distance property against a brute-force
+    * recomputation, and cross-layout determinism. */
+  def sampleCoreset(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val centroids = kmeansCentroids(emb, k = 10, iters = 5)
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    emb
+      .withColumn("a", kmeansDistStruct(centroids))
+      .select(col("vec_id"),
+        col("a").getField("i").as("cluster"),
+        round(col("a").getField("d"), 6).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select("cluster", "rk", "vec_id", "dist")
+      .orderBy("cluster", "rk")
   }
 
   /** Distributed PCA over the embedding corpus (whitening /
@@ -951,6 +995,7 @@ object Similarity extends QueryGroup {
     "sim_recall_eval" -> (simRecallEval _),
     "embedding_pca" -> (embeddingPca _),
     "kmeans_fit" -> (kmeansFit _),
+    "sample_coreset" -> (sampleCoreset _),
     "dedup_semantic" -> (dedupSemantic _),
     "embedding_quantize" -> (embeddingQuantize _),
     "sim_topk" -> (simTopk _),

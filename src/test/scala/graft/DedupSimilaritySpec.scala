@@ -463,6 +463,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recalls.head > 0.0, "nprobe=1 found nothing — probe broken")
   }
 
+  test("sample_coreset: k cells, ≤4 per cell, and each pick is genuinely most-central") {
+    val rows = SparkEntry.queries("sample_coreset")(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byCell = rows.groupBy(_._1)
+    assert(byCell.keySet.subsetOf((0 until 10).toSet) && byCell.nonEmpty)
+    for ((c, members) <- byCell) {
+      assert(members.length <= 4, s"cell $c over-selected: ${members.length}")
+      // ranks dense from 1, distances non-decreasing with rank
+      val sorted = members.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to members.length),
+        s"cell $c ranks not dense")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        s"cell $c distances not monotone in rank")
+    }
+    // brute-force check: recompute every vector's (cell, dist) from
+    // the same trained centroids and confirm the selection per cell
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      graft.core.Tables.embeddings(spark, sf001).select("vec_id", "embedding"),
+      k = 10, iters = 5)
+    def assign(v: Array[Float]): (Int, Double) =
+      cents.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x.toDouble * x).sum
+        val dot = c.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + (x * y).toDouble }
+        (cc - 2.0 * dot, i)
+      }.min match { case (d, i) => (i, d) }
+    val all = emb.map { case (id, v) => val (c, d) = assign(v); (c, d, id) }
+    for ((c, members) <- byCell) {
+      val expect = all.filter(_._1 == c).sortBy(t => (t._2, t._3))
+        .take(members.length).map(_._3).toSet
+      val got = members.map(_._3).toSet
+      assert(got == expect, s"cell $c picks differ: got $got expect $expect")
+    }
+  }
+
   test("dedup_minhash_eval: estimator tracks truth and separates planted from random") {
     val rows = SparkEntry.queries("dedup_minhash_eval")(spark, sf001).collect()
       .map(r => (r.getString(2), r.getDouble(4), r.getDouble(7)))

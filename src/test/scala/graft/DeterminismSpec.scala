@@ -168,7 +168,10 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_sft",
     // two budget prefixes (collected offset maps) + the gated subset;
     // register-maxima sketch estimates must be layout-free
-    "mix_anneal", "agg_sketch_intersect")
+    "mix_anneal", "agg_sketch_intersect",
+    // broadcast-centroid assignment + WindowGroupLimit rank; element
+    // postings intersection + collected generation list
+    "sample_coreset", "scan_sai_contains")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
