@@ -280,13 +280,20 @@ object Aggregates extends QueryGroup {
       .pivot("event_type", Seq("click", "purchase"))
       .agg(first(col("sk")))
     val both = sk.groupBy("week").agg(hll_union_agg(col("sk")).as("sk_union"))
+    // a week may lack one arm entirely (boundary weeks): its pivot
+    // cell is a NULL sketch ⇒ estimate 0, and inclusion–exclusion is
+    // clamped at 0 (it can dip below zero by sketch error even when
+    // both arms exist)
+    def est(c: Column): Column =
+      coalesce(floor(hll_sketch_estimate(c)).cast("long"), lit(0L))
     arms.join(both, "week")
       .select(col("week"),
-        floor(hll_sketch_estimate(col("click"))).cast("long").as("est_click"),
-        floor(hll_sketch_estimate(col("purchase"))).cast("long").as("est_purchase"),
-        floor(hll_sketch_estimate(col("sk_union"))).cast("long").as("est_union"))
+        est(col("click")).as("est_click"),
+        est(col("purchase")).as("est_purchase"),
+        est(col("sk_union")).as("est_union"))
       .withColumn("est_overlap",
-        col("est_click") + col("est_purchase") - col("est_union"))
+        greatest(lit(0L),
+          col("est_click") + col("est_purchase") - col("est_union")))
       .orderBy("week")
   }
 

@@ -20,7 +20,11 @@ import graft.functions.Text
 object Mixture extends QueryGroup {
 
   private val Seed = "42"
-  private def skeyCol = md5(concat_ws(":", lit(Seed), col("doc_id").cast("string")))
+  private def skeyCol: org.apache.spark.sql.Column = skeyCol(Seed)
+  /** Seeded shuffle key — ONE definition for every phase/seed, so the
+    * key scheme cannot fork between the main and anneal orders. */
+  private def skeyCol(seed: String): org.apache.spark.sql.Column =
+    md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
   private def bucketCol = conv(substring(col("skey"), 1, 4), 16, 10).cast("int")
 
   /** Token-budget subset — "give me the first N tokens of the shuffled
@@ -72,8 +76,7 @@ object Mixture extends QueryGroup {
     * [[sampleTokenBudget]]; the union is stage-tagged, so the output
     * IS the loader's schedule. */
   def mixAnneal(s: SparkSession, dir: String): DataFrame = {
-    val annealSkey =
-      md5(concat_ws(":", lit("77"), col("doc_id").cast("string")))
+    val annealSkey = skeyCol("77")
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"), col("lang"),
         Text.words(col("text")).as("w"))

@@ -583,7 +583,8 @@ object Scans extends QueryGroup {
     saiDocsPaths.getOrElseUpdate(dir, {
       val root = graft.core.RunId.scratchKeyed("sai/docs", dir)
       val base = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("words"),
+        .select(col("doc_id"),
+          graft.functions.Text.words(col("text")).as("words"),
           col("lang"), col("n_chars"))
         .withColumn("_gen", pmod(xxhash64(col("doc_id")), lit(SaiGens)))
       base.write.mode("overwrite").partitionBy("_gen").parquet(s"$root/data")

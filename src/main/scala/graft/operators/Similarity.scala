@@ -815,15 +815,22 @@ object Similarity extends QueryGroup {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val centroids = kmeansCentroids(emb, k = 10, iters = 5)
     val w = Window.partitionBy("cluster")
-      .orderBy(col("dist").asc, col("vec_id").asc)
+      .orderBy(col("d2").asc, col("vec_id").asc)
     emb
       .withColumn("a", kmeansDistStruct(centroids))
+      // the TRUE squared distance: the assignment proxy drops the
+      // cluster-independent ‖x‖² term, but the WITHIN-cell ranking
+      // compares different rows, where ‖x‖² matters on any
+      // non-normalized input (and keeps the column non-negative);
+      // ranking on the UNROUNDED value, rounding only for display
+      .withColumn("d2",
+        col("a").getField("d") + Vectors.fdot(col("embedding"), col("embedding")))
       .select(col("vec_id"),
-        col("a").getField("i").as("cluster"),
-        round(col("a").getField("d"), 6).as("dist"))
+        col("a").getField("i").as("cluster"), col("d2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 4)
-      .select("cluster", "rk", "vec_id", "dist")
+      .select(col("cluster"), col("rk"), col("vec_id"),
+        round(col("d2"), 6).as("dist"))
       .orderBy("cluster", "rk")
   }
 

@@ -467,7 +467,13 @@ class DedupSimilaritySpec extends SparkSpec {
     val rows = SparkEntry.queries("sample_coreset")(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val byCell = rows.groupBy(_._1)
-    assert(byCell.keySet.subsetOf((0 until 10).toSet) && byCell.nonEmpty)
+    assert(byCell.keySet.subsetOf((0 until 10).toSet))
+    // the SELECTION claim is "spans the corpus's modes": a collapse to
+    // one mega-cell (broken distance struct) must fail here, not pass
+    // because subset+nonEmpty were vacuous
+    assert(byCell.size >= 8, s"k-means collapsed: only ${byCell.size} of 10 cells populated")
+    // every pick is non-negative true squared distance
+    assert(rows.forall(_._4 >= 0.0), "negative squared distance in output")
     for ((c, members) <- byCell) {
       assert(members.length <= 4, s"cell $c over-selected: ${members.length}")
       // ranks dense from 1, distances non-decreasing with rank
@@ -491,7 +497,12 @@ class DedupSimilaritySpec extends SparkSpec {
         val dot = c.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + (x * y).toDouble }
         (cc - 2.0 * dot, i)
       }.min match { case (d, i) => (i, d) }
-    val all = emb.map { case (id, v) => val (c, d) = assign(v); (c, d, id) }
+    // within-cell ranking uses the TRUE squared distance (proxy + ‖x‖²)
+    def norm2(v: Array[Float]): Double =
+      v.foldLeft(0.0) { case (a, x) => a + (x * x).toDouble }
+    val all = emb.map { case (id, v) =>
+      val (c, d) = assign(v); (c, d + norm2(v), id)
+    }
     for ((c, members) <- byCell) {
       val expect = all.filter(_._1 == c).sortBy(t => (t._2, t._3))
         .take(members.length).map(_._3).toSet

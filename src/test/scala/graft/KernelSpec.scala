@@ -811,13 +811,17 @@ class KernelSpec extends SparkSpec {
     val est = SparkEntry.queries("agg_sketch_intersect")(spark, sf001)
       .select("week", "est_overlap").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exact overlap per week over ALL weeks with any click/purchase
+    // activity — a week holding only one arm must appear with overlap
+    // 0 (the operator coalesces its missing-arm estimate to 0), not
+    // vanish from the comparison
     val exact = graft.core.Tables.events(spark, sf001)
       .filter(col("event_type").isin("click", "purchase"))
       .select(weekofyear(col("ts")).as("week"), col("user_id"), col("event_type"))
       .distinct()
       .groupBy("week", "user_id").count()
-      .filter(col("count") === 2)
-      .groupBy("week").count()
+      .groupBy("week")
+      .agg(sum(when(col("count") === 2, 1L).otherwise(0L)).as("overlap"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(est.keySet == exact.keySet, s"weeks differ: ${est.keySet} vs ${exact.keySet}")
     for ((w, ex) <- exact) {
