@@ -834,6 +834,74 @@ object Similarity extends QueryGroup {
       .orderBy("cluster", "rk")
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity-aware retrieval stage a RAG stack runs
+    * AFTER top-k: picks maximize λ·sim(q,d) − (1−λ)·max_sel sim(d,s),
+    * so near-duplicate hits cannot crowd the result list the way a
+    * plain score sort lets them. Inherently sequential (each pick
+    * changes the next objective), so it runs as a FIXED-iteration
+    * driver loop over the candidate pool — the kmeans/PCA precedent:
+    * every round is one bounded join (pool × selected, ≤ pool·round
+    * rows per query) + a max_by argmax, no UDF, no collect, and the
+    * round's ≤|queries| picks are pinned so ten rounds never stack
+    * into one mega-plan. Pool = exact top-20 per query (the sim_topk
+    * kernel); at scale the pool comes from the IVF probe and the MMR
+    * cost stays pool-bounded regardless of corpus size. Scores ride
+    * round(fdot, 6) everywhere so ties are reproducible. Declared
+    * no-oracle (iterative); DedupSimilaritySpec replays the exact
+    * greedy objective over the same pool and pins the full pick
+    * sequence, and diversity > plain-top-k is asserted directly. */
+  def simMmr(s: SparkSession, dir: String): DataFrame = {
+    val (lam, poolK, outK) = (0.7, 20, 10)
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val pool = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qsim", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("prk", row_number().over(wq))
+      .filter(col("prk") <= poolK)
+      .select("query_id", "vec_id", "qsim", "embedding")
+      .localCheckpoint()
+    // round 1: plain argmax of qsim (no selected set yet)
+    var selected = pool
+      .groupBy("query_id")
+      .agg(max_by(
+        struct(col("vec_id"), col("qsim"), col("embedding")),
+        struct(col("qsim"), (-col("vec_id")).as("nv"))).as("p"))
+      .select(col("query_id"), lit(1).as("mmr_rank"),
+        col("p.vec_id").as("vec_id"), col("p.qsim").as("qsim"),
+        col("p.qsim").as("mmr_score"), col("p.embedding").as("embedding"))
+      .localCheckpoint()
+    for (r <- 2 to outK) {
+      val sel = selected.select(col("query_id"),
+        col("vec_id").as("sel_id"), col("embedding").as("sel_emb"))
+      val next = pool
+        .join(sel, "query_id")
+        .withColumn("ssim",
+          round(Vectors.fdot(col("embedding"), col("sel_emb")), 6))
+        .groupBy("query_id", "vec_id", "qsim")
+        .agg(max("ssim").as("max_sel"), first("embedding").as("embedding"),
+          max(when(col("vec_id") === col("sel_id"), 1).otherwise(0)).as("taken"))
+        .filter(col("taken") === 0)
+        .withColumn("mmr",
+          round(lit(lam) * col("qsim") - lit(1 - lam) * col("max_sel"), 6))
+        .groupBy("query_id")
+        .agg(max_by(
+          struct(col("vec_id"), col("qsim"), col("mmr"), col("embedding")),
+          struct(col("mmr"), (-col("vec_id")).as("nv"))).as("p"))
+        .select(col("query_id"), lit(r).as("mmr_rank"),
+          col("p.vec_id").as("vec_id"), col("p.qsim").as("qsim"),
+          col("p.mmr").as("mmr_score"), col("p.embedding").as("embedding"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected
+      .select("query_id", "mmr_rank", "vec_id", "qsim", "mmr_score")
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** Distributed PCA over the embedding corpus (whitening /
     * dimensionality reduction — the standard quantizer pre-step an
     * ANN build runs before IVF-PQ, and the missing sibling of
@@ -1003,6 +1071,7 @@ object Similarity extends QueryGroup {
     "embedding_pca" -> (embeddingPca _),
     "kmeans_fit" -> (kmeansFit _),
     "sample_coreset" -> (sampleCoreset _),
+    "sim_mmr" -> (simMmr _),
     "dedup_semantic" -> (dedupSemantic _),
     "embedding_quantize" -> (embeddingQuantize _),
     "sim_topk" -> (simTopk _),

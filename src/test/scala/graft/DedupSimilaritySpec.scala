@@ -511,6 +511,55 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_mmr: picks replay the exact greedy objective and beat plain top-k on diversity") {
+    val got = SparkEntry.queries("sim_mmr")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += (a(i) * b(i)).toDouble; i += 1 }
+      s
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 0.7
+    for (qid <- 0L until 5L) {
+      val qv = emb(qid)
+      // the same top-20 pool: qsim desc, vec_id asc
+      val pool = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, r6(fdot(v, qv)), v) }
+        .sortBy { case (id, s, _) => (-s, id) }.take(20)
+      var sel = List.empty[(Long, Array[Float])]
+      val expect = (1 to 10).map { r =>
+        val scored = pool.filterNot { case (id, _, _) => sel.exists(_._1 == id) }
+          .map { case (id, qs, v) =>
+            val m =
+              if (sel.isEmpty) qs
+              else r6(lam * qs - (1 - lam) *
+                sel.map(s => r6(fdot(v, s._2))).max)
+            (id, qs, m, v)
+          }
+        val pick = scored.maxBy { case (id, _, m, _) => (m, -id) }
+        sel = (pick._1, pick._4) :: sel
+        (r, pick._1, pick._2, pick._3)
+      }
+      val gotQ = got.filter(_._1 == qid).sortBy(_._2)
+        .map(t => (t._2, t._3, t._4, t._5))
+      assert(gotQ.toSeq == expect.toSeq,
+        s"query $qid MMR sequence differs:\n got   $gotQ\n expect $expect")
+      // diversity: the MMR set's max internal similarity must not
+      // exceed the plain top-10's (usually strictly lower)
+      def maxInternal(ids: Seq[Long]): Double =
+        (for (a <- ids; b <- ids if a < b) yield fdot(emb(a), emb(b))).max
+      val mmrIds = gotQ.map(_._2).toSeq
+      val topIds = pool.take(10).map(_._1).toSeq
+      assert(maxInternal(mmrIds) <= maxInternal(topIds) + 1e-9,
+        s"query $qid: MMR set less diverse than plain top-k")
+    }
+  }
+
   test("dedup_minhash_eval: estimator tracks truth and separates planted from random") {
     val rows = SparkEntry.queries("dedup_minhash_eval")(spark, sf001).collect()
       .map(r => (r.getString(2), r.getDouble(4), r.getDouble(7)))

@@ -171,7 +171,10 @@ class DeterminismSpec extends SparkSpec {
     "mix_anneal", "agg_sketch_intersect",
     // broadcast-centroid assignment + WindowGroupLimit rank; element
     // postings intersection + collected generation list
-    "sample_coreset", "scan_sai_contains")
+    "sample_coreset", "scan_sai_contains",
+    // ten fixed argmax rounds over the pinned pool — every round's
+    // pick must be layout-free
+    "sim_mmr")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
