@@ -297,6 +297,32 @@ object Aggregates extends QueryGroup {
       .orderBy("week")
   }
 
+  /** Join-key skew diagnostic — the planning input behind every
+    * salting/AQE-skew decision ([[graft.operators.Joins.joinSalted]]
+    * acts on exactly this report): per-key row counts for a join key,
+    * the top-10 heavy hitters, and the global skew ratio
+    * (max·n_keys/total — 1.0 ⇒ perfectly uniform). One map-side-
+    * combining aggregate to the key domain, one 1-row stats aggregate
+    * broadcast back, rank rides TakeOrderedAndProject via the
+    * orderBy+limit — nothing key-domain-sized ever sorts globally.
+    * All-integer surfaces except the two declared exact divisions. */
+  def statsSkew(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("key_rows"))
+    val tot = per.agg(
+      count(lit(1)).as("n_keys"),
+      sum("key_rows").cast("long").as("total_rows"),
+      max("key_rows").as("max_rows"))
+    per.crossJoin(tot)
+      .select(col("key"), col("key_rows"), col("n_keys"), col("total_rows"),
+        round(col("total_rows").cast("double") / col("n_keys"), 6).as("avg_rows"),
+        round(col("max_rows").cast("double") * col("n_keys") / col("total_rows"), 6)
+          .as("skew_ratio"))
+      .orderBy(col("key_rows").desc, col("key").asc)
+      .limit(10)
+  }
+
   /** Per-group mode (most frequent value): count per (group, value),
     * then an argmax aggregation — two hash aggregates, both
     * partial-aggregable, no sort/window. Tie-break: highest count,
@@ -522,6 +548,7 @@ object Aggregates extends QueryGroup {
     "mv_incremental_join" -> (mvIncrementalJoin _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_sketch_intersect" -> (aggSketchIntersect _),
+    "stats_skew" -> (statsSkew _),
     "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_quantile_approx" -> (aggQuantileApprox _),
@@ -548,6 +575,22 @@ object Aggregates extends QueryGroup {
       FROM lineitem"""
 
   val oracles: Map[String, String] = Map(
+    // same key aggregate + 1-row stats cross join; the two divisions
+    // are identically-associated exact doubles in both engines
+    "stats_skew" -> """
+      WITH per AS (
+        SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS key_rows
+        FROM lineitem GROUP BY l_suppkey),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+          CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+          CAST(MAX(key_rows) AS BIGINT) AS max_rows
+        FROM per)
+      SELECT key, key_rows, n_keys, total_rows,
+        ROUND(CAST(total_rows AS DOUBLE) / n_keys, 6) AS avg_rows,
+        ROUND(CAST(max_rows AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
+      FROM per CROSS JOIN tot
+      ORDER BY key_rows DESC, key ASC LIMIT 10""",
     // exact decimal first/second moments, float64 only in the final
     // identically-associated scalar formula
     "stats_corr" -> """

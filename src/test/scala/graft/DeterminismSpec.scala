@@ -174,7 +174,9 @@ class DeterminismSpec extends SparkSpec {
     "sample_coreset", "scan_sai_contains",
     // ten fixed argmax rounds over the pinned pool — every round's
     // pick must be layout-free
-    "sim_mmr")
+    "sim_mmr",
+    // key aggregate + 1-row broadcast stats + top-10 rank
+    "stats_skew")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
