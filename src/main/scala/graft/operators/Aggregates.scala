@@ -216,7 +216,7 @@ object Aggregates extends QueryGroup {
         array_join(array_sort(col("l_linestatus_freqItems")), ",").as("status_heavy"))
 
   private val sketchBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
 
   /** Mergeable-sketch rollup — the 100 TB incremental-aggregation
     * pattern: per-day HLL sketches of distinct users are built ONCE
@@ -247,7 +247,7 @@ object Aggregates extends QueryGroup {
   }
 
   private val typedSketchBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
 
   /** Sketch set-operation — audience OVERLAP from persisted sketches
     * ([[aggSketchMerge]]'s sibling): "how many users both clicked and

@@ -80,7 +80,7 @@ object CellStore extends QueryGroup {
     * union of co-sorted runs + ONE keyed window — the merge itself is
     * the shuffle, tombstone GC is row-local. */
   private val compactionRoots =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
 
   def compactGenerations(s: SparkSession, dir: String): DataFrame = {
     val gcGrace = "2024-01-10 00:00:00"
@@ -297,7 +297,7 @@ object CellStore extends QueryGroup {
     * time would long have purged it). The consistency-point read a
     * repair/debug workflow does against a wide-column store. */
   private val snapPaths =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
 
   private def snapPath(s: SparkSession, dir: String): String =
     snapPaths.getOrElseUpdate(dir, {
@@ -590,7 +590,7 @@ object CellStore extends QueryGroup {
   }
 
   private val batchApplied =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
 
   /** CQL logged `BATCH` (multi-table atomic apply — VERDICT r2 missing
     * #2): the change feed is grouped into batches (batch_id =

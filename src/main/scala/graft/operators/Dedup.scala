@@ -160,6 +160,12 @@ object Dedup extends QueryGroup {
         (col("doc_id") + 100000L).as("doc_id"),
         expr("substring(text, instr(text, ' ') + 1)").as("text")))
       .withColumn("sh", array_distinct(Text.shingles(Text.words(col("text")), 3)))
+      // Guard (ADVICE r10): a doc too short to shingle (< 3 words —
+      // possible if the fixture generator changes) would make uni = 0
+      // and true_jaccard a NULL division; drop it from the audit base
+      // LOUDLY here (and identically in the oracle) instead of
+      // resting on an undeclared fixture property.
+      .filter(size(col("sh")) > 0)
       .select("doc_id", "sh")
       .localCheckpoint() // signature + truth branches
     val sig = sh.select(col("doc_id"), explode(col("sh")).as("g"))
@@ -603,7 +609,7 @@ object Dedup extends QueryGroup {
     * (the same write-once discipline as the IVF index and
     * dedupCluster's labels; dirs are immutable for the life of a run). */
   private val deltaNearIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    new graft.core.BuildOnce[String, (String, String)]
   private def deltaNearIndexPaths(s: SparkSession, dir: String): (String, String) =
     deltaNearIndexDirs.getOrElseUpdate(dir, {
       val base = Tables.documents(s, dir)
@@ -809,10 +815,12 @@ object Dedup extends QueryGroup {
         SELECT doc_id + 100000 AS doc_id, substring(text, instr(text, ' ') + 1)
         FROM documents WHERE doc_id < 20),
       sh AS (
-        SELECT doc_id,
-          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                         FOR i IN range(1, len(w)-1)]) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+        SELECT doc_id, sh FROM (
+          SELECT doc_id,
+            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           FOR i IN range(1, len(w)-1)]) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))
+        WHERE len(sh) > 0),
       pairs AS (
         SELECT i AS id_a, i + 100000 AS id_b, 'planted' AS pair_type
         FROM range(0, 20) t(i)

@@ -67,7 +67,7 @@ object Pipeline extends QueryGroup {
     * changes nothing structural. */
   private val ShardTokens = 16384L
 
-  private val roots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val roots = new graft.core.BuildOnce[String, String]
 
   /** Stages 1-4: the curated, cleaned, tokenized survivor surface —
     * (doc_id, doc_md5, n_tokens) where md5 is of the CLEANED text and

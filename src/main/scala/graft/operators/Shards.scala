@@ -81,7 +81,7 @@ object Shards extends QueryGroup {
   }
 
   private val shardRoots =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
 
   /** Build the sharded layout once per (JVM, dir): one directory per
     * shard_id, one data file per shard (each shard lives in exactly

@@ -323,7 +323,7 @@ object Similarity extends QueryGroup {
     * floating-point ⇒ declared no-oracle and excluded from the
     * determinism suite. */
   private val ivfIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    new graft.core.BuildOnce[String, (String, String)]
 
   /** Cache key for the persisted IVF index: the corpus dir PLUS the
     * FULL stamped file listing (name:length:mtime per data file), so
@@ -369,11 +369,14 @@ object Similarity extends QueryGroup {
   /** Cell argmax over broadcast-literal centroids (sim desc, smaller
     * cell on ties) — shared by the index build, the delta append, and
     * SemDeDup; stays in whole-stage codegen. */
-  private def cellOf(cents: IndexedSeq[Seq[Float]]): org.apache.spark.sql.Column =
-    -array_max(array(cents.zipWithIndex.map { case (c, i) =>
+  private[graft] def cellArgmax(cents: IndexedSeq[Seq[Float]]): org.apache.spark.sql.Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
       struct(Vectors.fdot(col("embedding"), typedlit(c)).as("sim"),
         lit(-i).as("negcell"))
-    }: _*)).getField("negcell")
+    }: _*))
+
+  private[graft] def cellOf(cents: IndexedSeq[Seq[Float]]): org.apache.spark.sql.Column =
+    -cellArgmax(cents).getField("negcell")
 
   private def ivfIndexPaths(s: SparkSession, dir: String): (String, String) = {
     val cacheKey = ivfCacheKey(s, dir)
@@ -385,49 +388,56 @@ object Similarity extends QueryGroup {
     })
   }
 
+  /** Driver-side Lloyd's over a bounded deterministic sample — the
+    * coarse-quantizer trainer shared by every IVF layout (this file's
+    * index builds and Scans' SAI ANN generation layout). Returns the
+    * 16 unit-norm centroids as float rows. */
+  private[graft] def trainCentroids(emb: DataFrame): IndexedSeq[Seq[Float]] = {
+    val sample = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .orderBy("vec_id").limit(4096)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "IVF centroid training: sample is empty")
+    val k = 16
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
+    for (_ <- 0 until 4) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        for (c <- 0 until k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          // embeddings are L2-normalized (FIXTURES.md) ⇒ re-normalize
+          // the mean so centroid dot products stay cosine-comparable
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) cents(c) else m.map(_ / n)
+        }
+      }
+    }
+    cents.map(_.map(_.toFloat).toSeq).toIndexedSeq
+  }
+
   /** Train the 16-cell coarse quantizer on a bounded sample of `emb`
     * and write (centroids, cell-partitioned assignments) — the build
     * body of [[ivfIndexPaths]], reusable over any embedding slice
     * (sim_index_delta trains on the standing-corpus slice only). */
   private def buildIvfIndex(s: SparkSession, emb: DataFrame,
       centPath: String, assignPath: String): Unit = {
-      val sample = emb
-        .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-        .orderBy("vec_id").limit(4096)
-        .select("vec_id", "embedding")
-        .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-      require(sample.nonEmpty,
-        s"IVF index build: training sample for $centPath is empty")
-      val k = 16
-      val dim = sample.head.length
-      var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
-      for (_ <- 0 until 4) {
-        val sums = Array.fill(k)(new Array[Double](dim))
-        val counts = new Array[Int](k)
-        sample.foreach { v =>
-          var best = 0; var bestDot = Double.NegativeInfinity
-          for (c <- 0 until k) {
-            var d = 0.0; var j = 0
-            while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
-            if (d > bestDot) { bestDot = d; best = c }
-          }
-          var j = 0
-          while (j < dim) { sums(best)(j) += v(j); j += 1 }
-          counts(best) += 1
-        }
-        cents = Array.tabulate(k) { c =>
-          if (counts(c) == 0) cents(c)
-          else {
-            // embeddings are L2-normalized (FIXTURES.md) ⇒ re-normalize
-            // the mean so centroid dot products stay cosine-comparable
-            val m = sums(c).map(_ / counts(c))
-            val n = math.sqrt(m.map(x => x * x).sum)
-            if (n == 0) cents(c) else m.map(_ / n)
-          }
-        }
-      }
-      val centsF = cents.map(_.map(_.toFloat).toSeq).toIndexedSeq
+      val centsF = trainCentroids(emb)
       s.createDataFrame(centsF.zipWithIndex.map { case (c, i) => (i, c) })
         .toDF("cent_cell", "cent")
         .write.mode("overwrite").parquet(centPath)
@@ -439,7 +449,7 @@ object Similarity extends QueryGroup {
   }
 
   private val ivfDeltaDirs =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    new graft.core.BuildOnce[String, (String, String)]
 
   /** Incremental IVF maintenance — the nightly-delta sibling of
     * dedup_delta_near, closing the last rebuilt-from-scratch standing
@@ -521,7 +531,7 @@ object Similarity extends QueryGroup {
     * 100 TB point: this table is a QUARTER the bytes of the float
     * index, and [[simTopkIvfPq]]'s probe scans ONLY it. */
   private val ivfCodesDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
   private def ivfCodesPath(s: SparkSession, dir: String): String = {
     val cacheKey = ivfCacheKey(s, dir)
     ivfCodesDirs.getOrElseUpdate(cacheKey, {
@@ -829,8 +839,12 @@ object Similarity extends QueryGroup {
         col("a").getField("i").as("cluster"), col("d2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 4)
+      // display clamp (ADVICE r10): d2 is assembled from three
+      // independently-rounded float dots, so a vector essentially AT
+      // its centroid can cancel to a slightly negative value; ranking
+      // keeps the unrounded d2, only the shown distance is clamped
       .select(col("cluster"), col("rk"), col("vec_id"),
-        round(col("d2"), 6).as("dist"))
+        round(greatest(lit(0.0), col("d2")), 6).as("dist"))
       .orderBy("cluster", "rk")
   }
 

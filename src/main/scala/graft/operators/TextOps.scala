@@ -429,7 +429,7 @@ object TextOps extends QueryGroup {
     * against it unchanged. The artifact is (rank, left, right), ≤48
     * rows, written once per (JVM, dir). */
   private val bpeVocabPaths =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new graft.core.BuildOnce[String, String]
   private[graft] def bpeVocabPath(s: SparkSession, dir: String): String =
     bpeVocabPaths.getOrElseUpdate(dir, {
       val sp = s; import sp.implicits._
