@@ -176,7 +176,13 @@ class DeterminismSpec extends SparkSpec {
     // pick must be layout-free
     "sim_mmr",
     // key aggregate + 1-row broadcast stats + top-10 rank
-    "stats_skew")
+    "stats_skew",
+    // round-11: the two-phase exact ANN probe (collected θ bounds and
+    // leaf plans must not leak layout), the map-postings probes
+    // (collected generation lists + size-gated fetch), and the
+    // digest-pruned incremental session report
+    "scan_sai_ann", "scan_sai_contains_key", "scan_sai_map_entry",
+    "repair_incremental")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

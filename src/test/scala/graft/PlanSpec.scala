@@ -523,6 +523,113 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("scan_sai_ann: leaf-pruned probe, no corpus scan, equals brute-force filtered top-k") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val (df, plan) = graft.operators.Scans.saiAnnSearch(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "ANN probe returned nothing")
+    // generation pruning: only label-matching generations participate
+    assert(plan.gens.nonEmpty && plan.gens.length <= 8)
+    // at 500 scattered fixture vectors the exact bound legitimately
+    // degenerates to probing every label-generation leaf (the
+    // documented fallback — still never the corpus); the PRUNING claim
+    // is asserted below on a corpus with real cluster structure
+    // no corpus scan: every parquet file the result reads lives under
+    // the ANN layout (index artifacts + opened leaves), never the
+    // original embeddings table
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/sai/ann")),
+      s"ANN probe read outside its layout: ${files.filterNot(_.contains("/sai/ann")).take(3).mkString(", ")}")
+    // exactness: equals the brute-force filtered top-k mirror
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = emb.filter(col("label") === 2)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select("query_id", "vec_id", "label", "score", "rk")
+      .orderBy("query_id", "rk")
+      .collect()
+    assert(rows.map(_.toString).toSeq == exact.map(_.toString).toSeq,
+      "ANN probe diverges from brute-force filtered top-k")
+  }
+
+  test("scan_sai_ann prunes leaves on a clustered corpus and stays exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 4000 unit vectors in 16 tight clusters (in-cluster cosine ~0.99,
+    // cross-cluster ~|N(0, 1/64)|) — the structure a real embedding
+    // corpus has and the sf fixtures lack; with it, the provisional θ
+    // is high and the Cauchy–Schwarz bound must retire almost every
+    // unprobed (generation, cell) leaf.
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val dirs = Array.fill(16)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until 4000).map { i =>
+      val d = dirs(i % 16)
+      val v = normalize(d.map(_ + 0.05 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq, (i >> 4) % 10)
+    }
+    val fixDir = graft.core.RunId.scratch("annfix")
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$fixDir/embeddings.parquet")
+    val (df, plan) = graft.operators.Scans.saiAnnSearch(spark, fixDir, nprobe = 1)
+    val got = df.collect()
+    val opened = (plan.phase1 ++ plan.phase2).toSet
+    assert(opened.nonEmpty && opened.size * 2 < plan.totalLeaves,
+      s"ANN probe opened ${opened.size} of ${plan.totalLeaves} leaves — bound failed to prune")
+    // nprobe=1 must still be EXACT: phase 2 + the bound guarantee it
+    val emb = spark.read.parquet(s"$fixDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = emb.filter(col("label") === 2)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select("query_id", "vec_id", "label", "score", "rk")
+      .orderBy("query_id", "rk")
+      .collect()
+    assert(got.map(_.toString).toSeq == exact.map(_.toString).toSeq,
+      "pruned ANN probe diverges from brute force on the clustered corpus")
+  }
+
+  test("SAI fetch size gate: broadcast semi below the threshold, shuffle semi above") {
+    val (cand, gens) = graft.operators.Scans.saiSelect(spark, sf001, 7L, 80, 99)
+    assert(gens.nonEmpty)
+    val root = graft.operators.Scans.saiEventsPath(spark, sf001)
+    val src = spark.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    def planOf(broadcastMax: Long): (String, Seq[String]) = {
+      val df = graft.operators.Scans.gatedSemiJoin(src, cand, "event_id", broadcastMax)
+        .orderBy("event_id")
+      val rows = df.collect().toSeq.map(_.toString) // finalize AQE first
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    val (small, rowsSmall) = planOf(Long.MaxValue)
+    assert(small.contains("BroadcastHashJoin") && small.contains("LeftSemi"),
+      small.take(1200))
+    val (big, rowsBig) = planOf(0L)
+    assert(!big.contains("BroadcastHashJoin"), big.take(1200))
+    assert((big.contains("ShuffledHashJoin") || big.contains("SortMergeJoin")) &&
+      big.contains("LeftSemi"), big.take(1200))
+    assert(rowsSmall == rowsBig && rowsSmall.nonEmpty,
+      "gate branches disagree on the fetched rows")
+  }
+
   test("pipeline_sft reads the corpus exactly once (checkpoint cuts the second pass)") {
     // the shard-count derivation inside nfdPack executes the gated +
     // deduped survivor plan; without the checkpoint the pack pass
