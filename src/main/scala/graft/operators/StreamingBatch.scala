@@ -184,7 +184,37 @@ object StreamingBatch extends QueryGroup {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Batch twin of the streaming commitlog TAIL
+    * (graft.streaming.StreamOps.lwwCellsTail, VERDICT r10 next #5):
+    * the consumer a real CDC/commitlog deployment runs — cell state
+    * bootstrapped from the flushed snapshot, then the log tail
+    * streamed through LWW reconciliation. Differs from
+    * commitlog_replay (one-shot crash recovery keyed by user) in key
+    * (the (pk, column) CELL — user_id × event_type, the streaming
+    * state key), in carrying the winning writetime, and in `applied`:
+    * whether the tail changed the cell (the overlap segment's
+    * duplicates lose the strict newer-than race, exactly the
+    * streaming idempotence rule). At scale the tail input is
+    * segment-sized; the snapshot is read once to seed state. */
+  def streamCommitlog(s: SparkSession, dir: String): DataFrame = {
+    val flushCut = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+    val replayFrom = lit("2024-01-13 00:00:00").cast("timestamp_ntz")
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts").cast("timestamp")).as("writetime"),
+      col("event_id"), col("ts"))
+    val order = Seq(col("writetime").desc, col("event_id").desc)
+    val keys = Seq("user_id", "event_type")
+    val snap = graft.core.Lww.latest(e.filter(col("ts") < flushCut), keys, order)
+    val tail = e.filter(col("ts") >= replayFrom)
+    graft.core.Lww.latest(snap.unionByName(tail), keys, order)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("writetime"), (col("ts") >= flushCut).as("applied"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_commitlog" -> (streamCommitlog _),
     "stream_join" -> (streamJoin _),
     "stream_dim_join" -> (streamDimJoin _),
     "stream_sessionize" -> (streamSessionize _),
@@ -198,6 +228,33 @@ object StreamingBatch extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // Snapshot ∪ tail LWW per (user, type) cell: the overlap day's
+    // duplicates are byte-identical rows, so the window pick is
+    // order-free (the commitlog_replay argument, cell-keyed).
+    "stream_commitlog" -> """
+      WITH e AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS writetime,
+               event_id, ts
+        FROM events),
+      snap AS (
+        SELECT * EXCLUDE (rn) FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                     ORDER BY writetime DESC, event_id DESC) AS rn
+          FROM e WHERE ts < TIMESTAMP '2024-01-14 00:00:00')
+        WHERE rn = 1),
+      merged AS (
+        SELECT * FROM snap
+        UNION ALL
+        SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'),
+      fin AS (
+        SELECT * EXCLUDE (rn) FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                     ORDER BY writetime DESC, event_id DESC) AS rn
+          FROM merged)
+        WHERE rn = 1)
+      SELECT user_id, event_type, value, writetime,
+        ts >= TIMESTAMP '2024-01-14 00:00:00' AS applied
+      FROM fin ORDER BY user_id, event_type""",
     "stream_dim_join" -> """
       SELECT c_mktsegment AS segment, event_type,
         COUNT(*) AS n_events,

@@ -112,27 +112,60 @@ object StreamOps {
     * agreement, stale-skip, and checkpoint-restart recovery (the
     * standing cell must survive a restart for the stale rule to hold
     * across it). */
+  /** The reconciliation body, shared by [[lwwCells]] (cold state) and
+    * [[lwwCellsTail]] (snapshot-bootstrapped state) — one definition
+    * so the write path and the commitlog tail cannot drift. */
+  private val lwwReconcile:
+      ((Long, String), Iterator[CellMut], org.apache.spark.sql.streaming.GroupState[CellState]) => CellOut = {
+    case ((user, etype), rows, state) =>
+      var cur = state.getOption
+      var applied = false
+      rows.foreach { m =>
+        val newer = cur.forall(c => m.writetime > c.writetime ||
+          (m.writetime == c.writetime && m.event_id > c.event_id))
+        if (newer) {
+          cur = Some(CellState(m.value, m.writetime, m.event_id))
+          applied = true
+        }
+      }
+      // rows is non-empty on every data invocation and the timeout
+      // is NoTimeout, so cur is defined here
+      state.update(cur.get)
+      CellOut(user, etype, cur.get.value, cur.get.writetime, applied)
+  }
+
   def lwwCells(muts: Dataset[CellMut]): Dataset[CellOut] = {
     import muts.sparkSession.implicits._
     muts
       .groupByKey(m => (m.user_id, m.event_type))
-      .mapGroupsWithState[CellState, CellOut](GroupStateTimeout.NoTimeout) {
-        case ((user, etype), rows, state) =>
-          var cur = state.getOption
-          var applied = false
-          rows.foreach { m =>
-            val newer = cur.forall(c => m.writetime > c.writetime ||
-              (m.writetime == c.writetime && m.event_id > c.event_id))
-            if (newer) {
-              cur = Some(CellState(m.value, m.writetime, m.event_id))
-              applied = true
-            }
-          }
-          // rows is non-empty on every data invocation and the timeout
-          // is NoTimeout, so cur is defined here
-          state.update(cur.get)
-          CellOut(user, etype, cur.get.value, cur.get.writetime, applied)
-      }
+      .mapGroupsWithState[CellState, CellOut](GroupStateTimeout.NoTimeout)(lwwReconcile)
+  }
+
+  /** Commitlog TAIL consumer — the streaming twin of the batch
+    * commitlog_replay: cell state is BOOTSTRAPPED from the flushed
+    * snapshot (mapGroupsWithState initial state), then arriving log
+    * segments stream through the SAME LWW reconciliation. The crash
+    * boundary segment replayed whole is harmless here for the same
+    * reason it is in batch: a replayed mutation is never strictly
+    * newer than the standing cell it already produced, so it reports
+    * `applied = false` and changes nothing — idempotence is the
+    * reconciliation rule, not sink dedup. State ∝ key cardinality;
+    * segments stream in file order and any order is correct. */
+  def lwwCellsTail(muts: Dataset[CellMut], snapshot: Dataset[CellMut]): Dataset[CellOut] = {
+    import muts.sparkSession.implicits._
+    val newer = (a: CellMut, b: CellMut) =>
+      b.writetime > a.writetime ||
+        (b.writetime == a.writetime && b.event_id > a.event_id)
+    val initState = snapshot
+      .groupByKey(m => (m.user_id, m.event_type))
+      .reduceGroups((a, b) => if (newer(a, b)) b else a)
+      .map { case (k, m) => (k._1, k._2, CellState(m.value, m.writetime, m.event_id)) }
+      .groupByKey(t => (t._1, t._2))
+      .mapValues(_._3)
+    muts
+      .groupByKey(m => (m.user_id, m.event_type))
+      .mapGroupsWithState[CellState, CellOut](
+        GroupStateTimeout.NoTimeout, initState)(lwwReconcile)
   }
 
   final case class SessEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)

@@ -182,7 +182,10 @@ class DeterminismSpec extends SparkSpec {
     // (collected generation lists + size-gated fetch), and the
     // digest-pruned incremental session report
     "scan_sai_ann", "scan_sai_contains_key", "scan_sai_map_entry",
-    "repair_incremental")
+    "repair_incremental",
+    // snapshot-seeded cell LWW + tail union — the commitlog_replay
+    // shape on the streaming state key
+    "stream_commitlog")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

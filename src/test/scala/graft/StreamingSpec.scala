@@ -676,6 +676,89 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("commitlog tail: snapshot-bootstrapped cells over segment FILES, restart-safe, overlap idempotent") {
+    // The stream_commitlog shape (StreamOps.lwwCellsTail): a real
+    // readStream over arriving log segment files, with cell state
+    // SEEDED from the flushed snapshot via initial state — the stale
+    // rule must hold against a snapshot cell the stream itself never
+    // saw, survive a checkpoint restart, and absorb the crash-overlap
+    // duplicate (a segment mutation replayed verbatim) as applied=false.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_clog_tail").toString
+    val (segs, sink, ckpt) = (s"$dir/segments", s"$dir/sink", s"$dir/ckpt")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val snapshot = Seq(
+        StreamOps.CellMut(7, "click", 1.0, 100L, 1),
+        StreamOps.CellMut(8, "view", 5.0, 200L, 2)).toDS()
+      def writeSegment(ms: StreamOps.CellMut*): Unit =
+        ms.toDS().coalesce(1).write.mode("append").parquet(segs)
+      def start() = {
+        val muts = s.readStream
+          .schema(org.apache.spark.sql.Encoders.product[StreamOps.CellMut].schema)
+          .parquet(segs).as[StreamOps.CellMut]
+        StreamOps.lwwCellsTail(muts, snapshot)
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.CellOut], id: Long) =>
+            df.write.mode("overwrite").parquet(s"$sink/batch=$id")
+          }
+          .start()
+      }
+      // segment 1: a genuinely newer write for u7 and a STALE write
+      // for u8 — stale only relative to the BOOTSTRAPPED snapshot cell
+      writeSegment(
+        StreamOps.CellMut(7, "click", 2.0, 300L, 3),
+        StreamOps.CellMut(8, "view", 9.0, 150L, 4))
+      q = start(); q.processAllAvailable(); q.stop()
+      // restart over the same checkpoint (segment 1's file must not
+      // reprocess); segment 2 carries the crash-overlap duplicate of
+      // u7's mutation plus a genuinely new u8 write
+      writeSegment(
+        StreamOps.CellMut(7, "click", 2.0, 300L, 3), // replayed verbatim
+        StreamOps.CellMut(8, "view", 4.0, 400L, 5))
+      q = start(); q.processAllAvailable(); q.stop()
+      val got = s.read.parquet(sink)
+        .select("batch", "user_id", "event_type", "value", "writetime", "applied")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getLong(4), r.getBoolean(5))).toSet
+      assert(got == Set(
+        (0, 7L, "click", 2.0, 300L, true),  // beats snapshot cell
+        (0, 8L, "view", 5.0, 200L, false),  // stale vs SNAPSHOT state
+        (1, 7L, "click", 2.0, 300L, false), // overlap replay: idempotent
+        (1, 8L, "view", 4.0, 400L, true)), s"got $got")
+      // agreement with the batch-twin rule: LWW over snapshot ∪ tail
+      val all = snapshot.union(Seq(
+        StreamOps.CellMut(7, "click", 2.0, 300L, 3),
+        StreamOps.CellMut(8, "view", 9.0, 150L, 4),
+        StreamOps.CellMut(7, "click", 2.0, 300L, 3),
+        StreamOps.CellMut(8, "view", 4.0, 400L, 5)).toDS()).toDF()
+      val batchFinal = graft.core.Lww.latest(all, Seq("user_id", "event_type"),
+          Seq(col("writetime").desc, col("event_id").desc))
+        .select("user_id", "event_type", "value", "writetime")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val streamFinal = got.filter(_._1 == 1).map(x => (x._2, x._3, x._4, x._5))
+      assert(batchFinal == streamFinal, s"batch $batchFinal vs stream $streamFinal")
+    } finally {
+      if (q != null) q.stop()
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("streaming sessionize agrees with the batch twin on closed sessions") {
     val s = spark; import s.implicits._
     // Batch twin over the real events table restricted to a few users.
