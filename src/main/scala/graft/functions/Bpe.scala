@@ -43,10 +43,13 @@ object Bpe {
 
   /** Learn up to `nMerges` merges from (word, frequency) rows. Stops
     * early when no adjacent pair remains (fully merged vocabulary). */
-  def train(wordFreq: Seq[(String, Long)], nMerges: Int): Vector[Pair] = {
-    var words: Vector[(Vector[String], Long)] = wordFreq.toVector
-      .sortBy(_._1)
-      .map { case (w, f) => (w.map(_.toString).toVector, f) }
+  def train(wordFreq: Seq[(String, Long)], nMerges: Int): Vector[Pair] =
+    trainOn(wordFreq.toVector.sortBy(_._1)
+      .map { case (w, f) => (w.map(_.toString).toVector, f) }, nMerges)
+
+  private def trainOn(words0: Vector[(Vector[String], Long)],
+      nMerges: Int): Vector[Pair] = {
+    var words = words0
     val merges = Vector.newBuilder[Pair]
     var round = 0
     var done = false
@@ -69,8 +72,11 @@ object Bpe {
   /** Encode one word: repeatedly merge the lowest-rank adjacent pair
     * (all its occurrences) until no learned pair applies. Characters
     * absent from training are their own tokens, so any input encodes. */
-  def encode(word: String, rank: Map[Pair, Int]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+  def encode(word: String, rank: Map[Pair, Int]): Vector[String] =
+    encodeSyms(word.map(_.toString).toVector, rank)
+
+  private def encodeSyms(syms0: Vector[String], rank: Map[Pair, Int]): Vector[String] = {
+    var syms = syms0
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -85,5 +91,72 @@ object Bpe {
       else syms = applyMerge(syms, best)
     }
     syms
+  }
+
+  // ---------------------------------------------------------------
+  // BYTE-LEVEL BPE (the GPT-2/LLaMA-family discipline): regex
+  // pre-tokenization, a 256-symbol byte alphabet mapped to printable
+  // unicode stand-ins (so merge tables stay plain strings), full
+  // lossless round-trip over ANY input — no unknown token exists.
+  // ---------------------------------------------------------------
+
+  /** The GPT-2 pre-tokenizer: contractions, space-prefixed letter and
+    * digit runs, space-prefixed punctuation runs, then whitespace
+    * (trailing-space lookahead keeps the space that prefixes the next
+    * word out of the whitespace run). The alternatives PARTITION the
+    * string: every char is a letter, digit, whitespace, or "other",
+    * so concatenating the matches reproduces the input verbatim —
+    * the property round-trip losslessness rests on. */
+  private val Pretok = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+  val pretokenRegex: String = Pretok.pattern()
+
+  def pretokenize(text: String): Vector[String] = {
+    val m = Pretok.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Byte → printable stand-in char (the GPT-2 table: visible latin-1
+    * bytes map to themselves, the rest to 256+n in first-free order);
+    * bijective, so decode is exact. */
+  private val byteToChar: Array[Char] = {
+    val visible =
+      (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+        .map(_.toInt).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (visible(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+    }
+    arr
+  }
+  private val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** One pre-token → its UTF-8 bytes as single-char symbols. */
+  def byteSyms(tok: String): Vector[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toVector.map(b => byteToChar(b & 0xFF).toString)
+
+  /** Learn merges over the byte alphabet from a (pre-token, frequency)
+    * table — same loop, same determinism contract as [[train]]. */
+  def trainBytes(tokFreq: Seq[(String, Long)], nMerges: Int): Vector[Pair] =
+    trainOn(tokFreq.toVector.sortBy(_._1)
+      .map { case (t, f) => (byteSyms(t), f) }, nMerges)
+
+  /** Encode one pre-token at the byte level. With an empty rank map
+    * this is exactly the UTF-8 byte count — the fallback that makes
+    * any input encodable. */
+  def encodeBytes(tok: String, rank: Map[Pair, Int]): Vector[String] =
+    encodeSyms(byteSyms(tok), rank)
+
+  /** Tokens → bytes → string; exact inverse of pretokenize+encode. */
+  def decodeBytes(tokens: Seq[String]): String = {
+    val bytes = tokens.iterator.flatMap(_.iterator)
+      .map(c => charToByte(c).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

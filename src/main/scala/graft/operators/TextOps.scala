@@ -498,6 +498,67 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Byte-level BPE merges per (JVM, dir) — the production-tokenizer
+    * discipline (VERDICT r10 next #7): GPT-2-family regex
+    * pre-tokenization, merges over the 256-symbol byte alphabet, no
+    * unknown token possible. Training input is the bounded top-4096
+    * pre-token frequency table (distributed regexp_extract_all +
+    * count — the same Java-regex pattern the row-local encoder uses,
+    * so train and encode tokenize identically); 64 merges. */
+  private val bpeBytesMergesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[(String, String)]]
+  private[graft] def bpeBytesMerges(s: SparkSession, dir: String): Vector[(String, String)] =
+    bpeBytesMergesCache.getOrElseUpdate(dir, {
+      val wf = Tables.documents(s, dir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(graft.functions.Bpe.pretokenRegex), lit(0))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok").asc)
+        .limit(4096)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      graft.functions.Bpe.trainBytes(wf, 64)
+    })
+
+  /** Row-local byte-level token count: pre-tokenize, encode each
+    * pre-token over the byte alphabet. Same UDF justification as
+    * [[bpeCountUdf]] (greedy rank-ordered merging has no
+    * Catalyst-expression form). */
+  private[graft] def bpeBytesCountUdf(merges: Vector[(String, String)]) = {
+    val rank = merges.zipWithIndex.toMap
+    udf { (text: String) =>
+      var n = 0L
+      graft.functions.Bpe.pretokenize(text)
+        .foreach(t => n += graft.functions.Bpe.encodeBytes(t, rank).length)
+      n
+    }
+  }
+
+  /** Byte-level tokenization next to the word-internal BPE and the
+    * whitespace proxy: per document, the UTF-8 byte count, both BPE
+    * token counts, and both fertilities (tokens per whitespace word) —
+    * the comparison that says what the byte-level vocabulary buys on
+    * multi-script text (word-internal BPE can never cross or split
+    * non-letter boundaries; byte-level has no out-of-alphabet case at
+    * all). Declared no-oracle (iterative BPE has no SQL form); BpeSpec
+    * pins the lossless round-trip on multi-script text, the
+    * empty-rank byte-count identity, and train determinism. */
+  def tokenizeBpeBytes(s: SparkSession, dir: String): DataFrame = {
+    val bcnt = bpeBytesCountUdf(bpeBytesMerges(s, dir))
+    val wcnt = bpeCountUdf(bpeMerges(s, dir))
+    val w = Text.words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        size(w).as("ws_tokens"),
+        wcnt(w).as("bpe_word_tokens"),
+        bcnt(col("text")).as("bpe_byte_tokens"))
+      .withColumn("fertility_word",
+        round(col("bpe_word_tokens").cast("double") / col("ws_tokens"), 6))
+      .withColumn("fertility_byte",
+        round(col("bpe_byte_tokens").cast("double") / col("ws_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** [[packSequences]] with REAL token offsets: sequence boundaries
     * fall at corpus-trained BPE token counts instead of whitespace
     * word counts (VERDICT r6 #2 — the proxy made every boundary
@@ -1041,6 +1102,7 @@ object TextOps extends QueryGroup {
     "dedup_scoped" -> (dedupScoped _),
     "tokenize_bpe" -> (tokenizeBpe _),
     "tokenize_bpe_frozen" -> (tokenizeBpeFrozen _),
+    "tokenize_bpe_bytes" -> (tokenizeBpeBytes _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),

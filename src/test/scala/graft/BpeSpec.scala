@@ -89,6 +89,65 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-level BPE: pretokenizer partitions, round-trip lossless on multi-script text") {
+    val samples = Seq(
+      "Hello, world! It's fine.",
+      "naïve café — résumé",
+      "мир и παράδειγμα",              // cyrillic + greek
+      "日本語のテキストです。",            // CJK
+      "emoji 🌍 mixed 123 tabs\tand\nnewlines  ",
+      "",
+      "   leading and trailing   ")
+    for (t <- samples) {
+      val toks = Bpe.pretokenize(t)
+      // the regex alternatives partition the string
+      assert(toks.mkString == t, s"pretokenize dropped chars on '$t'")
+    }
+    // round-trip through encode/decode, with NO merges (pure bytes)
+    // and with corpus-trained merges — both must be exact inverses
+    val trained = graft.operators.TextOps.bpeBytesMerges(spark, sf001)
+      .zipWithIndex.toMap
+    for (t <- samples; rank <- Seq(Map.empty[(String, String), Int], trained)) {
+      val toks = Bpe.pretokenize(t).flatMap(p => Bpe.encodeBytes(p, rank))
+      assert(Bpe.decodeBytes(toks) == t, s"round trip failed on '$t'")
+    }
+    // empty rank ⇒ token count is exactly the UTF-8 byte count
+    for (t <- samples) {
+      val n = Bpe.pretokenize(t)
+        .map(p => Bpe.encodeBytes(p, Map.empty).length).sum
+      assert(n == t.getBytes("UTF-8").length, s"byte identity failed on '$t'")
+    }
+  }
+
+  test("trainBytes is deterministic; tokenize_bpe_bytes compares fertilities consistently") {
+    val toyTok = Seq(" low" -> 5L, " lower" -> 2L, " newest" -> 6L, " widest" -> 3L)
+    assert(Bpe.trainBytes(toyTok, 16) == Bpe.trainBytes(toyTok.reverse, 16),
+      "input order changed the learned byte merges")
+    val rows = SparkEntry.queries("tokenize_bpe_bytes")(spark, sf001).collect()
+    assert(rows.length == graft.core.Tables.documents(spark, sf001).count())
+    val rank = graft.operators.TextOps.bpeBytesMerges(spark, sf001).zipWithIndex.toMap
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows) {
+      val text = docs(r.getLong(0))
+      // n_bytes is the UTF-8 length; byte tokens never exceed it and
+      // merges compress below it on a trained corpus
+      assert(r.getInt(1) == text.getBytes("UTF-8").length)
+      val expected = Bpe.pretokenize(text)
+        .map(p => Bpe.encodeBytes(p, rank).length.toLong).sum
+      assert(r.getLong(4) == expected,
+        s"doc ${r.getLong(0)}: spark ${r.getLong(4)} vs driver $expected")
+      assert(r.getLong(4) <= r.getInt(1).toLong)
+    }
+    // the corpus is ASCII word soup: trained byte merges must compress
+    // meaningfully below raw bytes overall
+    val totalBytes = rows.map(_.getInt(1).toLong).sum
+    val totalTok = rows.map(_.getLong(4)).sum
+    assert(totalTok * 2 < totalBytes,
+      s"byte BPE failed to compress: $totalTok tokens over $totalBytes bytes")
+  }
+
   test("pack_sequences_bpe: placement invariants hold per shard") {
     val rows = SparkEntry.queries("pack_sequences_bpe")(spark, sf001)
       .collect()

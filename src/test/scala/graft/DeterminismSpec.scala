@@ -185,7 +185,10 @@ class DeterminismSpec extends SparkSpec {
     "repair_incremental",
     // snapshot-seeded cell LWW + tail union — the commitlog_replay
     // shape on the streaming state key
-    "stream_commitlog")
+    "stream_commitlog",
+    // byte-level BPE: driver-trained merges, row-local encode — the
+    // tokenize_bpe discipline over the byte alphabet
+    "tokenize_bpe_bytes")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
