@@ -822,8 +822,17 @@ object Scans extends QueryGroup {
         .select(col("query_id"), col("vec_id"), col("label"),
           graft.functions.Vectors.fdot(col("embedding"), col("qvec")).as("score_raw"))
         .withColumn("score", round(col("score_raw"), 6))
-    val phase1 = leaves(probe1Cells.values.flatten.toSet)
-    val kept1 = score(readLeaves(phase1), probeDf(probe1Cells))
+    // Fallback: if every probed cell is empty in every candidate
+    // generation (possible on a tiny or skewed corpus), probe ALL
+    // present cells — phase 1 must read something for θ to exist, and
+    // an empty path list would fail the parquet read outright.
+    val allCells = radius.keysIterator.map(_._2).toSet
+    val (phase1, phase1Cells) = {
+      val p = leaves(probe1Cells.values.flatten.toSet)
+      if (p.nonEmpty) (p, probe1Cells)
+      else (leaves(allCells), probe1Cells.map { case (q, _) => q -> allCells.toSeq.sorted })
+    }
+    val kept1 = score(readLeaves(phase1), probeDf(phase1Cells))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .localCheckpoint()
@@ -839,7 +848,7 @@ object Scans extends QueryGroup {
     // under the rounded output order
     val probe2Cells: Map[Long, Seq[Int]] = qsD.map { case (qid, qv) =>
       val th = theta.getOrElse(qid, -2.0)
-      val p1 = probe1Cells(qid).toSet
+      val p1 = phase1Cells(qid).toSet
       qid -> cents.collect {
         case (c, cv) if !p1.contains(c) && gens.exists { g =>
           radius.get((g, c)).exists(r => ddot(qv, cv) + qnorm(qid) * r >= th - margin)
