@@ -247,6 +247,46 @@ object CellStore extends QueryGroup {
       .orderBy("level", "tbl")
   }
 
+  /** Unified compaction strategy (the Cassandra 5 / CEP-26 default,
+    * completing the [[compactStcs]]/[[compactTwcs]]/[[compactLcs]]
+    * family): ONE strategy parameterized per level by the scaling
+    * parameter w — w ≥ 0 behaves TIERED (trigger at w + 2 same-level
+    * tables, the STCS rule: cheap absorption of fresh flushes), w < 0
+    * behaves LEVELED (trigger at 2, the LCS rule: bounded read
+    * amplification) — so one hierarchy is tiered at the top and
+    * leveled at the bottom, the production default. Model: sstables =
+    * (day, mod-4) flush slices; size level = digit count of n_rows
+    * (the compactStcs integer-exact size ordering, fanout 10);
+    * levels ≤ 1 carry w = +2, deeper levels w = −8. The LOWEST
+    * triggering level is chosen (the compactor's priority — newest
+    * data first). Everything after the per-table count runs over the
+    * sstable LIST — metadata-sized at any data scale. */
+  def compactUcs(s: SparkSession, dir: String): DataFrame = {
+    val ss = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("w_day"),
+        pmod(col("event_id"), lit(4)).as("m"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val t = ss
+      .withColumn("level",
+        (length(col("n_rows").cast("string")) - 1).cast("long"))
+      .withColumn("w", when(col("level") <= 1, lit(2L)).otherwise(lit(-8L)))
+      .withColumn("mode",
+        when(col("w") >= 0, lit("tiered")).otherwise(lit("leveled")))
+      .withColumn("threshold",
+        when(col("w") >= 0, col("w") + 2L).otherwise(lit(2L)).cast("long"))
+    val lvl = Window.partitionBy("level")
+    val c = t
+      .withColumn("level_tables", count(lit(1)).over(lvl).cast("long"))
+      .withColumn("candidate", col("level_tables") >= col("threshold"))
+    val chosen = c.agg(min(when(col("candidate"), col("level"))).as("chosen_level"))
+    c.crossJoin(chosen)
+      .select(col("w_day"), col("m"), col("n_rows"), col("level"), col("w"),
+        col("mode"), col("level_tables"), col("threshold"), col("candidate"),
+        coalesce(col("candidate") && col("level") === col("chosen_level"),
+          lit(false)).as("chosen"))
+      .orderBy("w_day", "m")
+  }
+
   /** TTL compaction pass — the expiry half of the maintenance story
     * ([[compactGenerations]] covers tombstone GC): per PK the LWW
     * winner is classified at compaction time [[ReadTime]] as
@@ -802,6 +842,7 @@ object CellStore extends QueryGroup {
     "compact_generations" -> (compactGenerations _),
     "ttl_compact" -> (ttlCompact _),
     "compact_stcs" -> (compactStcs _),
+    "compact_ucs" -> (compactUcs _),
     "compact_twcs" -> (compactTwcs _),
     "compact_lcs" -> (compactLcs _),
     "scan_snapshot" -> (scanSnapshot _),
@@ -961,6 +1002,34 @@ object CellStore extends QueryGroup {
         FROM events) t
       WHERE rn = 1 AND ttl_expires > TIMESTAMP '$ReadTime'
       ORDER BY user_id, event_type""",
+    "compact_ucs" -> """
+      WITH ss AS (
+        SELECT CAST(ts AS DATE) AS w_day,
+               event_id % 4 AS m,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT *,
+          CAST(length(CAST(n_rows AS VARCHAR)) - 1 AS BIGINT) AS level
+        FROM ss),
+      p AS (
+        SELECT *,
+          CAST(CASE WHEN level <= 1 THEN 2 ELSE -8 END AS BIGINT) AS w,
+          CASE WHEN level <= 1 THEN 'tiered' ELSE 'leveled' END AS mode,
+          CAST(CASE WHEN level <= 1 THEN 4 ELSE 2 END AS BIGINT) AS threshold
+        FROM t),
+      c AS (
+        SELECT *,
+          CAST(count(*) OVER (PARTITION BY level) AS BIGINT) AS level_tables
+        FROM p),
+      d AS (SELECT *, level_tables >= threshold AS candidate FROM c),
+      mc AS (
+        SELECT min(CASE WHEN candidate THEN level END) AS chosen_level
+        FROM d)
+      SELECT w_day, m, n_rows, level, w, mode, level_tables, threshold,
+        candidate,
+        coalesce(candidate AND level = mc.chosen_level, false) AS chosen
+      FROM d, mc ORDER BY w_day, m""",
     "compact_stcs" -> """
       WITH ss AS (
         SELECT length(CAST(event_id AS VARCHAR)) AS d,

@@ -468,7 +468,60 @@ object Repair extends QueryGroup {
       .orderBy("gen")
   }
 
+  /** PREVIEW repair (`nodetool repair --preview`, Cassandra 4+): run
+    * the validation phase — digests compared per range — and report
+    * what a real repair WOULD stream, without healing anything; the
+    * operator teams run before a maintenance window to size it.
+    * Ranges here are id-slice "virtual token ranges" (pmod 64 — a
+    * DuckDB-mirrorable stand-in for the Murmur3 buckets
+    * [[repairDiff]] uses, so the WHOLE face is oracle-checkable).
+    * Engine path: per-range xor digests on both replicas, keyed
+    * drill-down ONLY into mismatched ranges to count the would-be
+    * streams; `digest_match` comes from the actual digest compare,
+    * and the oracle states its semantic meaning (no divergence in
+    * the range) — equal unless a 64-bit xor collision, which the
+    * fixture run would surface as a hash mismatch. At scale: the
+    * digest pass is one aggregate over each replica; the drill-down
+    * reads only dirty ranges, and nothing is rewritten. */
+  def repairPreview(s: SparkSession, dir: String): DataFrame = {
+    val Ranges = 64
+    def wb(df: DataFrame) =
+      df.withColumn("bucket", pmod(col("event_id"), lit(Ranges)))
+    def dg(df: DataFrame, dn: String, cn: String) = wb(df)
+      .withColumn("h", xxhash64(col("event_id"), col("value")))
+      .groupBy("bucket")
+      .agg(expr("bit_xor(h)").as(dn), count(lit(1)).cast("long").as(cn))
+    val a = replicaA(s, dir)
+    val b = replicaB(s, dir)
+    val dd = dg(a, "da", "rows_a").join(dg(b, "db", "rows_b"),
+        Seq("bucket"), "full_outer")
+      .withColumn("digest_match", col("da") <=> col("db"))
+      .localCheckpoint() // ≤ 64 rows; consumed twice below
+    val dirty = dd.filter(!col("digest_match")).select("bucket")
+    val aD = wb(a).join(dirty, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("event_id"), col("value").as("a_value"))
+    val bD = wb(b).join(dirty, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("event_id"), col("value").as("b_value"))
+    val diff = aD.join(bD, Seq("bucket", "event_id"), "full_outer")
+      .groupBy("bucket").agg(
+        sum(when(col("b_value").isNull, 1L).otherwise(0L)).as("n_missing_in_b"),
+        sum(when(col("b_value").isNotNull && col("a_value").isNotNull &&
+          col("a_value") =!= col("b_value"), 1L).otherwise(0L))
+          .as("n_value_differs"))
+    dd.join(diff, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("rows_a"), lit(0L)).as("rows_a"),
+        coalesce(col("rows_b"), lit(0L)).as("rows_b"),
+        col("digest_match"),
+        coalesce(col("n_missing_in_b"), lit(0L)).as("n_missing_in_b"),
+        coalesce(col("n_value_differs"), lit(0L)).as("n_value_differs"),
+        (coalesce(col("n_missing_in_b"), lit(0L)) +
+          coalesce(col("n_value_differs"), lit(0L))).as("est_stream_rows"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repair_preview" -> (repairPreview _),
     "repair_incremental" -> (repairIncremental _),
     "mv_validate" -> (mvValidate _),
     "consistency_multidc" -> (consistencyMultidc _),
@@ -497,6 +550,32 @@ object Repair extends QueryGroup {
     // declaration); the session report's postcondition is stated
     // directly: repaired generations skipped, unrepaired generations
     // carry exactly the planted divergence, everything exits repaired.
+    // The digest compare is pure pruning; the oracle states the
+    // semantics directly: per id-slice range, replica row counts, the
+    // would-be stream sizes, and digest_match ≡ "nothing diverges".
+    "repair_preview" -> """
+      WITH b AS (
+        SELECT event_id,
+               CASE WHEN event_id % 997 = 0 THEN value + 1.0 ELSE value END
+                 AS value
+        FROM events WHERE event_id % 991 <> 0),
+      ab AS (
+        SELECT a.event_id % 64 AS bucket, a.event_id,
+               a.value AS a_value, b.value AS b_value
+        FROM events a LEFT JOIN b ON a.event_id = b.event_id)
+      SELECT bucket,
+        CAST(count(*) AS BIGINT) AS rows_a,
+        CAST(count(b_value) AS BIGINT) AS rows_b,
+        CAST(count(*) FILTER (b_value IS NULL) AS BIGINT) +
+          CAST(count(*) FILTER (b_value IS NOT NULL AND a_value <> b_value)
+            AS BIGINT) = 0 AS digest_match,
+        CAST(count(*) FILTER (b_value IS NULL) AS BIGINT) AS n_missing_in_b,
+        CAST(count(*) FILTER (b_value IS NOT NULL AND a_value <> b_value)
+          AS BIGINT) AS n_value_differs,
+        CAST(count(*) FILTER (b_value IS NULL) AS BIGINT) +
+          CAST(count(*) FILTER (b_value IS NOT NULL AND a_value <> b_value)
+            AS BIGINT) AS est_stream_rows
+      FROM ab GROUP BY bucket ORDER BY bucket""",
     "repair_incremental" -> """
       WITH a AS (
         SELECT event_id, value, datepart('day', ts) AS gen FROM events),

@@ -188,7 +188,10 @@ class DeterminismSpec extends SparkSpec {
     "stream_commitlog",
     // byte-level BPE: driver-trained merges, row-local encode — the
     // tokenize_bpe discipline over the byte alphabet
-    "tokenize_bpe_bytes")
+    "tokenize_bpe_bytes",
+    // digest compare + dirty-range drill-down with NO heal; per-level
+    // scaling-parameter compaction plan over the sstable list
+    "repair_preview", "compact_ucs")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
