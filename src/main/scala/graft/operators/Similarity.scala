@@ -764,7 +764,7 @@ object Similarity extends QueryGroup {
           typedlit(c.toSeq))).as("d"),
         lit(i).as("i"))
     }
-    array_min(array(cand: _*))
+    array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cand): _*))
   }
 
   /** Lloyd iteration loop: returns the trained centroids (k·d driver

@@ -533,6 +533,31 @@ object TextOps extends QueryGroup {
     }
   }
 
+  /** Persisted byte-level merge table — the frozen artifact, same
+    * discipline as [[bpeVocabPath]]: trained once, written as
+    * (rank, left, right) parquet (symbols are the GPT-2 printable
+    * stand-in chars, so plain strings round-trip exactly), ≤64 rows,
+    * once per (JVM, dir). */
+  private val bpeBytesVocabPaths =
+    new graft.core.BuildOnce[String, String]
+  private[graft] def bpeBytesVocabPath(s: SparkSession, dir: String): String =
+    bpeBytesVocabPaths.getOrElseUpdate(dir, {
+      val sp = s; import sp.implicits._
+      val p = graft.core.RunId.scratchKeyed("bpe/merges_bytes", dir)
+      bpeBytesMerges(s, dir).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Reload the frozen byte-level merges, rank-ordered. BpeSpec
+    * asserts encode-against-frozen == encode-against-live. */
+  private[graft] def bpeBytesMergesFrozen(s: SparkSession, dir: String): Vector[(String, String)] =
+    s.read.parquet(bpeBytesVocabPath(s, dir))
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toVector
+
   /** Byte-level tokenization next to the word-internal BPE and the
     * whitespace proxy: per document, the UTF-8 byte count, both BPE
     * token counts, and both fertilities (tokens per whitespace word) —
@@ -556,6 +581,27 @@ object TextOps extends QueryGroup {
         round(col("bpe_word_tokens").cast("double") / col("ws_tokens"), 6))
       .withColumn("fertility_byte",
         round(col("bpe_byte_tokens").cast("double") / col("ws_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Encode-only byte-level tokenization against the FROZEN byte
+    * vocab — the artifact discipline [[tokenizeBpeFrozen]] runs at the
+    * word level, now for the production byte-level tokenizer: the
+    * held-out slice (doc_id % 5 == 0) is encoded with the persisted
+    * merge table, never retrained. Byte-level has no out-of-alphabet
+    * case, so unlike the word path there is no fallback branch at
+    * all — ANY byte sequence encodes. Same no-oracle declaration
+    * (iterative BPE has no SQL form); BpeSpec pins frozen == live
+    * token counts on the same slice. */
+  def tokenizeBpeBytesFrozen(s: SparkSession, dir: String): DataFrame = {
+    val bcnt = bpeBytesCountUdf(bpeBytesMergesFrozen(s, dir))
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        bcnt(col("text")).as("bpe_byte_tokens"))
+      .withColumn("compression",
+        round(col("n_bytes").cast("double") / col("bpe_byte_tokens"), 6))
       .orderBy("doc_id")
   }
 
@@ -1103,6 +1149,7 @@ object TextOps extends QueryGroup {
     "tokenize_bpe" -> (tokenizeBpe _),
     "tokenize_bpe_frozen" -> (tokenizeBpeFrozen _),
     "tokenize_bpe_bytes" -> (tokenizeBpeBytes _),
+    "tokenize_bpe_bytes_frozen" -> (tokenizeBpeBytesFrozen _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),

@@ -148,6 +148,27 @@ class BpeSpec extends SparkSpec {
       s"byte BPE failed to compress: $totalTok tokens over $totalBytes bytes")
   }
 
+  test("frozen byte-level artifact: persisted merges == trained; held-out encode matches") {
+    val live = graft.operators.TextOps.bpeBytesMerges(spark, sf001)
+    val frozen = graft.operators.TextOps.bpeBytesMergesFrozen(spark, sf001)
+    assert(frozen == live, "persisted byte merge table drifted from the trained one")
+    val rows = SparkEntry.queries("tokenize_bpe_bytes_frozen")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 5 == 0), "encoded a training-split doc")
+    val rank = live.zipWithIndex.toMap
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows) {
+      val text = docs(r.getLong(0))
+      assert(r.getInt(1) == text.getBytes("UTF-8").length)
+      val expected = Bpe.pretokenize(text)
+        .map(p => Bpe.encodeBytes(p, rank).length.toLong).sum
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: frozen-encode ${r.getLong(2)} vs driver $expected")
+    }
+  }
+
   test("pack_sequences_bpe: placement invariants hold per shard") {
     val rows = SparkEntry.queries("pack_sequences_bpe")(spark, sf001)
       .collect()
