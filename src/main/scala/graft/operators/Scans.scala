@@ -702,6 +702,82 @@ object Scans extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** SAI NUMERIC RANGE — the remaining scalar SAI form: Cassandra 5
+    * SAI keeps a balanced numeric tree per sstable plus SEGMENT
+    * METADATA (the indexed column's min/max per sstable), and a range
+    * probe `WHERE ts >= a AND ts <= b` consults the metadata first so
+    * sstables whose [min, max] misses the range are never opened — at
+    * the index level, not just the data level. [[scanSai]]'s k-range
+    * arm cannot show this: its generations are hash-assigned, so every
+    * value lands in every generation and metadata would prune nothing.
+    * Here the substrate is the layout that makes numeric-range SAI
+    * shine in production: FLUSH-ORDERED generations (memtables flush
+    * in arrival order, so each sstable covers a narrow ts band — the
+    * classic time-series shape), built by binning ts into 8
+    * equal-width epochs over the corpus [min, max] (two-value bounded
+    * stats, the AQE move).
+    *
+    * Probe: read the 8-row segment metadata, keep generations with
+    * max_us ≥ lo ∧ min_us ≤ hi (2 of 8 at this window), range-scan
+    * ONLY those generations' postings partitions (path-level pruning —
+    * non-surviving postings files are never listed), size-gated
+    * semi-join fetch from the same surviving generations, residual
+    * re-verify. Driver state: 8 metadata rows + the generation list.
+    * At 100 TB: thousands of generations, metadata still
+    * one-row-per-sstable — the prune is what makes a month-window
+    * query touch a month of sstables instead of years. Index + layout
+    * are output-invisible ⇒ the oracle is the plain range filter on
+    * the original table. */
+  private val saiRangePaths = new graft.core.BuildOnce[String, String]
+  private[graft] def saiRangePath(s: SparkSession, dir: String): String =
+    saiRangePaths.getOrElseUpdate(dir, {
+      val root = graft.core.RunId.scratchKeyed("sai/events_range", dir)
+      val withUs = Tables.events(s, dir)
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+      // corpus ts bounds: a 2-value bounded aggregate (never row data)
+      val b = withUs.agg(min("_us"), max("_us")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = math.max(hi - lo + 1, 1L)
+      val base = withUs.withColumn("_gen",
+        least(floor((col("_us") - lit(lo)) * lit(SaiGens) / lit(span)),
+          lit(SaiGens - 1)).cast("long"))
+      base.drop("_us").write.mode("overwrite")
+        .partitionBy("_gen").parquet(s"$root/data")
+      base.select(col("_gen"), col("_us"), col("event_id"))
+        .write.mode("overwrite").partitionBy("_gen").parquet(s"$root/idx_ts")
+      // segment metadata: per-generation min/max of the indexed value
+      base.groupBy("_gen")
+        .agg(min("_us").as("min_us"), max("_us").as("max_us"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      root
+    })
+
+  /** `SELECT … WHERE ts BETWEEN ? AND ?` answered through the SAI
+    * numeric index: segment-metadata prune → postings range scan on
+    * surviving generations only → gated semi-join fetch → residual. */
+  def scanSaiRange(s: SparkSession, dir: String): DataFrame = {
+    // Jan 10 00:00 .. Jan 13 00:00 — ~10% of the fixture's 30-day
+    // span, crossing one generation boundary (opens 2 of 8).
+    val qLo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    val qHi = java.time.Instant.parse("2024-01-13T00:00:00Z").toEpochMilli * 1000L
+    val root = saiRangePath(s, dir)
+    val gens = s.read.parquet(s"$root/meta")
+      .filter(col("max_us") >= qLo && col("min_us") <= qHi)
+      .select("_gen").collect().map(_.getLong(0)).toSeq.sorted
+    val resid = unix_micros(col("ts").cast("timestamp")).between(qLo, qHi)
+    if (gens.isEmpty)
+      return Tables.events(s, dir).filter(lit(false))
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    val cand = s.read.parquet(gens.map(g => s"$root/idx_ts/_gen=$g"): _*)
+      .filter(col("_us").between(qLo, qHi))
+      .select("event_id").localCheckpoint()
+    val src = s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    gatedSemiJoin(src, cand, "event_id")
+      .filter(resid)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** Cassandra 5 `ANN OF` — the composed CQL-5 headline read:
     * `SELECT … WHERE label = ? ORDER BY embedding ANN OF ? LIMIT k`,
     * a metadata predicate answered from SAI postings PLUS a
@@ -1077,6 +1153,7 @@ object Scans extends QueryGroup {
     "scan_sai_ann" -> (scanSaiAnn _),
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
+    "scan_sai_range" -> (scanSaiRange _),
     "backfill_partitioned" -> (backfillPartitioned _),
     "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
@@ -1199,6 +1276,14 @@ object Scans extends QueryGroup {
       FROM documents
       WHERE len(list_filter(string_split(text, ' '), w -> w = 'spark')) = 5
       ORDER BY doc_id""",
+    // flush-ordered layout + numeric postings + segment metadata are
+    // output-invisible: the oracle is the plain range filter
+    "scan_sai_range" -> """
+      SELECT event_id, user_id, event_type, value, ts
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                   AND TIMESTAMP '2024-01-13 00:00:00'
+      ORDER BY event_id""",
     // generation layout + vector index + bounds are output-invisible
     // and the probe is provably exact, so the oracle is brute-force
     // filtered top-k on the original table (sim_topk_filtered's

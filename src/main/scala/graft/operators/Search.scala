@@ -81,8 +81,11 @@ object Search extends QueryGroup {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("long").as("tf"))
 
-  /** Top-10 documents per keyword query, BM25-ranked. */
-  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+  /** BM25-ranked documents per keyword query (quantized score `sq`,
+    * matched-term count, dense rank) — the ONE scoring definition
+    * [[searchBm25]] and [[searchHybridRrf]] both read, so the
+    * standalone face and the fusion pool cannot drift. */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val sp = s; import sp.implicits._
     val post = postings(s, dir)
     val stats = Tables.documents(s, dir)
@@ -107,10 +110,77 @@ object Search extends QueryGroup {
       .groupBy("query_id", "doc_id")
       .agg(sum("sq").as("sq"), count(lit(1)).cast("long").as("n_terms"))
       .withColumn("rank", row_number().over(rank).cast("long"))
+  }
+
+  /** Top-10 documents per keyword query, BM25-ranked. */
+  def searchBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir)
       .filter(col("rank") <= TopK)
       .select(col("query_id").cast("long").as("query_id"), col("rank"),
         col("doc_id"), (col("sq").cast("double") / lit(1e12)).as("score"),
         col("n_terms"))
+      .orderBy("query_id", "rank")
+
+  /** RRF constant and pool depth for [[searchHybridRrf]]. k = 60 is
+    * the constant from the original RRF paper (Cormack, Clarke &
+    * Büttcher 2009) that every production fusion uses; each retriever
+    * contributes its top-20 pool. */
+  private val RrfPoolK = 20
+
+  /** The fused score, shared VERBATIM with the DuckDB oracle: each
+    * arm is ONE IEEE division on exactly-representable integers
+    * (rank ≤ 20, so 60+rank is exact) and the sum is one addition in
+    * a fixed operand order — bit-identical across engines with no
+    * quantization needed. A doc missing from one list contributes 0
+    * from that arm (the standard RRF treatment of un-retrieved docs). */
+  private val RrfScoreSql: String =
+    "coalesce(1e0 / (60e0 + kw_rank), 0e0) + coalesce(1e0 / (60e0 + vec_rank), 0e0)"
+
+  /** Hybrid retrieval — the modern RAG-stack read: the SAME query runs
+    * through the keyword index (BM25, [[bm25Ranked]] — the exact
+    * scoring definition search_bm25 ships) AND through vector search
+    * (cosine over `embeddings`, the sim_topk float-mirror kernel with
+    * the query doc's own embedding as the probe), and the two rankings
+    * are fused by reciprocal-rank fusion. RRF is rank-only — scores
+    * from incommensurable systems never mix, which is why it is the
+    * default fusion everywhere — so the fused surface is exactly
+    * decidable: both pools are hash-exact against DuckDB (BM25 via the
+    * shared quantize-then-sum formula, cosine via the float-mirror),
+    * and fusion on top is integer-rank arithmetic.
+    *
+    * Scale shape: the BM25 arm is postings-sized (docs containing
+    * query terms); the vector arm is the brute-force linear scan with
+    * the 3 probe vectors broadcast (at 100 TB it swaps for the IVF
+    * probe behind the same (query_id, doc_id, vec_rank) pool
+    * interface); fusion itself joins two ≤(queries × 20)-row pools —
+    * driver- and shuffle-trivial at any corpus size. */
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val kw = bm25Ranked(s, dir)
+      .filter(col("rank") <= RrfPoolK)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id"), col("rank").as("kw_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id").isin(QueryTerms.map(_._1.toLong).distinct: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val vw = Window.partitionBy("query_id")
+      .orderBy(col("vscore").desc, col("doc_id").asc)
+    val vec = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6)
+          .as("vscore"))
+      .withColumn("vec_rank", row_number().over(vw).cast("long"))
+      .filter(col("vec_rank") <= RrfPoolK)
+      .select("query_id", "doc_id", "vec_rank")
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(RrfScoreSql))
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -231,7 +301,8 @@ object Search extends QueryGroup {
     "search_fuzzy" -> (searchFuzzy _),
     "search_bm25" -> (searchBm25 _),
     "search_match_all" -> (searchMatchAll _),
-    "search_phrase" -> (searchPhrase _)
+    "search_phrase" -> (searchPhrase _),
+    "search_hybrid_rrf" -> (searchHybridRrf _)
   )
 
   private val TermsValues: String =
@@ -315,6 +386,77 @@ object Search extends QueryGroup {
              CAST(min(p) AS BIGINT) AS first_pos
       FROM t0 JOIN t1 USING (doc_id, p) JOIN t2 USING (doc_id, p)
       GROUP BY doc_id ORDER BY doc_id""",
+    // BM25 pool via the same CTE chain as search_bm25 (shared formula
+    // string), vector pool via the sim_topk float-mirror, fusion via
+    // the shared RRF formula string — rank arithmetic on top of two
+    // already-bit-exact rankings.
+    "search_hybrid_rrf" -> s"""
+      WITH dd AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
+               string_split(coalesce(text, ''), ' ') AS w
+        FROM documents),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+      post AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+        WHERE term IN ($TermInList)
+        GROUP BY 1, 2, 3),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      terms(query_id, term) AS (VALUES $TermsValues),
+      kwscored AS (
+        SELECT t.query_id, p.doc_id,
+               CAST(floor(($TermScoreSql) * 1e12) AS BIGINT) AS sq
+        FROM post p
+        JOIN dfreq USING (term) JOIN terms t USING (term) CROSS JOIN stats),
+      kwranked AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sum(sq) DESC, doc_id) AS BIGINT)
+                 AS kw_rank
+        FROM kwscored GROUP BY query_id, doc_id),
+      kw AS (SELECT * FROM kwranked WHERE kw_rank <= $RrfPoolK),
+      qv AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      vd AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS vscore
+        FROM embeddings e, qv q
+        WHERE e.vec_id <> q.query_id),
+      vranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY vscore DESC, doc_id) AS BIGINT)
+                 AS vec_rank
+        FROM vd),
+      vec AS (SELECT * FROM vranked WHERE vec_rank <= $RrfPoolK),
+      fusedin AS (
+        SELECT coalesce(k.query_id, v.query_id) AS query_id,
+               coalesce(k.doc_id, v.doc_id) AS doc_id,
+               k.kw_rank, v.vec_rank
+        FROM kw k FULL OUTER JOIN vec v
+          ON k.query_id = v.query_id AND k.doc_id = v.doc_id),
+      fused AS (
+        SELECT query_id, doc_id, kw_rank, vec_rank,
+               ($RrfScoreSql) AS rrf
+        FROM fusedin),
+      final AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS BIGINT)
+                 AS rank,
+               doc_id, rrf,
+               CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf, kw_rank, vec_rank
+      FROM final WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
     "search_match_all" -> s"""
       WITH dd AS (
         SELECT doc_id,

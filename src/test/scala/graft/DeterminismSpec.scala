@@ -191,7 +191,11 @@ class DeterminismSpec extends SparkSpec {
     "tokenize_bpe_bytes",
     // digest compare + dirty-range drill-down with NO heal; per-level
     // scaling-parameter compaction plan over the sstable list
-    "repair_preview", "compact_ucs")
+    "repair_preview", "compact_ucs",
+    // segment-metadata-pruned numeric range probe (collected 8-row
+    // metadata + generation list must not leak layout); frozen
+    // byte-level artifact encode; RRF fusion of two ranked pools
+    "scan_sai_range", "tokenize_bpe_bytes_frozen", "search_hybrid_rrf")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -735,6 +735,36 @@ class KernelSpec extends SparkSpec {
     assert(andGot == Set((1L, 1L, 4L)), andGot.toString)
   }
 
+  test("search_hybrid_rrf: fusion is exactly the RRF recurrence over the two pools") {
+    val rows = SparkEntry.queries("search_hybrid_rrf")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    for ((_, _, _, rrf, kw, vec) <- rows) {
+      // 0 marks "not in that pool" — that arm contributes 0
+      val expected = (if (kw > 0) 1.0 / (60.0 + kw) else 0.0) +
+        (if (vec > 0) 1.0 / (60.0 + vec) else 0.0)
+      assert(rrf == expected, s"rrf $rrf != $expected for ranks ($kw, $vec)")
+      assert(kw >= 0 && kw <= 20 && vec >= 0 && vec <= 20)
+      assert(kw > 0 || vec > 0, "fused a doc retrieved by neither arm")
+    }
+    // per query: ranks are 1..n contiguous and rrf is the sort key
+    for ((_, qRows) <- rows.groupBy(_._1)) {
+      val ordered = qRows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      ordered.sliding(2).foreach {
+        case Array((_, _, d1, s1, _, _), (_, _, d2, s2, _, _)) =>
+          assert(s1 > s2 || (s1 == s2 && d1 < d2),
+            s"fused order violated: ($s1, $d1) before ($s2, $d2)")
+        case _ =>
+      }
+    }
+    // both arms actually contribute somewhere (the fixture has docs
+    // ranked by keywords only, vectors only, and both)
+    assert(rows.exists(r => r._5 > 0 && r._6 > 0), "no doc fused from both pools")
+    assert(rows.exists(r => r._5 == 0 || r._6 == 0), "every doc in both pools — pools degenerate")
+  }
+
   test("sample_token_budget: clean prefix in shuffle order, boundary doc excluded") {
     val rows = graft.operators.Mixture.sampleTokenBudget(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

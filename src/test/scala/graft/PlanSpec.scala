@@ -523,6 +523,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
   }
 
+  test("scan_sai_range: segment metadata prunes generations, probe stays inside the range layout") {
+    import org.apache.spark.sql.functions._
+    val root = graft.operators.Scans.saiRangePath(spark, sf001)
+    val meta = spark.read.parquet(s"$root/meta").collect()
+    assert(meta.length == 8, s"expected 8 segment-metadata rows, got ${meta.length}")
+    val qLo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    val qHi = java.time.Instant.parse("2024-01-13T00:00:00Z").toEpochMilli * 1000L
+    val surviving = meta
+      .filter(r => r.getAs[Long]("max_us") >= qLo && r.getAs[Long]("min_us") <= qHi)
+      .map(_.getAs[Long]("_gen")).toSet
+    // flush-ordered generations: a 3-day window of a 30-day corpus
+    // must land in a strict subset — the prune the hash layout can't do
+    assert(surviving.nonEmpty && surviving.size < 8,
+      s"metadata failed to prune: ${surviving.size} of 8 generations survive")
+    val df = SparkEntry.queries("scan_sai_range")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "range probe returned nothing")
+    // every file the probe reads lives under the range layout, and
+    // only under metadata-surviving generations — the original events
+    // table is never opened
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/sai/events_range")),
+      s"probe read outside its layout: ${files.filterNot(_.contains("/sai/events_range")).take(3).mkString(", ")}")
+    val opened = files.filter(_.contains("_gen="))
+      .map(_.replaceAll(".*_gen=", "").replaceAll("/.*", "").toLong).toSet
+    assert(opened == surviving,
+      s"opened generations $opened != metadata-surviving $surviving")
+    // exactness: equals the plain range filter on the original table
+    val exact = graft.core.Tables.events(spark, sf001)
+      .filter(unix_micros(col("ts").cast("timestamp")).between(qLo, qHi))
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id").collect()
+    assert(rows.map(_.toString).toSeq == exact.map(_.toString).toSeq,
+      "range probe diverges from the plain filter")
+  }
+
   test("scan_sai_ann: leaf-pruned probe, no corpus scan, equals brute-force filtered top-k") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
