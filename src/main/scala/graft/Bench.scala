@@ -81,7 +81,8 @@ object Bench {
       "sink_sorted_stats", "sink_zorder", "sink_hilbert",
       "scan_manifest_pruned", "scan_bloom_pruned", "scan_bucket_pruned",
       "scan_sai", "scan_sai_contains", "scan_sai_contains_key",
-      "scan_sai_ann", "scan_sai_range", "backfill_partitioned", "join_dpp",
+      "scan_sai_ann", "scan_sai_range", "scan_sai_memtable",
+      "backfill_partitioned", "join_dpp",
       "sim_topk_ivf", "sim_topk_ivf_pq", "sim_index_delta",
       "dedup_delta", "dedup_delta_near", "dedup_cluster",
       "tokenize_bpe_frozen", "tokenize_bpe_bytes", "tokenize_bpe_bytes_frozen",

@@ -778,6 +778,85 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** SAI + MEMTABLE — the read path as Cassandra actually runs it:
+    * an SAI query consults the postings of every FLUSHED sstable AND
+    * the memtable's in-memory trie index (here: a linear filter over
+    * the unflushed tail — the memtable is flush-interval-sized, so
+    * the linear arm is bounded by write throughput, never corpus
+    * size). Every other SAI face reads a fully-flushed layout; this
+    * one models the steady state where recent writes haven't flushed
+    * yet, so a correct read MUST union both arms. Layout: events with
+    * ts < flush-cut in 8 flush-ordered generations (data + user
+    * postings), the tail stored as `memtable/` (what RAM holds).
+    * Probe: postings → candidate generations → gated semi-join fetch
+    * → residual, UNION the memtable linear filter; `flushed` marks
+    * the serving arm. The streaming side of this layout —
+    * micro-batches flushing into NEW generations with their postings
+    * built per flush, exactly Cassandra's memtable→sstable+index
+    * lifecycle — is driven by StreamingSpec over [[saiFlushProbe]].
+    * Oracle: the plain user filter (layout + split invisible;
+    * `flushed` restates ts < cut). */
+  private val SaiMemFlushCutUs =
+    java.time.Instant.parse("2024-01-25T00:00:00Z").toEpochMilli * 1000L
+  private val saiMemPaths = new graft.core.BuildOnce[String, String]
+  private[graft] def saiMemPath(s: SparkSession, dir: String): String =
+    saiMemPaths.getOrElseUpdate(dir, {
+      val root = graft.core.RunId.scratchKeyed("sai/memtable", dir)
+      val withUs = Tables.events(s, dir)
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+      val flushed = withUs.filter(col("_us") < SaiMemFlushCutUs)
+      val b = flushed.agg(min("_us")).collect()(0)
+      val lo = b.getLong(0)
+      val span = math.max(SaiMemFlushCutUs - lo, 1L)
+      val base = flushed.withColumn("_gen",
+        least(floor((col("_us") - lit(lo)) * lit(SaiGens) / lit(span)),
+          lit(SaiGens - 1)).cast("long"))
+      base.drop("_us").write.mode("overwrite")
+        .partitionBy("_gen").parquet(s"$root/data")
+      base.select(col("_gen"), col("user_id"), col("event_id"))
+        .write.mode("overwrite").parquet(s"$root/idx_user")
+      withUs.filter(col("_us") >= SaiMemFlushCutUs).drop("_us")
+        .write.mode("overwrite").parquet(s"$root/memtable")
+      root
+    })
+
+  /** The flushed-arm probe, shared by the declared query and the
+    * StreamingSpec flush-lifecycle test: postings (base + any
+    * appended-generation postings) → candidate generations → gated
+    * fetch → residual. `extraGens` are generations flushed AFTER the
+    * base layout build (each with `data/_gen=g` + rows appended under
+    * `idx_user_extra/`), exactly what a per-micro-batch flush writes. */
+  private[graft] def saiFlushProbe(s: SparkSession, root: String,
+      user: Long, extraGens: Seq[Long] = Nil): DataFrame = {
+    val baseIdx = s.read.parquet(s"$root/idx_user")
+    val idx =
+      if (extraGens.isEmpty) baseIdx
+      else baseIdx.unionByName(s.read.parquet(s"$root/idx_user_extra"))
+    val (cand, gens) = saiCandGens(
+      idx.filter(col("user_id") === user).select("_gen", "event_id"))
+    if (gens.isEmpty)
+      return s.read.parquet(s"$root/memtable").filter(lit(false))
+        .select("event_id", "user_id", "event_type", "value")
+    val src = s.read.parquet(gens.map(g => s"$root/data/_gen=$g"): _*)
+    gatedSemiJoin(src, cand, "event_id")
+      .filter(col("user_id") === user)
+      .select("event_id", "user_id", "event_type", "value")
+  }
+
+  /** `SELECT … WHERE user_id = ?` over flushed-sstable SAI postings ∪
+    * the memtable linear arm. */
+  def scanSaiMemtable(s: SparkSession, dir: String): DataFrame = {
+    val user = 5L
+    val root = saiMemPath(s, dir)
+    val flushedHits = saiFlushProbe(s, root, user)
+      .withColumn("flushed", lit(true))
+    val memHits = s.read.parquet(s"$root/memtable")
+      .filter(col("user_id") === user)
+      .select("event_id", "user_id", "event_type", "value")
+      .withColumn("flushed", lit(false))
+    flushedHits.unionByName(memHits).orderBy("event_id")
+  }
+
   /** Cassandra 5 `ANN OF` — the composed CQL-5 headline read:
     * `SELECT … WHERE label = ? ORDER BY embedding ANN OF ? LIMIT k`,
     * a metadata predicate answered from SAI postings PLUS a
@@ -1154,6 +1233,7 @@ object Scans extends QueryGroup {
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
     "scan_sai_range" -> (scanSaiRange _),
+    "scan_sai_memtable" -> (scanSaiMemtable _),
     "backfill_partitioned" -> (backfillPartitioned _),
     "join_dpp" -> (joinDpp _),
     "sink_zorder" -> (sinkZorderStats _),
@@ -1283,6 +1363,14 @@ object Scans extends QueryGroup {
       FROM events
       WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                    AND TIMESTAMP '2024-01-13 00:00:00'
+      ORDER BY event_id""",
+    // flushed/memtable split + layout are output-invisible; `flushed`
+    // restates which side of the flush cut the row falls on
+    "scan_sai_memtable" -> """
+      SELECT event_id, user_id, event_type, value,
+             (ts < TIMESTAMP '2024-01-25 00:00:00') AS flushed
+      FROM events
+      WHERE user_id = 5
       ORDER BY event_id""",
     // generation layout + vector index + bounds are output-invisible
     // and the probe is provably exact, so the oracle is brute-force

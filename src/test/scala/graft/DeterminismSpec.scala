@@ -195,7 +195,9 @@ class DeterminismSpec extends SparkSpec {
     // segment-metadata-pruned numeric range probe (collected 8-row
     // metadata + generation list must not leak layout); frozen
     // byte-level artifact encode; RRF fusion of two ranked pools
-    "scan_sai_range", "tokenize_bpe_bytes_frozen", "search_hybrid_rrf")
+    "scan_sai_range", "tokenize_bpe_bytes_frozen", "search_hybrid_rrf",
+    // flushed-postings ∪ memtable-linear union read
+    "scan_sai_memtable")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -904,4 +904,89 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toList
     assert(ids == List(1L, 2L), s"replay duplicated rows: $ids")
   }
+
+  test("memtable flush lifecycle: micro-batches flush into NEW SAI generations with postings") {
+    // The scan_sai_memtable layout's streaming side — Cassandra's
+    // memtable→sstable lifecycle: each micro-batch of arriving writes
+    // FLUSHES into a brand-new generation (data files + its SAI
+    // postings built at flush time, batchId-derived so a crash replay
+    // overwrites instead of duplicating), and the shared probe
+    // (Scans.saiFlushProbe) answers over base + flushed generations.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sai_flush").toString
+    val (root, segs, ckpt) = (s"$dir/layout", s"$dir/segments", s"$dir/ckpt")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // base layout: 4 rows already flushed into 2 generations
+      val base = Seq(
+        (1L, 1L, "click", 1.0), (2L, 2L, "view", 2.0),
+        (3L, 1L, "click", 3.0), (4L, 2L, "view", 4.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("_gen", col("event_id") % 2)
+      base.write.partitionBy("_gen").parquet(s"$root/data")
+      base.select("_gen", "user_id", "event_id").write.parquet(s"$root/idx_user")
+      // two arriving segments (the memtable contents, in write order)
+      Seq((10L, 1L, "click", 10.0), (11L, 3L, "view", 11.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(segs)
+      Seq((12L, 1L, "buy", 12.0), (13L, 2L, "click", 13.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(segs)
+      val schema = s.read.parquet(segs).schema
+      def flush(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        val gen = 100L + batchId
+        // flush = data files for the new generation + its postings;
+        // the data write is batchId-keyed overwrite (replay-safe), the
+        // postings carry the gen so a probe can name it
+        df.write.mode("overwrite").parquet(s"$root/data/_gen=$gen")
+        df.select(lit(gen).as("_gen"), col("user_id"), col("event_id"))
+          .write.mode("append").parquet(s"$root/idx_user_extra")
+      }
+      q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(segs)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(flush _).start()
+      q.processAllAvailable(); q.stop()
+      // both segments flushed: generations 100 and 101 exist with data
+      val flushedGens = new java.io.File(s"$root/data").listFiles()
+        .map(_.getName).filter(_.startsWith("_gen=")).sorted.toList
+      assert(flushedGens == List("_gen=0", "_gen=1", "_gen=100", "_gen=101"),
+        s"unexpected generations: $flushedGens")
+      // the probe over base + flushed generations sees every user-1
+      // write, pre- and post-flush, exactly once
+      val got = graft.operators.Scans
+        .saiFlushProbe(s, root, 1L, Seq(100L, 101L))
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).sorted.toList
+      assert(got == List((1L, 1.0), (3L, 3.0), (10L, 10.0), (12L, 12.0)),
+        s"probe after flush: $got")
+      // without the flushed generations' postings the probe serves
+      // only the base — the index append is what keeps reads correct
+      val baseOnly = graft.operators.Scans.saiFlushProbe(s, root, 1L)
+        .collect().map(_.getLong(0)).sorted.toList
+      assert(baseOnly == List(1L, 3L), s"base-only probe: $baseOnly")
+      // restart over the same checkpoint with a new segment: the old
+      // segments must NOT re-flush (no duplicate postings), the new
+      // one lands in generation 102
+      Seq((14L, 1L, "view", 14.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(segs)
+      q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(segs)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(flush _).start()
+      q.processAllAvailable(); q.stop()
+      val got2 = graft.operators.Scans
+        .saiFlushProbe(s, root, 1L, Seq(100L, 101L, 102L))
+        .collect().map(_.getLong(0)).sorted.toList
+      assert(got2 == List(1L, 3L, 10L, 12L, 14L),
+        s"probe after restart+flush: $got2")
+    } finally {
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
