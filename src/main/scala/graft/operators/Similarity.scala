@@ -284,6 +284,70 @@ object Similarity extends QueryGroup {
       .orderBy("query_id", "rk")
   }
 
+  /** Binary-quantization signatures: the sign bit of every coordinate,
+    * packed 16 bits per word (4 words for 64 dims — SrpBucketsExpr
+    * buckets are ints, ≤31 bits each) — 64 BITS of signature per
+    * 64-dim vector, a 32× compression of the float corpus. Computed
+    * as SRP under IDENTITY hyperplanes (unit vector eᵢ per bit), so
+    * the packing rides the fused [[graft.plans.SrpBucketsExpr]] loop
+    * and the sign semantics (`dot(v, eᵢ) >= 0`) are the proven SRP
+    * ones. */
+  private val bqPlanes: Seq[Seq[Seq[Float]]] = {
+    def unit(i: Int) = Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    (0 until 4).map(b => (16 * b until 16 * (b + 1)).map(unit))
+  }
+
+  /** Top-k via BINARY QUANTIZATION — the 1-bit trick modern vector
+    * stores ship next to IVF/PQ: phase 1 ranks the corpus by Hamming
+    * distance between 64-bit sign signatures (two XOR+popcounts per
+    * pair — no float touched, and the scanned relation is the 8-byte
+    * `sig` index column, never the embeddings), keeps a
+    * Shortlist-bounded pool per query (WindowGroupLimit pre-filters
+    * per partition, so the shuffle carries ≤50 16-byte rows per query
+    * per partition); phase 2 fetches full vectors for the ≤5×50
+    * shortlist ids only and rescores with the exact fdot kernel.
+    * Sign-bit Hamming is monotone in angle in expectation (the SRP
+    * guarantee), so the shortlist concentrates the true neighbors;
+    * DedupSimilaritySpec measures recall vs the exact top-k and pins
+    * the structural invariants. Declared no-oracle (the shortlist is
+    * engine-defined, the LSH/IVF family declaration). At 100 TB the
+    * sig relation IS the resident index (8 bytes/vector); the float
+    * corpus is touched only for shortlist ids. The shortlist broadcast
+    * is k-BOUNDED by construction (queries × Shortlist rows,
+    * corpus-independent) — not the data-dependent-aggregate class the
+    * repo-wide broadcast guard forbids. */
+  def simTopkBq(s: SparkSession, dir: String): DataFrame = {
+    val Shortlist = 50
+    val emb = Tables.embeddings(s, dir)
+    val sigs = emb
+      .select(col("vec_id"), Vectors.srpBuckets(col("embedding"), bqPlanes).as("sig"))
+    val q = sigs.join(emb, "vec_id").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"),
+        col("embedding").as("qvec"))
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val shortlist = sigs
+      .crossJoin(broadcast(q.select("query_id", "qsig")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (1 to 4).map(i => bit_count(
+          element_at(col("sig"), i).bitwiseXOR(element_at(col("qsig"), i))))
+          .reduce(_ + _).cast("int"))
+      .select("query_id", "vec_id", "hamming")
+      .withColumn("hrk", row_number().over(hw))
+      .filter(col("hrk") <= Shortlist)
+      .drop("hrk")
+    val sw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q.select("query_id", "qvec")), "query_id")
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(sw))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "hamming", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Embedding-cosine near-dup detection: exact copies planted with
     * vec_id+100000, found via LSH bucket join + cosine > 0.9 verify
     * (corpus max pairwise cosine is ~0.51 — FIXTURES-measured — so
@@ -1096,6 +1160,7 @@ object Similarity extends QueryGroup {
     "sim_threshold_lsh" -> (simThresholdLsh _),
     "sim_threshold_lsh_tau08" -> (simThresholdLshTau08 _),
     "sim_topk_lsh" -> (simTopkLsh _),
+    "sim_topk_bq" -> (simTopkBq _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_pq" -> (simTopkIvfPq _),
     "sim_index_delta" -> (simIndexDelta _),

@@ -444,6 +444,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shared.forall(k => brute(k) == lsh(k)), "scores differ between paths")
   }
 
+  test("sim_topk_bq: Hamming shortlist + exact rescore, recall measured vs brute force") {
+    val bq = SparkEntry.queries("sim_topk_bq")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4).toLong))
+    assert(bq.nonEmpty)
+    // shape: 10 rows per query, contiguous ranks, scores non-increasing
+    for ((_, qRows) <- bq.groupBy(_._1)) {
+      val ordered = qRows.sortBy(_._5)
+      assert(ordered.map(_._5).toSeq == (1L to ordered.length).toSeq)
+      assert(ordered.length == 10, s"under-filled top-k: ${ordered.length}")
+      ordered.sliding(2).foreach {
+        case Array((_, v1, _, s1, _), (_, v2, _, s2, _)) =>
+          assert(s1 > s2 || (s1 == s2 && v1 < v2))
+        case _ =>
+      }
+    }
+    // Hamming distances live in [0, 64] (64 sign bits)
+    assert(bq.forall(r => r._3 >= 0 && r._3 <= 64))
+    // the rescore is the EXACT kernel: any pair the brute-force top-10
+    // also surfaces must carry a bit-identical score
+    val brute = SparkEntry.queries("sim_topk")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bqMap = bq.map(r => (r._1, r._2) -> r._4).toMap
+    val shared = brute.keySet & bqMap.keySet
+    assert(shared.nonEmpty, "BQ shortlist missed every true neighbor")
+    assert(shared.forall(k => brute(k) == bqMap(k)),
+      "rescore diverges from the exact kernel on shared pairs")
+    // recall@10 from a 50-deep 64-bit Hamming shortlist: SRP makes
+    // sign-bit Hamming monotone in angle in expectation, so the
+    // shortlist concentrates true neighbors far above the 10% a
+    // random 50-of-~500 pool would hit
+    val recall = shared.size.toDouble / brute.size
+    assert(recall >= 0.3, f"BQ recall@10 $recall%.3f below floor 0.3")
+  }
+
   test("sim_recall_eval: recall monotone in nprobe, exactly 1.0 when every cell is probed") {
     val rows = SparkEntry.queries("sim_recall_eval")(spark, sf001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))

@@ -197,7 +197,9 @@ class DeterminismSpec extends SparkSpec {
     // byte-level artifact encode; RRF fusion of two ranked pools
     "scan_sai_range", "tokenize_bpe_bytes_frozen", "search_hybrid_rrf",
     // flushed-postings ∪ memtable-linear union read
-    "scan_sai_memtable")
+    "scan_sai_memtable",
+    // 64-bit sign-signature Hamming shortlist + exact rescore
+    "sim_topk_bq")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
