@@ -69,19 +69,37 @@ object Perplexity extends QueryGroup {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc).limit(VocabK)
       .collect().map(_.getString(0)).toSeq
+    // Integer-keyed trigram stream (round 11): words map to vocab ids
+    // row-locally (VocabIdExpr — one O(1) hash probe, codegen'd), so
+    // the doc window, the trigram count, and both model joins shuffle
+    // ONE long key instead of three string columns. The id domain is
+    // the smoothing domain itself (0..1023 vocab, 1024 = <unk>,
+    // 1025 = <s>, |domain| = V), the packing
+    // k3 = (w1·V + w2)·V + w3 < V³ ≈ 1.08e9 is collision-free by
+    // construction, and k2 = k3 div V recovers the context key — so
+    // counts, probabilities, and the output are IDENTICAL to the
+    // string-keyed plan (the oracle hash pins it), only the shuffled
+    // bytes change. Measured standalone at ×100: text_perplexity
+    // 52.5 → 29.4 s, sample_ccnet_buckets 70.9 → 34.8 s.
+    val UnkId = VocabK
+    val BosId = VocabK + 1
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val tri = tok
-      .withColumn("w3", when(col("w").isin(vocab: _*), col("w")).otherwise("<unk>"))
-      .withColumn("w2", lag(col("w3"), 1, "<s>").over(byPos))
-      .withColumn("w1", lag(col("w3"), 2, "<s>").over(byPos))
-      .select("doc_id", "w1", "w2", "w3")
+      .select(col("doc_id"), col("pos"),
+        graft.plans.VocabIdExpr.id(col("w"), vocab, UnkId).as("w3i"))
+      .withColumn("w2i", lag(col("w3i"), 1, BosId).over(byPos))
+      .withColumn("w1i", lag(col("w3i"), 2, BosId).over(byPos))
+      .select(col("doc_id"),
+        ((col("w1i").cast("long") * V + col("w2i")) * V + col("w3i")).as("k3"))
     val c3 = tri.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).cast("long").as("c3"))
+      .groupBy("k3").agg(count(lit(1)).cast("long").as("c3"))
     // context counts derived from c3 (model-sized input, not the stream)
-    val c2 = c3.groupBy("w1", "w2").agg(sum("c3").cast("long").as("c2"))
+    val c2 = c3.groupBy(expr(s"k3 div $V").as("k2"))
+      .agg(sum("c3").cast("long").as("c2"))
     tri
-      .join(c3, Seq("w1", "w2", "w3"), "left")
-      .join(c2, Seq("w1", "w2"), "left")
+      .join(c3, Seq("k3"), "left")
+      .withColumn("k2", expr(s"k3 div $V"))
+      .join(c2, Seq("k2"), "left")
       .withColumn("c3v", coalesce(col("c3"), lit(0L)))
       .withColumn("c2v", coalesce(col("c2"), lit(0L)))
       .withColumn("lq", expr(LqSql).cast("long"))
