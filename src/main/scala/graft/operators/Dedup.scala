@@ -129,6 +129,53 @@ object Dedup extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric CONTAINMENT — the quote / partial-copy detector
+    * symmetric Jaccard structurally misses: C(A→B) = |A∩B| / |A| is
+    * ≈1 when A's shingles sit inside B (a short doc quoted by a long
+    * one) even though the symmetric J = |A∩B| / |A∪B| stays low
+    * because the union is dominated by the longer doc. Lee et al.'s
+    * dedup taxonomy treats containment as its own near-dup mode;
+    * `partial_copy` flags exactly the pairs where the max-direction
+    * containment clears 0.5 while Jaccard does not — the rows a
+    * Jaccard-thresholded pass would silently keep twice. The fixture
+    * corpus has no natural partial copies (measured max containment
+    * 0.11 under doc_id < 60), so the evaluation set PLANTS them, the
+    * dedup_minhash_eval discipline: each doc_id < 20 original gets a
+    * "quote" mutant (its first third, ≥4 words) at id + 2^40 — the
+    * offset that survives ScaleGen's +1e6-per-copy id shifts — giving
+    * known pairs with containment ≈ 1 and Jaccard ≈ ⅓. Bounded by
+    * construction (40 docs); the scale path is the same MinHash
+    * banding with the shorter side's signature deciding the band key.
+    * Every reported number is integer arithmetic or one exact IEEE
+    * division — the DuckDB oracle mirrors it bit-for-bit. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val orig = Tables.documents(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+    val quotes = orig.select(
+      (col("doc_id") + lit(1L << 40)).as("doc_id"),
+      slice(col("w"), lit(1), greatest(expr("size(w) div 3"), lit(4))).as("w"))
+    val base = orig.unionByName(quotes)
+      .withColumn("sh", array_distinct(Text.shingles(col("w"), 3)))
+    val a = base.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+    val b = base.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter") > 0)
+      .withColumn("n_a", size(col("sha")))
+      .withColumn("n_b", size(col("shb")))
+      .withColumn("c_ab", col("inter").cast("double") / col("n_a"))
+      .withColumn("c_ba", col("inter").cast("double") / col("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(greatest(col("c_ab"), col("c_ba")) > 0.1)
+      .withColumn("partial_copy",
+        greatest(col("c_ab"), col("c_ba")) >= 0.5 && col("jaccard") < 0.5)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "c_ab", "c_ba",
+        "jaccard", "partial_copy")
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash ESTIMATOR audit — the signature-quality gate a dedup
     * deployment runs before trusting banding thresholds (the MinHash
     * sibling of sim_recall_eval's IVF gate): over a bounded evaluation
@@ -707,6 +754,7 @@ object Dedup extends QueryGroup {
     "dedup_near" -> (dedupNear _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_eval" -> (dedupMinhashEval _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_survivor" -> (dedupSurvivor _),
@@ -866,6 +914,43 @@ object Dedup extends QueryGroup {
       WHERE a.doc_id < b.doc_id
         AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0.01
+      ORDER BY id_a, id_b""",
+    // Asymmetric containment over originals ∪ planted first-third
+    // quote mutants (id + 2^40): every value is integer arithmetic or
+    // one exact IEEE division.
+    "dedup_containment" -> s"""
+      WITH ww AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 20),
+      uw AS (
+        SELECT doc_id, w FROM ww
+        UNION ALL
+        SELECT doc_id + (1::BIGINT << 40) AS doc_id,
+               w[1:greatest(len(w) // 3, 4)] AS w
+        FROM ww),
+      sh AS (
+        SELECT doc_id,
+          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         FOR i IN range(1, len(w)-1)]) AS sh
+        FROM uw),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS inter,
+          CAST(len(a.sh) AS INTEGER) AS n_a,
+          CAST(len(b.sh) AS INTEGER) AS n_b
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sh, b.sh)) > 0),
+      c AS (
+        SELECT id_a, id_b, inter, n_a, n_b,
+          CAST(inter AS DOUBLE) / n_a AS c_ab,
+          CAST(inter AS DOUBLE) / n_b AS c_ba,
+          CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+        FROM p)
+      SELECT id_a, id_b, inter, n_a, n_b, c_ab, c_ba, jaccard,
+        (greatest(c_ab, c_ba) >= 0.5 AND jaccard < 0.5) AS partial_copy
+      FROM c
+      WHERE greatest(c_ab, c_ba) > 0.1
       ORDER BY id_a, id_b""",
     // Connected components as a recursive CTE over the SAME jaccard
     // pairs: label(id) = min node id reachable from id.

@@ -444,6 +444,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shared.forall(k => brute(k) == lsh(k)), "scores differ between paths")
   }
 
+  test("dedup_containment: planted quotes score containment exactly 1.0 with low Jaccard") {
+    val rows = SparkEntry.queries("dedup_containment")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8)))
+    val planted = rows.filter(r => r._2 == r._1 + (1L << 40))
+    assert(planted.length == 20, s"expected 20 planted pairs, got ${planted.length}")
+    for ((ia, ib, inter, na, nb, cab, cba, j, pc) <- planted) {
+      // the quote is a PREFIX of the original: its shingles are a
+      // subset, so the quote-side containment is exactly 1.0 …
+      assert(cba == 1.0, s"pair ($ia, $ib): c_ba $cba != 1.0")
+      assert(inter == nb)
+      // … while symmetric Jaccard sits near ⅓ — below any dedup
+      // threshold. This is the pair class the operator exists for.
+      assert(j < 0.5 && pc, s"pair ($ia, $ib): jaccard $j, partial_copy $pc")
+      assert(cab == j || cab < 1.0) // directionality: original side diluted
+    }
+    // the flag is exactly its definition on every row (a quote CAN
+    // legitimately be contained in a second, unrelated source — at
+    // this fixture's shorter docs that genuinely happens — so the
+    // check is flag consistency, not planted-only membership)
+    for ((ia, ib, _, _, _, cab, cba, j, pc) <- rows)
+      assert(pc == (math.max(cab, cba) >= 0.5 && j < 0.5),
+        s"pair ($ia, $ib): flag $pc inconsistent with c=($cab, $cba), j=$j")
+  }
+
   test("sim_topk_bq: Hamming shortlist + exact rescore, recall measured vs brute force") {
     val bq = SparkEntry.queries("sim_topk_bq")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4).toLong))

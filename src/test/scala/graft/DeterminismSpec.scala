@@ -199,7 +199,9 @@ class DeterminismSpec extends SparkSpec {
     // flushed-postings ∪ memtable-linear union read
     "scan_sai_memtable",
     // 64-bit sign-signature Hamming shortlist + exact rescore
-    "sim_topk_bq")
+    "sim_topk_bq",
+    // asymmetric containment over the planted-quote eval union
+    "dedup_containment")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
