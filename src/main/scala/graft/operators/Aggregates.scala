@@ -323,6 +323,42 @@ object Aggregates extends QueryGroup {
       .limit(10)
   }
 
+  /** Partition-size histogram — the `nodetool tablehistograms` face:
+    * Cassandra operators read partition-size percentiles (p50/p75/
+    * p95/p98/p99 over rows-per-partition and bytes-per-partition) to
+    * spot the wide-partition pathology before it melts a replica. The
+    * engine's partition domain is the LWW fixture's: `user_id` over
+    * events. Byte size is the deterministic serialized-cell estimate
+    * (string lengths + 8 bytes per fixed-width cell — an estimate by
+    * contract, same as Cassandra's own mean-partition-size estimate).
+    * Shape: ONE map-side-combining aggregate to the partition domain,
+    * then exact `percentile` over the (small-relative-to-corpus)
+    * per-partition relation — the same exact-vs-approx_percentile
+    * declared tradeoff as [[aggQuantile]]; at billions of partitions
+    * the scale path swaps in approx_percentile, identical plan
+    * otherwise. Output is percentile-domain (5 rows). */
+  def statsPartitionHist(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("p_rows"),
+        sum(length(col("event_type")) + length(col("props")) + lit(24))
+          .as("p_bytes"))
+    val pcts = Seq(0.50, 0.75, 0.95, 0.98, 0.99)
+    val agg0 = per.agg(
+      count(lit(1)).as("n_partitions"),
+      (pcts.zipWithIndex.flatMap { case (q, i) => Seq(
+        round(expr(s"percentile(p_rows, $q)"), 6).as(s"r$i"),
+        round(expr(s"percentile(p_bytes, $q)"), 6).as(s"b$i"))
+      }): _*)
+    agg0.select(col("n_partitions"), expr(
+      "stack(5, " + pcts.zipWithIndex.map { case (q, i) =>
+        s"${(q * 100).round}, r$i, b$i"
+      }.mkString(", ") + ") as (pct, rows_p, bytes_p)"))
+      .select(col("pct"), col("rows_p"), col("bytes_p"), col("n_partitions"))
+      .orderBy("pct")
+  }
+
   /** Per-group mode (most frequent value): count per (group, value),
     * then an argmax aggregation — two hash aggregates, both
     * partial-aggregable, no sort/window. Tie-break: highest count,
@@ -549,6 +585,7 @@ object Aggregates extends QueryGroup {
     "agg_sketch_merge" -> (aggSketchMerge _),
     "agg_sketch_intersect" -> (aggSketchIntersect _),
     "stats_skew" -> (statsSkew _),
+    "stats_partition_hist" -> (statsPartitionHist _),
     "agg_freq_items" -> (aggFreqItems _),
     "agg_skew_twophase" -> (aggSkewTwophase _),
     "agg_quantile_approx" -> (aggQuantileApprox _),
@@ -591,6 +628,28 @@ object Aggregates extends QueryGroup {
         ROUND(CAST(max_rows AS DOUBLE) * n_keys / total_rows, 6) AS skew_ratio
       FROM per CROSS JOIN tot
       ORDER BY key_rows DESC, key ASC LIMIT 10""",
+    // percentile ↔ quantile_cont: both engines linear-interpolate
+    // over the sorted values, round(6) — the aggQuantile discipline
+    "stats_partition_hist" -> """
+      WITH per AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS p_rows,
+          CAST(SUM(len(event_type) + len(props) + 24) AS BIGINT) AS p_bytes
+        FROM events GROUP BY user_id),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+          ROUND(quantile_cont(p_rows, 0.50), 6) AS r0, ROUND(quantile_cont(p_bytes, 0.50), 6) AS b0,
+          ROUND(quantile_cont(p_rows, 0.75), 6) AS r1, ROUND(quantile_cont(p_bytes, 0.75), 6) AS b1,
+          ROUND(quantile_cont(p_rows, 0.95), 6) AS r2, ROUND(quantile_cont(p_bytes, 0.95), 6) AS b2,
+          ROUND(quantile_cont(p_rows, 0.98), 6) AS r3, ROUND(quantile_cont(p_bytes, 0.98), 6) AS b3,
+          ROUND(quantile_cont(p_rows, 0.99), 6) AS r4, ROUND(quantile_cont(p_bytes, 0.99), 6) AS b4
+        FROM per)
+      SELECT pct, rows_p, bytes_p, n_partitions FROM (
+        SELECT 50 AS pct, r0 AS rows_p, b0 AS bytes_p, n_partitions FROM a
+        UNION ALL SELECT 75, r1, b1, n_partitions FROM a
+        UNION ALL SELECT 95, r2, b2, n_partitions FROM a
+        UNION ALL SELECT 98, r3, b3, n_partitions FROM a
+        UNION ALL SELECT 99, r4, b4, n_partitions FROM a)
+      ORDER BY pct""",
     // exact decimal first/second moments, float64 only in the final
     // identically-associated scalar formula
     "stats_corr" -> """

@@ -70,6 +70,83 @@ object Similarity extends QueryGroup {
       .orderBy("query_id", "rk")
   }
 
+  /** Matryoshka (prefix-dimension) exact top-k — the MRL serving
+    * pattern (Kusupati et al. 2022, public): embeddings trained so a
+    * PREFIX of the dimensions is itself a usable embedding. The index
+    * at rest stores only (vec_id, 16-dim prefix, tail mass) — 4× less
+    * scan IO than the 64-dim corpus — and full vectors are fetched
+    * only for a bounded candidate set. Exactness is NOT sampled; it is
+    * proved by the same Cauchy–Schwarz discipline as scan_sai_ann's
+    * leaf bound, per vector: for L2-normalized v,
+    * dot(q,v) = dot(q_p,v_p) + dot(q_t,v_t) ≤ dot(q_p,v_p) +
+    * ‖q_t‖·‖v_t‖ =: ub(v), with ‖v_t‖² = 1 − ‖v_p‖² stored in the
+    * index. Two phases over the slim index: (1) rescore the top-C by
+    * ub exactly → t = the kth exact score (a valid cutoff: the true
+    * kth best is ≥ t); (2) every vector with ub ≥ t — a superset of
+    * the true top-k, ties included since ub ≥ exact — is rescored
+    * exactly and ranked. Any C ≥ k yields the exact answer; C only
+    * tunes how tight t lands (DedupSimilaritySpec drives C = k and
+    * still matches brute force). The 1e-4 margin on ub dominates the
+    * float-vs-real rounding of the dot products by ~10 orders, same
+    * argument as the SAI-ANN bound. Hash-exact vs the brute-force
+    * DuckDB mirror. Scale: phase 1 is a linear scan of the 17-float
+    * index rows (broadcast 5-query side, no shuffle); both fetches
+    * broadcast a bounded id set into an id-join against the corpus —
+    * the geometry keeps |ub ≥ t| small (measured in spec), and an
+    * unselective regime would size-gate the fetch exactly as the SAI
+    * family does. */
+  private[graft] def mrlTopk(s: SparkSession, dir: String,
+      c: Int): DataFrame = {
+    val p = 16; val k = 8
+    val emb = Tables.embeddings(s, dir)
+    def slim(df: DataFrame, id: String, pv: String, tl: String) = {
+      val pref = slice(col("embedding"), 1, p)
+      df.select(col("vec_id").as(id), pref.as(pv),
+        sqrt(greatest(lit(0.0),
+          lit(1.0) - Vectors.fdot(pref, pref))).as(tl))
+    }
+    val isQuery = col("vec_id") >= 5 && col("vec_id") < 10
+    val idx = slim(emb, "vec_id", "pvec", "ptail")
+    val qIdx = slim(emb.filter(isQuery), "query_id", "qpvec", "qtail")
+    val qFull = emb.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // phase-0 bound pass: one scan of the slim index per query batch
+    val cand = idx.crossJoin(broadcast(qIdx))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ub", Vectors.fdot(col("pvec"), col("qpvec"))
+        + col("ptail") * col("qtail") + lit(1e-4))
+      .select("query_id", "vec_id", "ub")
+      .localCheckpoint() // reused by both phases; on a cluster: write it
+    // exact rescore of a bounded id set: broadcast the ids into an
+    // id-join against the corpus (the "fetch full vectors" step)
+    def rescore(ids: DataFrame): DataFrame =
+      emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(ids.select("query_id", "vec_id")), Seq("vec_id"))
+        .join(broadcast(qFull), Seq("query_id"))
+        .withColumn("score", round(Vectors.fdot(col("embedding"), col("qv")), 6))
+        .select("query_id", "vec_id", "score")
+    val wUb = Window.partitionBy("query_id")
+      .orderBy(col("ub").desc, col("vec_id").asc)
+    val short = cand.withColumn("r", row_number().over(wUb))
+      .filter(col("r") <= c).drop("r")
+    val wEx = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val thr = rescore(short)
+      .withColumn("r", row_number().over(wEx))
+      .filter(col("r") === k)
+      .select(col("query_id"), col("score").as("thr"))
+    val survivors = cand.join(broadcast(thr), Seq("query_id"))
+      .filter(col("ub") >= col("thr"))
+    rescore(survivors)
+      .withColumn("rk", row_number().over(wEx))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  def simTopkMrl(s: SparkSession, dir: String): DataFrame =
+    mrlTopk(s, dir, c = 12)
+
   /** Batch k-NN JOIN, exact bounded kernel: every vector in the
     * id<300 subset gets its top-3 cosine neighbors. This is the
     * per-row analog of [[simTopk]]'s 5-broadcast-query shape and the
@@ -1153,6 +1230,7 @@ object Similarity extends QueryGroup {
     "dedup_semantic" -> (dedupSemantic _),
     "embedding_quantize" -> (embeddingQuantize _),
     "sim_topk" -> (simTopk _),
+    "sim_topk_mrl" -> (simTopkMrl _),
     "sim_topk_filtered" -> (simTopkFiltered _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_knn_join_lsh" -> (simKnnJoinLsh _),
@@ -1191,6 +1269,23 @@ object Similarity extends QueryGroup {
         FROM d)
       SELECT id_a, id_b, score, rk FROM r
       WHERE rk <= 3 ORDER BY id_a, rk""",
+    "sim_topk_mrl" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+      d AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id),
+      r AS (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 8 ORDER BY query_id, rk""",
     "sim_topk" -> """
       WITH q AS (
         SELECT vec_id AS query_id, embedding AS qvec

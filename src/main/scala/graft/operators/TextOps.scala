@@ -265,6 +265,7 @@ object TextOps extends QueryGroup {
       col("doc_id"),
       (bucketCol(col("text")) % 64).as("shard"),
       size(Text.words(col("text"))).cast("bigint").as("n_tokens")))
+      .orderBy("doc_id")
 
   /** Shared packing kernel over (doc_id, shard, n_tokens): sharded
     * prefix sums → (sequence id, offset) placement. Used by both the
@@ -282,7 +283,44 @@ object TextOps extends QueryGroup {
         (col("tok_end") - col("n_tokens")).as("tok_start"),
         floor((col("tok_end") - col("n_tokens")) / seqLen).as("seq_in_shard"),
         ((col("tok_end") - col("n_tokens")) % seqLen).as("seq_offset"))
-      .orderBy("doc_id")
+  }
+
+  /** Per-sequence document-boundary spans — the loader/attention-mask
+    * face of [[packSequences]]: concat-and-chunk packing tears
+    * documents across sequence boundaries, and training with
+    * intra-sequence document masking (each doc attends only within
+    * itself — the Llama-3-class recipe) needs, for every packed
+    * sequence, the ordered list of (doc, start, end) spans inside it.
+    * [[packSequences]] answers "where did my doc land"; this answers
+    * "what does sequence s contain" — the other direction of the same
+    * placement. A doc spanning tokens [tok_start, tok_end) touches
+    * sequences floor(tok_start/L)..floor((tok_end−1)/L), ≤ 2 for any
+    * doc shorter than L, so the explode is output-sized, not
+    * quadratic; span offsets are row-local clamps and slot/n_docs are
+    * one window over the (shard, seq) key the explode already
+    * produced. Same sharded discipline — nothing global. */
+  def packAttentionSpans(s: SparkSession, dir: String): DataFrame = {
+    val L = 2048
+    val placed = packFrom(Tables.documents(s, dir).select(
+      col("doc_id"),
+      (bucketCol(col("text")) % 64).as("shard"),
+      size(Text.words(col("text"))).cast("bigint").as("n_tokens")))
+    val bySeq = Window.partitionBy("shard", "seq")
+    val slotW = bySeq.orderBy(col("span_start").asc, col("doc_id").asc)
+    placed
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+      .withColumn("seq", explode(sequence(
+        floor(col("tok_start") / L), floor((col("tok_end") - lit(1)) / L))))
+      .withColumn("span_start",
+        greatest(col("tok_start") - col("seq") * L, lit(0L)))
+      .withColumn("span_end",
+        least(col("tok_end") - col("seq") * L, lit(L.toLong)))
+      .withColumn("slot", row_number().over(slotW))
+      .withColumn("n_docs", count(lit(1)).over(bySeq))
+      .select("shard", "seq", "slot", "doc_id", "span_start", "span_end",
+        "n_docs")
+      .orderBy("shard", "seq", "slot")
   }
 
   /** Whole-document greedy packing — the OTHER packing contract:
@@ -617,6 +655,7 @@ object TextOps extends QueryGroup {
       col("doc_id"),
       (bucketCol(col("text")) % 64).as("shard"),
       cnt(Text.words(col("text"))).as("n_tokens")))
+      .orderBy("doc_id")
   }
 
   /** Rolling-hash fingerprint per document (min 3-gram MD5). */
@@ -1143,6 +1182,7 @@ object TextOps extends QueryGroup {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "pack_sequences" -> (packSequences _),
+    "pack_attention_spans" -> (packAttentionSpans _),
     "pack_greedy" -> (packGreedy _),
     "quality_funnel" -> (qualityFunnel _),
     "dedup_scoped" -> (dedupScoped _),
@@ -1401,6 +1441,40 @@ object TextOps extends QueryGroup {
         CAST(floor((tok_end - n_tokens) / 2048.0) AS BIGINT) AS seq_in_shard,
         CAST((tok_end - n_tokens) % 2048 AS BIGINT) AS seq_offset
       FROM c ORDER BY doc_id""",
+    "pack_attention_spans" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(${sqlBucket("text")} % 64 AS INTEGER) AS shard,
+          len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+      ), c AS (
+        SELECT doc_id, shard, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS tok_end
+        FROM d
+      ), p AS (
+        SELECT doc_id, shard,
+          CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+          CAST(tok_end AS BIGINT) AS tok_end
+        FROM c WHERE n_tokens > 0
+      ), e AS (
+        SELECT doc_id, shard, tok_start, tok_end,
+          UNNEST(range(CAST(floor(tok_start / 2048.0) AS BIGINT),
+                       CAST(floor((tok_end - 1) / 2048.0) AS BIGINT) + 1))
+            AS seq
+        FROM p
+      ), sp AS (
+        SELECT shard, seq, doc_id,
+          GREATEST(tok_start - seq * 2048, 0) AS span_start,
+          LEAST(tok_end - seq * 2048, 2048) AS span_end
+        FROM e
+      )
+      SELECT shard, seq,
+        ROW_NUMBER() OVER (PARTITION BY shard, seq
+                           ORDER BY span_start ASC, doc_id ASC) AS slot,
+        doc_id, span_start, span_end,
+        COUNT(*) OVER (PARTITION BY shard, seq) AS n_docs
+      FROM sp ORDER BY shard, seq, slot""",
     "sample_temperature" -> s"""
       WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
       t AS (SELECT lang, n_s, round(pow(n_s, 0.7), 6) AS w FROM c),

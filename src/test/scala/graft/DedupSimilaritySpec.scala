@@ -654,4 +654,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(originals.forall(o => o._3 && o._4),
       "an original lost its survivor status")
   }
+  test("sim_topk_mrl: exact at the minimum shortlist (threshold pass closes the gap)") {
+    import graft.core.Tables
+    import graft.functions.Vectors
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: full-dimension brute force over the same query
+    // set, the identical expression stack as sim_topk
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+      .collect().map(_.toString).toSeq
+    // adversarial shortlist C = k: the phase-1 threshold is as loose
+    // as the contract allows, so exactness rests entirely on the
+    // ub >= t survivor pass
+    for (c <- Seq(8, 12)) {
+      val got = Similarity.mrlTopk(spark, sf001, c = c)
+        .collect().map(_.toString).toSeq
+      assert(got == truth, s"MRL top-k (C=$c) diverged from brute force")
+    }
+  }
 }

@@ -201,7 +201,16 @@ class DeterminismSpec extends SparkSpec {
     // 64-bit sign-signature Hamming shortlist + exact rescore
     "sim_topk_bq",
     // asymmetric containment over the planted-quote eval union
-    "dedup_containment")
+    "dedup_containment",
+    // prefix-dim bound pass + exact-threshold rescore: the pinned
+    // bound relation and the kth-score cutoff must not leak layout
+    "sim_topk_mrl",
+    // two-level aggregate + exact interpolated percentiles — the
+    // value buffer must sort away partition order
+    "stats_partition_hist",
+    // sharded prefix sums exploded to the (shard, seq) domain + slot
+    // rank — span order must not depend on layout
+    "pack_attention_spans")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -936,4 +936,28 @@ class KernelSpec extends SparkSpec {
       Seq("user_id"), ord)
     assert(once == out(alt), "recovered state depends on the flush point")
   }
+  test("pack_attention_spans tiles every sequence and conserves doc tokens") {
+    val spans = SparkEntry.queries("pack_attention_spans")(spark, sf001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val placed = SparkEntry.queries("pack_sequences")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // doc -> n_tokens
+    // per doc: spans sum to the doc's token count (no token lost at a tear)
+    val perDoc = spans.groupBy(_._4).view.mapValues(_.map(s => s._6 - s._5).sum)
+    for ((doc, n) <- placed) assert(perDoc.getOrElse(doc, 0L) == n,
+      s"doc $doc: spans cover ${perDoc.getOrElse(doc, 0L)} of $n tokens")
+    // per sequence: slots abut from offset 0 with no gap or overlap,
+    // and n_docs matches the slot count
+    for (((shard, seq), rows) <- spans.groupBy(s => (s._1, s._2))) {
+      val ordered = rows.sortBy(_._3)
+      assert(ordered.head._3 == 1 && ordered.last._3 == rows.length)
+      assert(rows.forall(_._7 == rows.length), s"n_docs wrong in ($shard, $seq)")
+      ordered.foldLeft(0L) { case (expectedStart, (_, _, _, doc, st, en, _)) =>
+        assert(st == expectedStart, s"gap before doc $doc in ($shard, $seq)")
+        assert(en > st && en <= 2048)
+        en
+      }
+    }
+  }
 }
