@@ -746,9 +746,151 @@ object Dedup extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** The three stores behind the STREAMING near-dup admission gate:
+    * the growing band index, the growing distinct-shingle store, and
+    * the per-batch admission results — all partitioned by batch_id so
+    * a replayed micro-batch overwrites exactly its own partitions. */
+  private[graft] case class NearRoots(bands: String, sh: String, res: String)
+
+  /** Seed a streaming admission index at `base`: the persisted corpus
+    * band/shingle tables land as partition batch_id = −1. Once per
+    * (JVM, base) — the spec seeds a temp base, the declared twin the
+    * scratch-keyed one. */
+  private val nearStreamBases = new graft.core.BuildOnce[String, NearRoots]
+  private[graft] def nearStreamSeed(s: SparkSession, dir: String,
+      base: String): NearRoots =
+    nearStreamBases.getOrElseUpdate(base, {
+      val (bandPath, shPath) = deltaNearIndexPaths(s, dir)
+      val roots = NearRoots(s"$base/bands", s"$base/sh", s"$base/res")
+      s.read.parquet(bandPath).withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(roots.bands)
+      s.read.parquet(shPath).withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(roots.sh)
+      roots
+    })
+
+  /** Row-local MinHash band relation over (doc_id, text) — the
+    * streaming-side shape: `array_min ∘ transform` produces the SAME
+    * xxhash64 minima as the relational `explode ∘ min` stack in
+    * [[graft.functions.Text.minhashSignature]] (asserted in
+    * DedupSimilaritySpec), with zero shuffle and zero state, which is
+    * what a micro-batch wants (batch-sized input, no corpus to
+    * amortize the exchange over). Docs with no 3-gram drop out here,
+    * exactly as they drop out of the exploded aggregate. */
+  private def rowLocalBands(d: DataFrame): DataFrame = {
+    val mh = (0 until NumHashes).map(j =>
+      array_min(transform(col("sh"), x => xxhash64(x, lit(j)))))
+    d.filter(size(col("sh")) > 0)
+      .withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+  }
+
+  /** One micro-batch of streaming near-dup admission — the per-batch
+    * fold [[graft.streaming.StreamOps.nearDedupAdmit]] runs in
+    * foreachBatch, shared verbatim with the declared batch twin
+    * [[streamDedupNear]] so the two cannot drift. A batch doc is
+    * REJECTED iff it is a 3-gram-Jaccard ≥ 0.6 near-dup of (a) any
+    * doc admitted by an EARLIER batch or the seeded corpus — served
+    * by the persisted band index, batch_id < this batch only, so a
+    * replayed batch never sees its own half-written partitions and
+    * reprocessing is idempotent — or (b) any smaller-id doc of its
+    * own batch (single-pass first-wins, the dedup_survivor rule;
+    * within-batch precedence does not wait on (a)'s verdicts —
+    * declared, deterministic, and what a single-pass gate can decide
+    * without iterating). Admitted docs append their bands + distinct
+    * shingles as this batch's partitions: the index the NEXT batch
+    * reads. Scale: batch bands are batch-sized; the index side is a
+    * bucketed band-equality join (16 longs/doc, partition-pruned to
+    * earlier batches); shingle fetch touches candidate ids only;
+    * corpus text is never re-read. */
+  private[graft] def nearAdmitFold(s: SparkSession, roots: NearRoots,
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val base = batch.select(col("doc_id"), col("text"))
+      .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
+      .localCheckpoint() // batch-sized; bands/shd/result share one pass
+    val bands = rowLocalBands(base)
+    val shd = base.select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val idxBands = s.read.parquet(roots.bands)
+      .filter(col("batch_id") < batchId) // partition-pruned replay guard
+      .select(col("doc_id").as("corpus_id"), col("band_idx"),
+        col("band_val"), lit(true).as("persisted"))
+    val inBatch = bands
+      .select(col("doc_id").as("corpus_id"), col("band_idx"),
+        col("band_val"), lit(false).as("persisted"))
+    val candidates = bands
+      .join(idxBands.unionByName(inBatch), Seq("band_idx", "band_val"))
+      .filter(col("persisted") || col("corpus_id") < col("doc_id"))
+      .filter(col("corpus_id") =!= col("doc_id"))
+      .select("doc_id", "corpus_id").distinct()
+    val rightShd = s.read.parquet(roots.sh)
+      .filter(col("batch_id") < batchId)
+      .select(col("doc_id").as("corpus_id"), col("shd").as("shb"))
+      .unionByName(shd.select(col("doc_id").as("corpus_id"), col("shd").as("shb")))
+    val matches = candidates
+      .join(shd.select(col("doc_id"), col("shd").as("sha")), "doc_id")
+      .join(rightShd, "corpus_id")
+      .withColumn("jaccard", round(Text.jaccard(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("negid"))).as("m"))
+      .select(col("doc_id"), col("m.jaccard").as("match_jaccard"),
+        (-col("m.negid")).as("match_id"))
+    val result = base.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_jaccard").isNull.as("admitted"),
+        col("match_id"), col("match_jaccard"),
+        lit(batchId).as("batch_id"))
+      .localCheckpoint() // pin verdicts before the three writes
+    def appendByBatch(df: DataFrame, root: String): Unit =
+      df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(root)
+    appendByBatch(result, roots.res)
+    val admitted = result.filter(col("admitted")).select("doc_id")
+    appendByBatch(bands.join(admitted, "doc_id")
+      .withColumn("batch_id", lit(batchId)), roots.bands)
+    appendByBatch(shd.join(admitted, "doc_id")
+      .withColumn("batch_id", lit(batchId)), roots.sh)
+    result
+  }
+
+  /** Declared batch twin of the STREAMING near-dup admission gate —
+    * [[dedupDeltaNear]]'s nightly shard arriving as a STREAM: the
+    * same delta (novel slice ∪ planted corpus mutants at +2^40) split
+    * into two deterministic micro-batches by doc_id parity, plus
+    * IN-STREAM mutants (batch-0 novel docs < 40, first word dropped,
+    * +2^41) that only the batch-1-reads-batch-0's-index path can
+    * reject — the property dedup_delta_near cannot exhibit. Runs the
+    * exact foreachBatch fold twice. Declared no-oracle (MinHash bands
+    * are engine-defined); StreamingSpec drives the REAL readStream
+    * over arriving files with a checkpoint restart and replay, and
+    * DedupSimilaritySpec asserts the in-stream rejection + precision. */
+  def streamDedupNear(s: SparkSession, dir: String): DataFrame = {
+    val roots = nearStreamSeed(s, dir,
+      RunId.scratchKeyed("neardedup_stream", dir))
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      .unionByName(d
+        .filter(pmod(col("doc_id"), lit(10)) < 8 && col("doc_id") < 20)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val b0 = delta.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val streamMut = b0
+      .filter(col("doc_id") < 40)
+      .select((col("doc_id") + (1L << 41)).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val b1 = delta.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(streamMut)
+    val r0 = nearAdmitFold(s, roots, b0, 0L)
+    val r1 = nearAdmitFold(s, roots, b1, 1L)
+    r0.unionByName(r1)
+      .select("doc_id", "batch_id", "admitted", "match_id", "match_jaccard")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_delta" -> (dedupDelta _),
     "dedup_delta_near" -> (dedupDeltaNear _),
+    "stream_dedup_near" -> (streamDedupNear _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_apply" -> (dedupSubstringApply _),
     "dedup_near" -> (dedupNear _),

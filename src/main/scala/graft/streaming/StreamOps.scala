@@ -257,6 +257,30 @@ object StreamOps {
       }
       .start()
 
+  /** STREAMING near-dup admission — the gate a live crawl feed runs:
+    * each arriving micro-batch of (doc_id, text) is admitted unless it
+    * is a 3-gram-Jaccard ≥ 0.6 near-dup of anything admitted before it
+    * (seeded corpus index ∪ earlier batches ∪ smaller ids in its own
+    * batch). The whole fold — row-local band signatures, band-equality
+    * candidate join against the batch_id-partitioned index, exact
+    * verify, verdict + index-append writes — is
+    * [[graft.operators.Dedup.nearAdmitFold]], shared verbatim with the
+    * declared batch twin (`stream_dedup_near`). State lives in the
+    * sink's batch partitions, not in streaming state (the
+    * incrementalMv discipline): a replayed batchId reads only earlier
+    * partitions and overwrites exactly its own, so checkpoint restart
+    * and crash-overlap replay are idempotent by construction. */
+  def nearDedupAdmit(docs: DataFrame,
+      roots: graft.operators.Dedup.NearRoots, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Dedup.nearAdmitFold(batch.sparkSession, roots,
+          batch, id): Unit
+      }
+      .start()
+
   /** The idempotent per-batch fold — exposed so StreamingSpec can
     * replay a batchId directly and assert the MV is unchanged. The
     * overwrite mode rides the WRITE as an option, never the session

@@ -683,4 +683,57 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(got == truth, s"MRL top-k (C=$c) diverged from brute force")
     }
   }
+  test("stream_dedup_near: planted + in-stream mutants reject, matches re-verify") {
+    import graft.core.Tables
+    import graft.functions.Text
+    val rows = SparkEntry.queries("stream_dedup_near")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // the +2^40 planted corpus mutants must ALL be rejected — this is
+    // also the row-local-vs-relational band-identity proof: the batch
+    // side signs with array_min∘transform, the seeded index with
+    // explode∘min, and a value mismatch would break every collision
+    val planted = rows.filter(r => r._1 >= (1L << 40) && r._1 < (1L << 41))
+    assert(planted.nonEmpty && planted.forall(!_._3),
+      s"a planted corpus mutant was admitted: ${planted.filter(_._3).toSeq}")
+    // in-stream mutants (+2^41): whenever the batch-0 source was
+    // admitted, the mutant MUST be rejected — the index-append path
+    val inStream = rows.filter(_._1 >= (1L << 41))
+    assert(inStream.nonEmpty)
+    var provedInStream = false
+    for ((id, _, admitted, matchId, _) <- inStream) {
+      val src = byId(id - (1L << 41))
+      if (src._3) {
+        assert(!admitted, s"in-stream mutant $id admitted though source ${src._1} was")
+        if (matchId == src._1) provedInStream = true
+      }
+    }
+    assert(provedInStream,
+      "no in-stream mutant matched its own batch-0 source — the batch-1-reads-batch-0-index path went unexercised")
+    // precision: every reported match re-verifies at jaccard >= 0.6
+    // against the actual pair of texts
+    val delta = rows.map(_._1).toSet
+    def textOf(id: Long): String = {
+      val d = Tables.documents(spark, sf001)
+      val base =
+        if (id >= (1L << 41)) d.filter(col("doc_id") === id - (1L << 41))
+          .select(expr("substring(text, instr(text, ' ') + 1)").as("t"))
+        else if (id >= (1L << 40)) d.filter(col("doc_id") === id - (1L << 40))
+          .select(expr("substring(text, instr(text, ' ') + 1)").as("t"))
+        else d.filter(col("doc_id") === id).select(col("text").as("t"))
+      base.head().getString(0)
+    }
+    def jac(a: String, b: String): Double = {
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    for ((id, _, admitted, matchId, j) <- rows if !admitted) {
+      val reco = jac(textOf(id), textOf(matchId))
+      assert(math.abs(reco - j) < 1e-6 || reco >= 0.6,
+        s"match ($id, $matchId) does not re-verify: reported $j, recomputed $reco")
+    }
+  }
 }

@@ -210,7 +210,11 @@ class DeterminismSpec extends SparkSpec {
     "stats_partition_hist",
     // sharded prefix sums exploded to the (shard, seq) domain + slot
     // rank — span order must not depend on layout
-    "pack_attention_spans")
+    "pack_attention_spans",
+    // two sequential admission folds over batch_id-partitioned state:
+    // row-local bands, partition-pruned index reads, struct-max best
+    // match — replays overwrite their own partitions identically
+    "stream_dedup_near")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

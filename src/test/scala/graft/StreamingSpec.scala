@@ -989,4 +989,61 @@ class StreamingSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+  test("near-dup admission stream: file waves, in-stream index, restart, replay idempotent") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
+    val (docsDir, ckpt) = (s"$dir/docs", s"$dir/ckpt")
+    val roots = graft.operators.Dedup.nearStreamSeed(s, sf001, s"$dir/roots")
+    // synthetic novel docs: vocabulary disjoint from the fixture's, so
+    // admission vs the seeded corpus index is guaranteed
+    val a = (1 to 12).map(i => s"qa$i").mkString(" ")
+    val aDropFirst = a.split(" ").drop(1).mkString(" ")   // J = 0.9 vs a
+    val aDropLast = a.split(" ").dropRight(1).mkString(" ")
+    val dNew = (1 to 12).map(i => s"zz$i").mkString(" ")
+    def writeWave(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(docsDir)
+    def run(): Unit = {
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING").parquet(docsDir)
+      val q = StreamOps.nearDedupAdmit(docs, roots, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    try {
+      // wave 1: A novel (admit), B = A minus first word (in-batch
+      // first-wins: rejected by the smaller id in the SAME batch)
+      writeWave(900001L -> a, 900002L -> aDropFirst)
+      run()
+      // wave 2 after a full restart: C rejects against A via the
+      // batch-0 index partition; D is novel
+      writeWave(900003L -> aDropLast, 900004L -> dNew)
+      run()
+      def results(): Set[(Long, Long, Boolean, Long)] =
+        s.read.parquet(roots.res)
+          // partition-column readback infers INT from the dir names
+          .select(col("doc_id"), col("batch_id").cast("long"),
+            col("admitted"), col("match_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      val got = results()
+      assert(got == Set(
+        (900001L, 0L, true, -1L),
+        (900002L, 0L, false, 900001L),
+        (900003L, 1L, false, 900001L),
+        (900004L, 1L, true, -1L)), s"got $got")
+      // crash-overlap replay: refold batch 1 directly — it must read
+      // only batch_id < 1 partitions and overwrite exactly its own,
+      // leaving the final state unchanged
+      graft.operators.Dedup.nearAdmitFold(s, roots,
+        Seq(900003L -> aDropLast, 900004L -> dNew).toDF("doc_id", "text"), 1L)
+      assert(results() == got, "replaying batch 1 changed the admission state")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
