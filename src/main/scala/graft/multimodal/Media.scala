@@ -53,6 +53,20 @@ object MediaCodec {
       else (0 until k).map(i => text.charAt(i * (n - 1) / (k - 1)).toInt)
     (r.doc_id, pts)
   }
+  /** Perceptual average-hash over the stub-resized "pixels" — the
+    * aHash structure real image dedup runs (resize to a fixed grid,
+    * threshold each cell against the grid mean, pack the sign bits;
+    * pHash swaps the mean threshold for a DCT, same 64-bit contract):
+    * bit i is set iff pixel_i · 64 > Σpixels — integer-exact, so the
+    * oracle can restate it without float drift. Only the pixel SOURCE
+    * is stubbed (sampled code points instead of decoded luma). */
+  def ahash64(pixels: Seq[Int]): Long = {
+    val s = pixels.foldLeft(0L)(_ + _)
+    pixels.iterator.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (p * 64L > s) acc | (1L << i) else acc
+    }
+  }
+
   /** STUB decode: a real implementation would decode the image/audio
     * payload and emit model features. The fake is deterministic and
     * cheap: byte statistics standing in for decoded features. The

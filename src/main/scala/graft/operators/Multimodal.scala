@@ -105,7 +105,59 @@ object Multimodal extends QueryGroup {
       .orderBy("img_id")
   }
 
+  /** Perceptual-hash near-dup detection over the media corpus — the
+    * image-dedup stage every multimodal curation run needs (re-encoded
+    * / lightly-retouched copies share no byte hash but collide
+    * perceptually). Pipeline: stub resize to a 64-cell grid →
+    * [[graft.multimodal.MediaCodec.ahash64]] (mean-threshold sign
+    * bits — the aHash; a production pHash swaps in a DCT, same 64-bit
+    * contract) → the SimHash banding discipline (8 bands × 8 bits:
+    * pigeonhole guarantees every Hamming ≤ 7 pair collides in some
+    * band, so the banded join provably equals brute force at the
+    * declared τ = 6) → XOR+popcount verify on candidates only.
+    * Planted mutants: docs < 20 re-encoded with one mid-payload
+    * symbol changed (+2^40 ids) — a pixel-local perturbation, the
+    * near-dup class byte hashing misses. Because the whole chain is
+    * integer arithmetic over sampled code points, the ORACLE restates
+    * it exactly (per-bit mirror, brute-force pairs) — unlike the
+    * xxhash-based dedup_simhash, this one is hash-checked. Scale:
+    * candidates are band-bucketed, never all-pairs; signatures are 8
+    * bytes/doc; the brute-force mirror lives only in DuckDB. */
+  def multimodalDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mutants = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + (1L << 40)).as("doc_id"),
+        concat(
+          expr("substring(text, 1, length(text) div 2)"), lit("Z"),
+          expr("substring(text, length(text) div 2 + 2)")).as("text"))
+    val sig = d.unionByName(mutants)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("xx").as("lang"))
+      .as[MediaRecord]
+      .map(r => (r.doc_id, MediaCodec.ahash64(MediaCodec.resize(r, 64)._2)))
+      .toDF("doc_id", "ph")
+      .localCheckpoint() // both join sides read one signature pass
+    val bands = sig.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("ph"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("b", "chunk")))
+    val a = bands.select(col("doc_id").as("id_a"), col("ph").as("pha"),
+      col("b"), col("chunk"))
+    val bb = bands.select(col("doc_id").as("id_b"), col("ph").as("phb"),
+      col("b"), col("chunk"))
+    a.join(bb, Seq("b", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pha", "phb").distinct()
+      .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dedup_phash" -> (multimodalDedupPhash _),
     "multimodal_clip_filter" -> (multimodalClipFilter _),
     "multimodal_cols" -> (multimodalCols _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -114,6 +166,32 @@ object Multimodal extends QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-bit integer mirror of resize→ahash64 (sampled code points,
+    // pixel·64 > Σpixels), brute-force pairs — the banded Spark plan
+    // provably equals this at τ=6 (8×8-bit pigeonhole covers Hamming≤7)
+    "multimodal_dedup_phash" -> """
+      WITH allm AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1099511627776 AS doc_id,
+          substr(text, 1, len(text) // 2) || 'Z' ||
+          substr(text, len(text) // 2 + 2) AS text
+        FROM documents WHERE doc_id < 20),
+      px AS (
+        SELECT doc_id, t.i,
+          unicode(substr(text, 1 + (t.i * (len(text) - 1)) // 63, 1)) AS p
+        FROM allm, range(0, 64) t(i)),
+      bits AS (
+        SELECT doc_id, i,
+          (p * 64 > SUM(p) OVER (PARTITION BY doc_id)) AS b
+        FROM px),
+      pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS hamming
+        FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""",
     // float-mirror kernel (sim_topk discipline): FLOAT element
     // products each CAST to DOUBLE, accumulated left-to-right
     "multimodal_clip_filter" -> """

@@ -736,4 +736,33 @@ class DedupSimilaritySpec extends SparkSpec {
         s"match ($id, $matchId) does not re-verify: reported $j, recomputed $reco")
     }
   }
+  test("multimodal_dedup_phash equals brute-force Hamming<=6 and recovers every planted re-encode") {
+    import graft.core.Tables
+    import graft.multimodal.{MediaCodec, MediaRecord}
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def mutate(t: String): String = {
+      val p = t.length / 2
+      t.substring(0, p) + "Z" + t.substring(p + 1)
+    }
+    val allm = docs ++ docs.filter(_._1 < 20)
+      .map { case (id, t) => (id + (1L << 40), mutate(t)) }
+    val sig = allm.map { case (id, t) =>
+      id -> MediaCodec.ahash64(MediaCodec.resize(
+        MediaRecord(id, t.getBytes("UTF-8"), "xx"), 64)._2)
+    }
+    val expected = (for {
+      (ida, ha) <- sig; (idb, hb) <- sig
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ida, idb)).toSet
+    val got = SparkEntry.queries("multimodal_dedup_phash")(spark, sf001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missed: ${expected -- got}, spurious: ${got -- expected}")
+    val planted = (0L until 20L).map(i => (i, i + (1L << 40))).toSet
+    assert(planted.subsetOf(got),
+      s"a planted re-encode escaped: ${planted -- got}")
+  }
 }

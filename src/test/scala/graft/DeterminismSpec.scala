@@ -214,7 +214,10 @@ class DeterminismSpec extends SparkSpec {
     // two sequential admission folds over batch_id-partitioned state:
     // row-local bands, partition-pruned index reads, struct-max best
     // match — replays overwrite their own partitions identically
-    "stream_dedup_near")
+    "stream_dedup_near",
+    // typed-map signature + 8-band self-join + popcount verify — the
+    // pinned signature pass and band candidates must not leak layout
+    "multimodal_dedup_phash")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
