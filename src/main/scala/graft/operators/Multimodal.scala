@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.multimodal.{MediaCodec, MediaRecord}
@@ -123,16 +123,26 @@ object Multimodal extends QueryGroup {
     * xxhash-based dedup_simhash, this one is hash-checked. Scale:
     * candidates are band-bucketed, never all-pairs; signatures are 8
     * bytes/doc; the brute-force mirror lives only in DuckDB. */
-  def multimodalDedupPhash(s: SparkSession, dir: String): DataFrame = {
+  /** The one-symbol "re-encode" perturbation planted as a perceptual
+    * near-dup — ONE definition shared by [[multimodalDedupPhash]] and
+    * [[Pipeline.pipelineMultimodal]] (and mirrored by [[sqlReencode]])
+    * so the planted class cannot drift between the standalone op and
+    * the capstone. */
+  private[graft] def reencodeMutant: Column =
+    concat(
+      expr("substring(text, 1, length(text) div 2)"), lit("Z"),
+      expr("substring(text, length(text) div 2 + 2)"))
+  private[operators] def sqlReencode(x: String): String =
+    s"substr($x, 1, len($x) // 2) || 'Z' || substr($x, len($x) // 2 + 2)"
+
+  /** Shared pHash pair machinery over a (doc_id, text) feed: one
+    * typed-map signature pass (pinned — both band sides read it), the
+    * 8×8-bit banded self-join, XOR+popcount verify at τ = 6. Returns
+    * (id_a, id_b, hamming), id_a < id_b, unordered. */
+  private[graft] def phashPairs(s: SparkSession, feed: DataFrame): DataFrame = {
     val sp = s
     import sp.implicits._
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val mutants = d.filter(col("doc_id") < 20)
-      .select((col("doc_id") + (1L << 40)).as("doc_id"),
-        concat(
-          expr("substring(text, 1, length(text) div 2)"), lit("Z"),
-          expr("substring(text, length(text) div 2 + 2)")).as("text"))
-    val sig = d.unionByName(mutants)
+    val sig = feed
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("xx").as("lang"))
       .as[MediaRecord]
@@ -153,6 +163,34 @@ object Multimodal extends QueryGroup {
       .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))))
       .filter(col("hamming") <= 6)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** DuckDB mirror of the resize→ahash64→banded-pairs chain over a
+    * CTE named `feed` (doc_id, text) — per-bit integer restatement,
+    * brute-force pairs, Hamming ≤ 6. Shared by the standalone oracle
+    * and the capstone's. */
+  private[operators] val sqlPhashCtes: String = """
+      px AS (
+        SELECT doc_id, t.i,
+          unicode(substr(text, 1 + (t.i * (len(text) - 1)) // 63, 1)) AS p
+        FROM feed, range(0, 64) t(i)),
+      bits AS (
+        SELECT doc_id, i,
+          (p * 64 > SUM(p) OVER (PARTITION BY doc_id)) AS b
+        FROM px),
+      hpairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS hamming
+        FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        HAVING SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) <= 6)"""
+
+  def multimodalDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mutants = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + (1L << 40)).as("doc_id"),
+        reencodeMutant.as("text"))
+    phashPairs(s, d.unionByName(mutants))
       .orderBy("id_a", "id_b")
   }
 
@@ -169,29 +207,16 @@ object Multimodal extends QueryGroup {
     // per-bit integer mirror of resize→ahash64 (sampled code points,
     // pixel·64 > Σpixels), brute-force pairs — the banded Spark plan
     // provably equals this at τ=6 (8×8-bit pigeonhole covers Hamming≤7)
-    "multimodal_dedup_phash" -> """
-      WITH allm AS (
+    "multimodal_dedup_phash" -> s"""
+      WITH feed AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1099511627776 AS doc_id,
-          substr(text, 1, len(text) // 2) || 'Z' ||
-          substr(text, len(text) // 2 + 2) AS text
+          ${sqlReencode("text")} AS text
         FROM documents WHERE doc_id < 20),
-      px AS (
-        SELECT doc_id, t.i,
-          unicode(substr(text, 1 + (t.i * (len(text) - 1)) // 63, 1)) AS p
-        FROM allm, range(0, 64) t(i)),
-      bits AS (
-        SELECT doc_id, i,
-          (p * 64 > SUM(p) OVER (PARTITION BY doc_id)) AS b
-        FROM px),
-      pairs AS (
-        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-          SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS hamming
-        FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
-        GROUP BY x.doc_id, y.doc_id)
+      $sqlPhashCtes
       SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
-      FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""",
+      FROM hpairs ORDER BY id_a, id_b""",
     // float-mirror kernel (sim_topk discipline): FLOAT element
     // products each CAST to DOUBLE, accumulated left-to-right
     "multimodal_clip_filter" -> """

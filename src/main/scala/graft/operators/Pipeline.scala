@@ -177,9 +177,69 @@ object Pipeline extends QueryGroup {
       .orderBy("shard", "bin")
   }
 
+  /** The composed MULTIMODAL curation pipeline — the round-11 sibling
+    * of [[pipelineSft]], chaining the paired-modality stages into one
+    * hash-exact query (every stage's kernel is the already-shipped
+    * operator's, shared by definition so capstone and standalone
+    * cannot drift):
+    *  1. CLIP gate — contact-sheet pairs (img = even vec_id, caption
+    *     = odd), keep items with cosine ≥ 0.1
+    *     ([[Multimodal.multimodalClipFilter]]'s kernel; float-mirror
+    *     oracle discipline);
+    *  2. ingest feed — gate survivors plus the re-encoded copies a
+    *     crawler re-fetch produces ([[Multimodal.reencodeMutant]],
+    *     shared with the standalone op; same pair → same CLIP score);
+    *  3. perceptual dedup — [[Multimodal.phashPairs]] at τ = 6, drop
+    *     the larger id of every colliding pair (the single-pass
+    *     greedy survivor rule — declared, deterministic);
+    *  4. shard manifest — md5-bucketed shards, per-shard item count,
+    *     CLIP-score extrema and the id-ordered fingerprint a loader
+    *     verifies.
+    * Corpus cost: the gated feed is pinned once; the pHash pass and
+    * the manifest both read it — no stage re-reads documents or
+    * embeddings. Output is shard-domain-sized (8 rows). */
+  def pipelineMultimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(s, dir)
+    val img = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(expr("vec_id div 2").as("doc_id"), col("embedding").as("vimg"))
+    val txt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(expr("(vec_id - 1) div 2").as("doc_id"),
+        col("embedding").as("vtxt"))
+    val clipKeep = img.join(txt, "doc_id")
+      .withColumn("clip_score", round(Vectors.fdot(col("vimg"), col("vtxt")), 6))
+      .filter(col("clip_score") >= 0.1)
+      .select("doc_id", "clip_score")
+    val items = Tables.documents(s, dir).select("doc_id", "text")
+      .join(clipKeep, "doc_id")
+    val feed = items
+      .unionByName(items.filter(col("doc_id") < 20)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          Multimodal.reencodeMutant.as("text"), col("clip_score")))
+      .localCheckpoint() // gates run once; pHash + manifest both read it
+    val dropped = Multimodal.phashPairs(s, feed.select("doc_id", "text"))
+      .select(col("id_b").as("doc_id")).distinct()
+    kept(feed, dropped)
+  }
+
+  private def kept(feed: DataFrame, dropped: DataFrame): DataFrame =
+    feed.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("shard",
+        (conv(substring(md5(concat_ws(":", lit("42"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int") % 8))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).cast("long").as("n_items"),
+        min("clip_score").as("min_clip"),
+        max("clip_score").as("max_clip"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("ids_md5"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
-    "pipeline_sft" -> (pipelineSft _)
+    "pipeline_sft" -> (pipelineSft _),
+    "pipeline_multimodal" -> (pipelineMultimodal _)
   )
 
   /** pipeline_pretrain has no SQL form (semantic dedup candidates are
@@ -187,6 +247,38 @@ object Pipeline extends QueryGroup {
     * correctness burden. pipeline_sft composes only SQL-expressible
     * stages, so its oracle chains the stage mirrors verbatim. */
   val oracles: Map[String, String] = Map(
+    // the stage mirrors chained verbatim: the clip float-mirror, the
+    // shared re-encode + per-bit pHash CTEs, the md5 shard manifest
+    "pipeline_multimodal" -> s"""
+      WITH clip AS (
+        SELECT e.vec_id // 2 AS doc_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * o.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS clip_score
+        FROM embeddings e JOIN embeddings o ON o.vec_id = e.vec_id + 1
+        WHERE e.vec_id % 2 = 0),
+      items AS (
+        SELECT d.doc_id, d.text, c.clip_score
+        FROM documents d JOIN clip c USING (doc_id)
+        WHERE c.clip_score >= 0.1),
+      feed AS (
+        SELECT doc_id, text, clip_score FROM items
+        UNION ALL
+        SELECT doc_id + 1099511627776 AS doc_id,
+          ${Multimodal.sqlReencode("text")} AS text, clip_score
+        FROM items WHERE doc_id < 20),
+      ${Multimodal.sqlPhashCtes},
+      dropped AS (SELECT DISTINCT id_b AS doc_id FROM hpairs),
+      sh AS (
+        SELECT CAST(concat('0x', substring(md5(concat_ws(':', '42',
+            CAST(f.doc_id AS VARCHAR))), 1, 4)) AS INTEGER) % 8 AS shard,
+          f.doc_id, f.clip_score
+        FROM feed f
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM dropped))
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_items,
+        MIN(clip_score) AS min_clip, MAX(clip_score) AS max_clip,
+        md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+      FROM sh GROUP BY shard ORDER BY shard""",
     "pipeline_sft" -> """
       WITH RECURSIVE d AS (
         SELECT doc_id, source, n_chars, lang, text,

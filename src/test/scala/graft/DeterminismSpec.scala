@@ -217,7 +217,10 @@ class DeterminismSpec extends SparkSpec {
     "stream_dedup_near",
     // typed-map signature + 8-band self-join + popcount verify — the
     // pinned signature pass and band candidates must not leak layout
-    "multimodal_dedup_phash")
+    "multimodal_dedup_phash",
+    // the composed clip-gate → pHash-dedup → manifest chain: a layout
+    // leak in any stage surfaces in the id-ordered shard md5s
+    "pipeline_multimodal")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

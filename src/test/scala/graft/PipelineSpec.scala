@@ -90,4 +90,36 @@ class PipelineSpec extends SparkSpec {
     assert(nDocs > 0 && nDocs < 500, s"funnel passed $nDocs of 500 docs")
     assert(sft.length < nDocs, "every doc got its own bin — fold not folding")
   }
+  test("pipeline_multimodal manifest conserves the independently-derived kept set") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables
+    import graft.functions.Vectors
+    // independent re-derivation: clip survivors + planted re-encodes,
+    // minus the larger id of every pHash pair over that same feed
+    val emb = Tables.embeddings(spark, sf001)
+    val img = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(expr("vec_id div 2").as("doc_id"), col("embedding").as("vi"))
+    val txt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(expr("(vec_id - 1) div 2").as("doc_id"), col("embedding").as("vt"))
+    val survivors = img.join(txt, "doc_id")
+      .withColumn("cs", round(Vectors.fdot(col("vi"), col("vt")), 6))
+      .filter(col("cs") >= 0.1)
+      .join(Tables.documents(spark, sf001).select("doc_id", "text"), "doc_id")
+    val feed = survivors.select("doc_id", "text")
+      .unionByName(survivors.filter(col("doc_id") < 20)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          graft.operators.Multimodal.reencodeMutant.as("text")))
+    val dropped = graft.operators.Multimodal.phashPairs(spark, feed)
+      .select("id_b").distinct().count()
+    val expectedKept = feed.count() - dropped
+    val manifest = SparkEntry.queries("pipeline_multimodal")(spark, sf001).collect()
+    assert(manifest.map(_.getLong(1)).sum == expectedKept,
+      s"manifest total ${manifest.map(_.getLong(1)).sum} != derived $expectedKept")
+    // every clip-gate survivor < 20 spawned a planted re-encode, and
+    // every one of those must have been deduped away (kept <= feed - plants)
+    val plants = survivors.filter(col("doc_id") < 20).count()
+    assert(plants > 0, "no clip survivor below id 20 — planted class empty")
+    assert(manifest.map(_.getLong(1)).sum <= feed.count() - plants,
+      "a planted re-encode survived perceptual dedup")
+  }
 }
