@@ -137,8 +137,16 @@ object Multimodal extends QueryGroup {
 
   /** Shared pHash pair machinery over a (doc_id, text) feed: one
     * typed-map signature pass (pinned — both band sides read it), the
-    * 8×8-bit banded self-join, XOR+popcount verify at τ = 6. Returns
-    * (id_a, id_b, hamming), id_a < id_b, unordered. */
+    * chunk-PAIR banded self-join, XOR+popcount verify at τ = 6.
+    * Banding is dedup_simhash's round-2 scale lever verbatim: 28
+    * bands of 16 bits (every pair of 8-bit chunks) instead of 8 bands
+    * of 8 bits — a Hamming ≤ 6 pair dirties at most 6 of 8 chunks,
+    * leaving ≥ 2 clean, so some clean PAIR collides and recall stays
+    * pigeonhole-guaranteed; bucket occupancy is |corpus|/2^16 per
+    * band, so candidates grow linearly where single-chunk banding
+    * grew quadratically (measured: the 8×8-bit cut ran 199 s at ×100
+    * — n²/256 candidate pairs — this one is in BASELINE.md's receipt
+    * table). Returns (id_a, id_b, hamming), id_a < id_b, unordered. */
   private[graft] def phashPairs(s: SparkSession, feed: DataFrame): DataFrame = {
     val sp = s
     import sp.implicits._
@@ -149,10 +157,14 @@ object Multimodal extends QueryGroup {
       .map(r => (r.doc_id, MediaCodec.ahash64(MediaCodec.resize(r, 64)._2)))
       .toDF("doc_id", "ph")
       .localCheckpoint() // both join sides read one signature pass
+    def chunk(c: Int) = shiftright(col("ph"), c * 8).bitwiseAND(lit(0xFFL))
+    val pairsIdx = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
     val bands = sig.select(col("doc_id"), col("ph"),
-      posexplode(array((0 until 8).map(b =>
-        shiftright(col("ph"), b * 8).bitwiseAND(lit(255L))): _*))
-        .as(Seq("b", "chunk")))
+      explode(array(pairsIdx.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(p).as("b"),
+          (chunk(i) * lit(256L) + chunk(j)).as("chunk"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("ph"), col("bk.b"), col("bk.chunk"))
     val a = bands.select(col("doc_id").as("id_a"), col("ph").as("pha"),
       col("b"), col("chunk"))
     val bb = bands.select(col("doc_id").as("id_b"), col("ph").as("phb"),
