@@ -643,6 +643,54 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Per-(JVM, dir) unigram-LM vocab — trained once on the SAME
+    * bounded top-4096 pre-token frequency table the byte-BPE trainer
+    * uses (one regex, so all three tokenizers see identical
+    * pre-tokens); ≤512 quantized-score pieces. */
+  private val unigramVocabCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+  private[graft] def unigramVocab(s: SparkSession, dir: String): Map[String, Long] =
+    unigramVocabCache.getOrElseUpdate(dir, {
+      val wf = Tables.documents(s, dir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(graft.functions.Bpe.pretokenRegex), lit(0))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok").asc)
+        .limit(4096)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      graft.functions.Unigram.train(wf, 512)
+    })
+
+  /** Unigram-LM tokenization — the THIRD production tokenizer family
+    * (SentencePiece unigram, Kudo 2018) next to word-internal and
+    * byte-level BPE: a scored piece vocabulary learned by hard-EM +
+    * pruning, encoding via Viterbi max-likelihood segmentation (which
+    * greedy BPE merge order can miss — the comparison columns show
+    * where). Same bounded-driver-state contract as the BPE trainers
+    * (≤4096-word table, ≤512-piece vocab); encode is row-local.
+    * Declared no-oracle (EM + Viterbi have no SQL form); BpeSpec pins
+    * lossless round-trip, Viterbi optimality against a brute-force
+    * enumeration, vocab bounds, and train determinism. */
+  def tokenizeUnigram(s: SparkSession, dir: String): DataFrame = {
+    val vocab = unigramVocab(s, dir)
+    val wcnt = bpeCountUdf(bpeMerges(s, dir))
+    val ucnt = udf { (text: String) =>
+      var n = 0L
+      graft.functions.Bpe.pretokenize(text)
+        .foreach(t => n += graft.functions.Unigram.segment(t, vocab).length)
+      n
+    }
+    val w = Text.words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(w).as("ws_tokens"),
+        wcnt(w).as("bpe_word_tokens"),
+        ucnt(col("text")).as("uni_pieces"))
+      .withColumn("fertility_uni",
+        round(col("uni_pieces").cast("double") / col("ws_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** [[packSequences]] with REAL token offsets: sequence boundaries
     * fall at corpus-trained BPE token counts instead of whitespace
     * word counts (VERDICT r6 #2 — the proxy made every boundary
@@ -1190,6 +1238,7 @@ object TextOps extends QueryGroup {
     "tokenize_bpe_frozen" -> (tokenizeBpeFrozen _),
     "tokenize_bpe_bytes" -> (tokenizeBpeBytes _),
     "tokenize_bpe_bytes_frozen" -> (tokenizeBpeBytesFrozen _),
+    "tokenize_unigram" -> (tokenizeUnigram _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),

@@ -184,4 +184,45 @@ class BpeSpec extends SparkSpec {
       }
     }
   }
+  test("unigram: lossless round-trip, Viterbi optimality, bounded deterministic vocab") {
+    import graft.functions.{Bpe, Unigram}
+    import graft.operators.TextOps
+    val vocab = TextOps.unigramVocab(spark, sf001)
+    // bounds: <= 512 pieces + full single-char coverage of the corpus
+    assert(vocab.size <= 512, s"vocab ${vocab.size} > 512")
+    val texts = graft.core.Tables.documents(spark, sf001)
+      .select("text").collect().map(_.getString(0))
+    val chars = texts.flatMap(_.toSeq).toSet
+    assert(chars.forall(ch => vocab.contains(ch.toString)),
+      "a corpus character is missing from the vocab — coverage broken")
+    // lossless: segmentation concatenates back to every pre-token
+    for (t <- texts.take(50); tok <- Bpe.pretokenize(t)) {
+      val seg = Unigram.segment(tok, vocab)
+      assert(seg.mkString == tok, s"lossy segmentation of '$tok': $seg")
+    }
+    // Viterbi optimality: against brute-force enumeration on short tokens
+    def bruteBest(tok: String): Long = {
+      if (tok.isEmpty) return 0L
+      (1 to math.min(8, tok.length)).iterator.flatMap { k =>
+        val piece = tok.substring(0, k)
+        val s = vocab.get(piece).orElse(
+          if (k == 1) Some(Unigram.UnkScore) else None)
+        s.map(_ + bruteBest(tok.substring(k)))
+      }.max
+    }
+    for (tok <- texts.flatMap(Bpe.pretokenize).distinct.filter(_.length <= 10).take(200)) {
+      val seg = Unigram.segment(tok, vocab)
+      val vit = seg.map(p => vocab.getOrElse(p, Unigram.UnkScore)).sum
+      assert(vit == bruteBest(tok),
+        s"'$tok': Viterbi $vit != brute ${bruteBest(tok)} (seg $seg)")
+    }
+    // train determinism: a fresh train on the same table is identical
+    val wf = graft.core.Tables.documents(spark, sf001)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(Bpe.pretokenRegex), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok").asc).limit(4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(Unigram.train(wf, 512) == vocab, "retrain diverged")
+  }
 }

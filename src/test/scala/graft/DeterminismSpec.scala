@@ -220,7 +220,10 @@ class DeterminismSpec extends SparkSpec {
     "multimodal_dedup_phash",
     // the composed clip-gate → pHash-dedup → manifest chain: a layout
     // leak in any stage surfaces in the id-ordered shard md5s
-    "pipeline_multimodal")
+    "pipeline_multimodal",
+    // driver-trained quantized-score vocab + row-local Viterbi — the
+    // tokenize_bpe discipline for the unigram family
+    "tokenize_unigram")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
