@@ -147,16 +147,27 @@ object Multimodal extends QueryGroup {
     * grew quadratically (measured: the 8×8-bit cut ran 199 s at ×100
     * — n²/256 candidate pairs — this one is in BASELINE.md's receipt
     * table). Returns (id_a, id_b, hamming), id_a < id_b, unordered. */
-  private[graft] def phashPairs(s: SparkSession, feed: DataFrame): DataFrame = {
+  /** aHash signature relation over a (doc_id, text) feed — one typed
+    * map pass, pinned (every consumer reads it once). */
+  private def sigOf(s: SparkSession, feed: DataFrame): DataFrame = {
     val sp = s
     import sp.implicits._
-    val sig = feed
+    feed
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("xx").as("lang"))
       .as[MediaRecord]
       .map(r => (r.doc_id, MediaCodec.ahash64(MediaCodec.resize(r, 64)._2)))
       .toDF("doc_id", "ph")
-      .localCheckpoint() // both join sides read one signature pass
+      .localCheckpoint()
+  }
+
+  /** Banded Hamming ≤ 6 pairs over a (doc_id, ph) relation. Banding
+    * is dedup_simhash's round-2 scale lever verbatim: 28 bands of 16
+    * bits (every PAIR of 8-bit chunks) — a Hamming ≤ 6 pair dirties
+    * at most 6 of 8 chunks, leaving ≥ 2 clean, so some clean pair
+    * collides and recall is pigeonhole-guaranteed, with 2^16 buckets
+    * per band instead of single-chunk banding's 2^8. */
+  private def pairsFromSig(sig: DataFrame): DataFrame = {
     def chunk(c: Int) = shiftright(col("ph"), c * 8).bitwiseAND(lit(0xFFL))
     val pairsIdx = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
     val bands = sig.select(col("doc_id"), col("ph"),
@@ -175,6 +186,44 @@ object Multimodal extends QueryGroup {
       .withColumn("hamming", bit_count(col("pha").bitwiseXOR(col("phb"))))
       .filter(col("hamming") <= 6)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Per-doc perceptual-dedup verdicts over a (doc_id, text) feed —
+    * the LINEAR-OUTPUT contract a 100 TB corpus needs. Emitting the
+    * pair relation is quadratic in duplicate-group size (a corpus
+    * with g identical-signature copies owes C(g,2) rows — measured
+    * 290 s at the ×100 fixture, whose template texts form exactly
+    * such groups), so dedup runs in two tiers instead:
+    * (1) EXACT tier — identical 64-bit signatures collapse in ONE
+    * hash aggregate (min-id representative; members never meet the
+    * band join at all); (2) NEAR tier — only the DISTINCT-signature
+    * representatives enter the banded Hamming join, and a rep is
+    * dropped by the smallest rep within Hamming ≤ 6. The kept set is
+    * PROVABLY the same as the pair rule's "drop the larger id of
+    * every colliding pair": a smaller colliding doc e always has a
+    * rep e0 ≤ e with the identical signature, so d's collision with e
+    * is witnessed by the rep pair (e0, d). Output: one row per doc —
+    * (doc_id, kept, dup_of, hamming), hamming 0 for exact dups, the
+    * rep-pair Hamming for near dups, null for survivors. */
+  private[graft] def phashVerdicts(s: SparkSession, feed: DataFrame): DataFrame = {
+    val sig = sigOf(s, feed)
+    val groups = sig.groupBy("ph").agg(min(col("doc_id")).as("rep"))
+    val withRep = sig.join(groups, "ph")
+    val reps = groups.select(col("rep").as("doc_id"), col("ph"))
+    val nearBest = pairsFromSig(reps)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(struct(col("id_a").as("near_rep"),
+        col("hamming").as("h"))).as("m"))
+      .select(col("doc_id"), col("m.near_rep").as("near_rep"),
+        col("m.h").as("near_h"))
+    withRep.join(nearBest, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (col("doc_id") === col("rep") && col("near_rep").isNull).as("kept"),
+        when(col("doc_id") =!= col("rep"), col("rep"))
+          .otherwise(col("near_rep")).as("dup_of"),
+        when(col("doc_id") =!= col("rep"), lit(0))
+          .otherwise(col("near_h")).as("hamming"))
   }
 
   /** DuckDB mirror of the resize→ahash64→banded-pairs chain over a
@@ -202,8 +251,8 @@ object Multimodal extends QueryGroup {
     val mutants = d.filter(col("doc_id") < 20)
       .select((col("doc_id") + (1L << 40)).as("doc_id"),
         reencodeMutant.as("text"))
-    phashPairs(s, d.unionByName(mutants))
-      .orderBy("id_a", "id_b")
+    phashVerdicts(s, d.unionByName(mutants))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,6 +268,8 @@ object Multimodal extends QueryGroup {
     // per-bit integer mirror of resize→ahash64 (sampled code points,
     // pixel·64 > Σpixels), brute-force pairs — the banded Spark plan
     // provably equals this at τ=6 (8×8-bit pigeonhole covers Hamming≤7)
+    // the two-tier verdict restated over brute force: exact groups by
+    // the per-bit signature string, near tier = min colliding rep
     "multimodal_dedup_phash" -> s"""
       WITH feed AS (
         SELECT doc_id, text FROM documents
@@ -226,9 +277,28 @@ object Multimodal extends QueryGroup {
         SELECT doc_id + 1099511627776 AS doc_id,
           ${sqlReencode("text")} AS text
         FROM documents WHERE doc_id < 20),
-      $sqlPhashCtes
-      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
-      FROM hpairs ORDER BY id_a, id_b""",
+      $sqlPhashCtes,
+      sigstr AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN b THEN '1' ELSE '0' END, '' ORDER BY i) AS ph
+        FROM bits GROUP BY doc_id),
+      groups AS (SELECT ph, MIN(doc_id) AS rep FROM sigstr GROUP BY ph),
+      withrep AS (SELECT s.doc_id, g.rep FROM sigstr s JOIN groups g USING (ph)),
+      rp AS (
+        SELECT h.id_a, h.id_b, h.hamming FROM hpairs h
+        JOIN groups ga ON ga.rep = h.id_a
+        JOIN groups gb ON gb.rep = h.id_b),
+      near AS (SELECT id_b AS doc_id, MIN(id_a) AS near_rep FROM rp GROUP BY id_b),
+      nearh AS (
+        SELECT n.doc_id, n.near_rep, r.hamming AS near_h
+        FROM near n JOIN rp r ON r.id_b = n.doc_id AND r.id_a = n.near_rep)
+      SELECT w.doc_id,
+        (w.doc_id = w.rep AND nh.near_rep IS NULL) AS kept,
+        CASE WHEN w.doc_id <> w.rep THEN w.rep ELSE nh.near_rep END AS dup_of,
+        CAST(CASE WHEN w.doc_id <> w.rep THEN 0 ELSE nh.near_h END AS INTEGER)
+          AS hamming
+      FROM withrep w LEFT JOIN nearh nh USING (doc_id)
+      ORDER BY w.doc_id""",
     // float-mirror kernel (sim_topk discipline): FLOAT element
     // products each CAST to DOUBLE, accumulated left-to-right
     "multimodal_clip_filter" -> """

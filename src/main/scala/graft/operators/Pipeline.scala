@@ -189,9 +189,11 @@ object Pipeline extends QueryGroup {
     *  2. ingest feed — gate survivors plus the re-encoded copies a
     *     crawler re-fetch produces ([[Multimodal.reencodeMutant]],
     *     shared with the standalone op; same pair → same CLIP score);
-    *  3. perceptual dedup — [[Multimodal.phashPairs]] at τ = 6, drop
-    *     the larger id of every colliding pair (the single-pass
-    *     greedy survivor rule — declared, deterministic);
+    *  3. perceptual dedup — [[Multimodal.phashVerdicts]] at τ = 6
+    *     (exact-signature groups collapse first, then rep-only
+    *     banding — linear output; the kept set provably equals the
+    *     "drop the larger id of every colliding pair" rule the
+    *     oracle restates);
     *  4. shard manifest — md5-bucketed shards, per-shard item count,
     *     CLIP-score extrema and the id-ordered fingerprint a loader
     *     verifies.
@@ -217,8 +219,8 @@ object Pipeline extends QueryGroup {
         .select((col("doc_id") + (1L << 40)).as("doc_id"),
           Multimodal.reencodeMutant.as("text"), col("clip_score")))
       .localCheckpoint() // gates run once; pHash + manifest both read it
-    val dropped = Multimodal.phashPairs(s, feed.select("doc_id", "text"))
-      .select(col("id_b").as("doc_id")).distinct()
+    val dropped = Multimodal.phashVerdicts(s, feed.select("doc_id", "text"))
+      .filter(!col("kept")).select("doc_id")
     kept(feed, dropped)
   }
 

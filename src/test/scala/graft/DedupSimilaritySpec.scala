@@ -752,17 +752,36 @@ class DedupSimilaritySpec extends SparkSpec {
       id -> MediaCodec.ahash64(MediaCodec.resize(
         MediaRecord(id, t.getBytes("UTF-8"), "xx"), 64)._2)
     }
-    val expected = (for {
-      (ida, ha) <- sig; (idb, hb) <- sig
-      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 6
-    } yield (ida, idb)).toSet
+    // brute-force two-tier verdicts: exact groups by signature, then
+    // min colliding representative at Hamming <= 6
+    val byPh = sig.groupBy(_._2)
+    val repOf = sig.map { case (id, ph) => id -> byPh(ph).map(_._1).min }.toMap
+    val reps = byPh.map { case (ph, g) => (g.map(_._1).min, ph) }.toVector
+    val repPairs = for {
+      (ia, ha) <- reps; (ib, hb) <- reps
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))
+    val nearBest = repPairs.groupBy(_._2).map { case (b, ps) =>
+      val best = ps.minBy(_._1); b -> (best._1, best._3)
+    }
+    val expected = sig.map { case (id, _) =>
+      val rep = repOf(id)
+      if (id != rep) (id, false, Some(rep), Some(0))
+      else nearBest.get(id) match {
+        case Some((a, h)) => (id, false, Some(a), Some(h))
+        case None => (id, true, None, None)
+      }
+    }.toSet
     val got = SparkEntry.queries("multimodal_dedup_phash")(spark, sf001)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
     assert(got == expected,
-      s"missed: ${expected -- got}, spurious: ${got -- expected}")
-    val planted = (0L until 20L).map(i => (i, i + (1L << 40))).toSet
-    assert(planted.subsetOf(got),
-      s"a planted re-encode escaped: ${planted -- got}")
+      s"missed: ${(expected -- got).take(5)}, spurious: ${(got -- expected).take(5)}")
+    // every planted re-encode must be dropped (exact or near tier)
+    val mutantVerdicts = got.filter(_._1 >= (1L << 40))
+    assert(mutantVerdicts.size == 20 && mutantVerdicts.forall(!_._2),
+      s"a planted re-encode survived: ${mutantVerdicts.filter(_._2)}")
   }
 }

@@ -109,8 +109,8 @@ class PipelineSpec extends SparkSpec {
       .unionByName(survivors.filter(col("doc_id") < 20)
         .select((col("doc_id") + (1L << 40)).as("doc_id"),
           graft.operators.Multimodal.reencodeMutant.as("text")))
-    val dropped = graft.operators.Multimodal.phashPairs(spark, feed)
-      .select("id_b").distinct().count()
+    val dropped = graft.operators.Multimodal.phashVerdicts(spark, feed)
+      .filter(!col("kept")).count()
     val expectedKept = feed.count() - dropped
     val manifest = SparkEntry.queries("pipeline_multimodal")(spark, sf001).collect()
     assert(manifest.map(_.getLong(1)).sum == expectedKept,
