@@ -691,6 +691,46 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Persisted unigram vocab — the frozen artifact, same discipline
+    * as [[bpeBytesVocabPath]]: (piece, quantized score) parquet, ≤512
+    * rows, once per (JVM, dir). */
+  private val unigramVocabPaths = new graft.core.BuildOnce[String, String]
+  private[graft] def unigramVocabPath(s: SparkSession, dir: String): String =
+    unigramVocabPaths.getOrElseUpdate(dir, {
+      val sp = s; import sp.implicits._
+      val p = graft.core.RunId.scratchKeyed("unigram/vocab", dir)
+      unigramVocab(s, dir).toSeq.sortBy(_._1)
+        .toDF("piece", "qscore")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Encode-only unigram tokenization against the FROZEN persisted
+    * vocab — the artifact discipline ([[tokenizeBpeFrozen]] /
+    * [[tokenizeBpeBytesFrozen]]) for the third tokenizer family: the
+    * held-out slice (doc_id % 5 == 0) is segmented with the reloaded
+    * (piece, score) table, never retrained; single-char fallback
+    * means any text still segments. BpeSpec pins frozen == live piece
+    * counts on the same slice. */
+  def tokenizeUnigramFrozen(s: SparkSession, dir: String): DataFrame = {
+    val vocab = s.read.parquet(unigramVocabPath(s, dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ucnt = udf { (text: String) =>
+      var n = 0L
+      graft.functions.Bpe.pretokenize(text)
+        .foreach(t => n += graft.functions.Unigram.segment(t, vocab).length)
+      n
+    }
+    Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        ucnt(col("text")).as("uni_pieces"))
+      .withColumn("compression",
+        round(col("n_bytes").cast("double") / col("uni_pieces"), 6))
+      .orderBy("doc_id")
+  }
+
   /** [[packSequences]] with REAL token offsets: sequence boundaries
     * fall at corpus-trained BPE token counts instead of whitespace
     * word counts (VERDICT r6 #2 — the proxy made every boundary
@@ -1239,6 +1279,7 @@ object TextOps extends QueryGroup {
     "tokenize_bpe_bytes" -> (tokenizeBpeBytes _),
     "tokenize_bpe_bytes_frozen" -> (tokenizeBpeBytesFrozen _),
     "tokenize_unigram" -> (tokenizeUnigram _),
+    "tokenize_unigram_frozen" -> (tokenizeUnigramFrozen _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),

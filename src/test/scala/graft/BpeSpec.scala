@@ -225,4 +225,17 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(Unigram.train(wf, 512) == vocab, "retrain diverged")
   }
+  test("unigram frozen artifact: encode-only equals live on the held-out slice") {
+    import graft.operators.TextOps
+    val live = TextOps.unigramVocab(spark, sf001)
+    val frozen = spark.read.parquet(TextOps.unigramVocabPath(spark, sf001))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frozen == live, "persisted vocab diverged from the live train")
+    val rows = SparkEntry.queries("tokenize_unigram_frozen")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val liveCounts = SparkEntry.queries("tokenize_unigram")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+      .filter(_._1 % 5 == 0).toMap
+    assert(rows == liveCounts, "frozen-encode piece counts diverged from live")
+  }
 }
