@@ -176,7 +176,44 @@ object Windows extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Row-PATTERN detection — the MATCH_RECOGNIZE (SQL:2016 / CEP)
+    * face Spark has no native operator for: per user, every maximal
+    * occurrence of `signup (view|click)+ purchase` over the
+    * event-adjacent sequence (engagement-then-conversion runs; the
+    * same composition detects error bursts, retry storms, session
+    * shapes). Rewritten as two windows instead of an NFA: (1) a
+    * per-user sequence number over all events; (2) LEAD over the
+    * NON-mid rows only — for a `signup` row, the next non-(view|
+    * click) event is the pattern's endpoint candidate, and the match
+    * condition is that it is a `purchase` with at least one row
+    * strictly between (the B+ of the pattern). Matches cannot
+    * overlap, exactly MATCH_RECOGNIZE's SKIP PAST LAST ROW default.
+    * Scale: two keyed windows on the partition key, no self-join, no
+    * state machine; output is match-domain-sized. */
+  def winPattern(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val byRn = Window.partitionBy("user_id").orderBy("rn")
+    val isMid = col("event_type").isin("view", "click")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(byUser))
+      .drop("ts")
+      .filter(!isMid)
+      .withColumn("next_rn", lead("rn", 1).over(byRn))
+      .withColumn("next_type", lead("event_type", 1).over(byRn))
+      .withColumn("next_event", lead("event_id", 1).over(byRn))
+      .filter(col("event_type") === "signup" &&
+        col("next_type") === "purchase" &&
+        col("next_rn") > col("rn") + 1)
+      .select(col("user_id"), col("event_id").as("start_event"),
+        col("next_event").as("end_event"),
+        (col("next_rn") - col("rn") - 1).as("n_mid"))
+      .orderBy("user_id", "start_event")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_pattern" -> (winPattern _),
     "win_range_time" -> (winRangeTime _),
     "win_distribution" -> (winDistribution _),
     "win_static" -> (winStatic _),
@@ -213,6 +250,26 @@ object Windows extends QueryGroup {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_custkey, o_orderkey""",
+    // the two-window MATCH_RECOGNIZE rewrite restated directly
+    "win_pattern" -> """
+      WITH seq AS (
+        SELECT user_id, event_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn
+        FROM events),
+      nonmid AS (
+        SELECT user_id, event_id, event_type, rn,
+          LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn) AS next_rn,
+          LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS next_type,
+          LEAD(event_id) OVER (PARTITION BY user_id ORDER BY rn) AS next_event
+        FROM seq
+        WHERE event_type NOT IN ('view', 'click'))
+      SELECT user_id, event_id AS start_event, next_event AS end_event,
+        CAST(next_rn - rn - 1 AS INTEGER) AS n_mid
+      FROM nonmid
+      WHERE event_type = 'signup' AND next_type = 'purchase'
+        AND next_rn > rn + 1
+      ORDER BY user_id, start_event""",
     "win_rank" -> """
       SELECT o_custkey, o_orderkey,
         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk

@@ -223,7 +223,10 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_multimodal",
     // driver-trained quantized-score vocab + row-local Viterbi — the
     // tokenize_bpe discipline for the unigram family
-    "tokenize_unigram")
+    "tokenize_unigram",
+    // two stacked sequence windows (rn, then LEAD over the non-mid
+    // subsequence) — match endpoints must not depend on layout
+    "win_pattern")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
