@@ -690,4 +690,26 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1200)}")
     }
   }
+  test("round-11 wave: phash has no cartesian product, mrl fetch is broadcast, stream index read is partition-pruned") {
+    // phashVerdicts: candidates ride the band equi-join — a cartesian
+    // product anywhere means the banding fell out of the plan
+    val ph = plan("multimodal_dedup_phash")
+    assert(!ph.contains("CartesianProduct"),
+      "phash verdict plan contains a cartesian product")
+    // sim_topk_mrl: both exact-rescore fetches broadcast the bounded
+    // candidate id set into the corpus id-join; the only non-equi join
+    // is the declared 5-query broadcast bound pass
+    val mrl = plan("sim_topk_mrl")
+    assert(mrl.contains("BroadcastHashJoin") || mrl.contains("BroadcastNestedLoop"),
+      "mrl rescore fetch lost its broadcast")
+    assert(!mrl.contains("CartesianProduct"),
+      "mrl plan contains a cartesian product")
+    // stream_dedup_near: the fold's index read must prune to
+    // batch_id < current — the replay guard rides partition pruning
+    val sdn = plan("stream_dedup_near")
+    assert(sdn.contains("batch_id"), "index read lost its batch_id pruning")
+    // win_pattern: two windows, no join at all
+    val wp = plan("win_pattern")
+    assert(!wp.contains("Join"), s"win_pattern grew a join: unexpected")
+  }
 }
