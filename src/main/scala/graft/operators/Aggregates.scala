@@ -573,7 +573,44 @@ object Aggregates extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group least-squares regression — the SQL:2003 REGR_* family
+    * (REGR_SLOPE / REGR_INTERCEPT / REGR_R2) on [[statsCorr]]'s
+    * decimal-exact-moment discipline: Spark's and DuckDB's own
+    * regr_slope aggregate doubles in partial-aggregation order, so
+    * both engines instead compute the identical scalar formula from
+    * order-independent DECIMAL Σx/Σy/Σx²/Σxy. Same one-aggregate
+    * shape, zero-variance NULLIF guard included. */
+  def statsRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = Num.d2(col("l_quantity"))
+    val y = Num.d2(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("nf"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        col("nf").cast("long").as("n"),
+        when(col("nf") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("nf") * col("sxy") - col("sx") * col("sy")) /
+            (col("nf") * col("sxx") - col("sx") * col("sx")), 6)).as("slope"),
+        when(col("nf") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("sy") - (col("nf") * col("sxy") - col("sx") * col("sy")) /
+            (col("nf") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("nf"), 6)).as("intercept"),
+        when((col("nf") * col("sxx") - col("sx") * col("sx")) *
+            (col("nf") * col("syy") - col("sy") * col("sy")) =!= 0,
+          round((col("nf") * col("sxy") - col("sx") * col("sy")) *
+            (col("nf") * col("sxy") - col("sx") * col("sy")) /
+            ((col("nf") * col("sxx") - col("sx") * col("sx")) *
+             (col("nf") * col("syy") - col("sy") * col("sy"))), 6)).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_regression" -> (statsRegression _),
     "stats_corr" -> (statsCorr _),
     "stats_histogram" -> (statsHistogram _),
     "stats_analyze" -> (statsAnalyze _),
@@ -652,6 +689,30 @@ object Aggregates extends QueryGroup {
       ORDER BY pct""",
     // exact decimal first/second moments, float64 only in the final
     // identically-associated scalar formula
+    // the REGR_* formulas from the same decimal moments, identically
+    // associated; NULLIF mirrors the zero-variance when() guard
+    "stats_regression" -> """
+      WITH a AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS nf,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(nf AS BIGINT) AS n,
+        ROUND((nf * sxy - sx * sy) / NULLIF(nf * sxx - sx * sx, 0), 6)
+          AS slope,
+        ROUND((sy - (nf * sxy - sx * sy) / NULLIF(nf * sxx - sx * sx, 0)
+          * sx) / nf, 6) AS intercept,
+        ROUND((nf * sxy - sx * sy) * (nf * sxy - sx * sy)
+          / NULLIF((nf * sxx - sx * sx) * (nf * syy - sy * sy), 0), 6)
+          AS r2
+      FROM a ORDER BY l_returnflag""",
     "stats_corr" -> """
       WITH a AS (
         SELECT l_returnflag,

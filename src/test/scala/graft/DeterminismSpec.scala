@@ -226,7 +226,10 @@ class DeterminismSpec extends SparkSpec {
     "tokenize_unigram",
     // two stacked sequence windows (rn, then LEAD over the non-mid
     // subsequence) — match endpoints must not depend on layout
-    "win_pattern")
+    "win_pattern",
+    // decimal second moments → REGR_* scalar formulas: the
+    // order-independence claim extended to slope/intercept/r2
+    "stats_regression")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
