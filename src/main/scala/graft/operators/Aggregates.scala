@@ -609,8 +609,52 @@ object Aggregates extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** Welch's two-sample t-test between every pair of l_returnflag
+    * populations on l_extendedprice — the hypothesis-test face of the
+    * stats family (is the mean price of returned lineitems actually
+    * different?): ONE decimal-moment aggregate to the 3-row flag
+    * domain (map-side-combining, corpus-linear — the
+    * [[statsRegression]] discipline), then the t statistic and the
+    * Welch–Satterthwaite df assembled on the bounded pair self-join
+    * (flag-domain², never row data). Same-structured IEEE double
+    * arithmetic over exact decimal moments is bit-identical in
+    * DuckDB, so the whole face is hash-exact — including sqrt, per
+    * the stats_corr precedent. */
+  def statsTtest(s: SparkSession, dir: String): DataFrame = {
+    val x = Num.d2(col("l_extendedprice"))
+    val m = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("nf"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+    val a = m.select(col("l_returnflag").as("g1"), col("nf").as("n1"),
+      col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val b = m.select(col("l_returnflag").as("g2"), col("nf").as("n2"),
+      col("sx").as("sx2"), col("sxx").as("sxx2"))
+    val mean1 = col("sx1") / col("n1")
+    val mean2 = col("sx2") / col("n2")
+    // se_i = sample variance / n_i, spelled left-associatively so the
+    // oracle's identical text computes the identical float
+    val se1 = (col("sxx1") - col("sx1") * col("sx1") / col("n1")) /
+      (col("n1") - 1) / col("n1")
+    val se2 = (col("sxx2") - col("sx2") * col("sx2") / col("n2")) /
+      (col("n2") - 1) / col("n2")
+    a.join(b, col("g1") < col("g2")) // 3-row × 3-row pair domain
+      .select(
+        col("g1"), col("g2"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(mean1, 6).as("mean1"), round(mean2, 6).as("mean2"),
+        round((mean1 - mean2) / sqrt(se1 + se2), 6).as("t_stat"),
+        round((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 6)
+          .as("df_welch"))
+      .orderBy("g1", "g2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
+    "stats_ttest" -> (statsTtest _),
     "stats_corr" -> (statsCorr _),
     "stats_histogram" -> (statsHistogram _),
     "stats_analyze" -> (statsAnalyze _),
@@ -713,6 +757,33 @@ object Aggregates extends QueryGroup {
           / NULLIF((nf * sxx - sx * sx) * (nf * syy - sy * sy), 0), 6)
           AS r2
       FROM a ORDER BY l_returnflag""",
+    // identical decimal moments, identical left-associated double
+    // arithmetic — bit-exact on both engines
+    "stats_ttest" -> """
+      WITH m AS (
+        SELECT l_returnflag AS g,
+          CAST(count(*) AS DOUBLE) AS nf,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag),
+      p AS (
+        SELECT a.g AS g1, b.g AS g2, a.nf AS n1, b.nf AS n2,
+          a.sx AS sx1, b.sx AS sx2, a.sxx AS sxx1, b.sxx AS sxx2
+        FROM m a JOIN m b ON a.g < b.g),
+      q AS (
+        SELECT g1, g2, n1, n2,
+          sx1 / n1 AS mean1, sx2 / n2 AS mean2,
+          (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 AS se1,
+          (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2 AS se2
+        FROM p)
+      SELECT g1, g2,
+        CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        ROUND(mean1, 6) AS mean1, ROUND(mean2, 6) AS mean2,
+        ROUND((mean1 - mean2) / sqrt(se1 + se2), 6) AS t_stat,
+        ROUND((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df_welch
+      FROM q ORDER BY g1, g2""",
     "stats_corr" -> """
       WITH a AS (
         SELECT l_returnflag,

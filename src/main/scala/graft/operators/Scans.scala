@@ -898,8 +898,13 @@ object Scans extends QueryGroup {
           col("_gen"), col("cell"))
         .write.mode("overwrite").partitionBy("_gen", "cell")
         .parquet(s"$root/data")
-      // the metadata SAI postings (generation, label, row id)
-      base.select(col("_gen"), col("label"), col("vec_id"))
+      // the metadata SAI postings (generation, label, row id) — cell
+      // rides along as the row ADDRESS inside its generation, which is
+      // what lets the adaptive pre-filter branch fetch candidate rows
+      // without opening any non-candidate leaf (scan_sai_ann itself
+      // reads only _gen/label, so column pruning keeps its probe
+      // byte-identical)
+      base.select(col("_gen"), col("label"), col("vec_id"), col("cell"))
         .write.mode("overwrite").parquet(s"$root/idx_label")
       // per-(generation, cell) residual bound: max ‖x − c‖² =
       // max(‖x‖² + ‖c‖² − 2·⟨x,c⟩) — one tiny aggregate
@@ -923,7 +928,9 @@ object Scans extends QueryGroup {
     * plan so PlanSpec can pin generation pruning and the
     * strictly-partial leaf coverage. */
   private[graft] def saiAnnSearch(s: SparkSession, dir: String,
-      labelSel: Int = 2, k: Int = 8, nprobe: Int = 4): (DataFrame, SaiAnnPlan) = {
+      labelSel: Int = 2, k: Int = 8, nprobe: Int = 4,
+      residual: Column = lit(true),
+      qPred: Column = col("vec_id") < 5): (DataFrame, SaiAnnPlan) = {
     val root = saiAnnPath(s, dir)
     val margin = 1e-5
     // Bounded planning relations (collect is the AQE-stats move, never
@@ -944,7 +951,7 @@ object Scans extends QueryGroup {
           lit(0.0).as("score"), lit(0).as("rk"))
       return (e, SaiAnnPlan(Nil, Nil, Nil, radius.size))
     }
-    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+    val qs = Tables.embeddings(s, dir).filter(qPred)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     def ddot(a: Array[Double], b: Array[Double]): Double = {
@@ -973,7 +980,11 @@ object Scans extends QueryGroup {
       .orderBy(col("score").desc, col("vec_id").asc)
     def score(src: DataFrame, probe: DataFrame): DataFrame =
       src.join(broadcast(probe), expr("array_contains(cells, cell)"))
-        .filter(col("label") === labelSel && col("vec_id") =!= col("query_id"))
+        // residual only SHRINKS the candidate set, so the
+        // Cauchy–Schwarz leaf bound (valid for every row) stays
+        // admissible and the probe stays exact under any predicate
+        .filter(col("label") === labelSel && residual &&
+          col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), col("label"),
           graft.functions.Vectors.fdot(col("embedding"), col("qvec")).as("score_raw"))
         .withColumn("score", round(col("score_raw"), 6))
@@ -1029,6 +1040,87 @@ object Scans extends QueryGroup {
 
   def scanSaiAnn(s: SparkSession, dir: String): DataFrame =
     saiAnnSearch(s, dir)._1
+
+  private[graft] case class SaiAnnAdaptiveChoice(
+      mode: String, nCand: Long, leaves: Seq[(Long, Int)])
+
+  /** The pre-filter vs post-filter planning decision every vector
+    * store makes for `WHERE <pred> ORDER BY emb ANN OF ? LIMIT k`:
+    * when the metadata predicate is SELECTIVE, probing the vector
+    * index and filtering after is wasteful-to-wrong (the index
+    * surfaces mostly non-matching neighbors and k survivors may not
+    * exist in the probed cells without deep over-fetch) — the right
+    * plan fetches exactly the matching rows through the SAI postings
+    * and brute-forces them; when the predicate is UNSELECTIVE the
+    * filtered set is corpus-sized and only the IVF probe (with the
+    * predicate as a residual) stays index-shaped. The decision input
+    * is the postings COUNT — an index-sized aggregate, never a corpus
+    * scan, exactly the statistics read a Cassandra 5 SAI query plan
+    * does. Both branches are EXACT (pre scores every matching row;
+    * post is [[saiAnnSearch]]'s bound-complete probe), so one
+    * brute-force oracle covers whichever branch the count picks —
+    * correctness is decision-independent, only the plan shape moves.
+    * The declared face runs one selective probe (a bounded vec_id
+    * range: ~20 matches at ANY corpus size — the "search my recent
+    * partition" query) and one unselective probe (label only: grows
+    * with the corpus), exercising both branches on every fixture. */
+  private[graft] def saiAnnAdaptive(s: SparkSession, dir: String,
+      labelSel: Int, lo: Long, hi: Long, k: Int,
+      threshold: Long = 32): (DataFrame, SaiAnnAdaptiveChoice) = {
+    val root = saiAnnPath(s, dir)
+    val qPred = col("vec_id") >= 5 && col("vec_id") <= 8
+    val residual = col("vec_id").between(lo, hi)
+    val idx = s.read.parquet(s"$root/idx_label")
+      .filter(col("label") === labelSel && col("vec_id").between(lo, hi))
+    val nCand = idx.count() // index-sized statistics read
+    if (nCand > threshold) {
+      val (df, _) = saiAnnSearch(s, dir, labelSel, k, nprobe = 4,
+        residual = residual, qPred = qPred)
+      (df.withColumn("mode", lit("post")),
+        SaiAnnAdaptiveChoice("post", nCand, Nil))
+    } else {
+      // postings rows double as row ADDRESSES: (gen, cell) names the
+      // leaf, vec_id the row — collect is gated at `threshold`, the
+      // same bounded-planning-relation class as the centroids
+      val cands = idx.select("_gen", "cell", "vec_id").collect()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val qs = Tables.embeddings(s, dir).filter(qPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      if (cands.isEmpty) {
+        val e = Tables.embeddings(s, dir).filter(lit(false))
+          .select(col("vec_id").as("query_id"), col("vec_id"), col("label"),
+            lit(0.0).as("score"), lit(0).as("rk"), lit("pre").as("mode"))
+        return (e, SaiAnnAdaptiveChoice("pre", nCand, Nil))
+      }
+      val leaves = cands.map(r => (r.getLong(0), r.getInt(1)))
+        .distinct.sorted.toSeq
+      val ids = cands.map(_.getLong(2)).toSeq
+      val fetched = s.read.option("basePath", s"$root/data")
+        .parquet(leaves.map { case (g, c) => s"$root/data/_gen=$g/cell=$c" }: _*)
+        .filter(col("vec_id").isin(ids: _*)) // ≤ threshold ids
+      // bounded cross: ≤ threshold candidate rows × the 4 query
+      // vectors — gated by the branch condition itself
+      val out = fetched.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6)
+            .as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .withColumn("mode", lit("pre"))
+      (out, SaiAnnAdaptiveChoice("pre", nCand, leaves))
+    }
+  }
+
+  def scanSaiAnnAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val pre = saiAnnAdaptive(s, dir, labelSel = 2, lo = 0L, hi = 199L, k = 6)._1
+    val post = saiAnnAdaptive(s, dir, labelSel = 2, lo = 0L,
+      hi = 1L << 50, k = 6)._1
+    pre.unionByName(post)
+      .select("mode", "query_id", "vec_id", "label", "score", "rk")
+      .orderBy("mode", "query_id", "rk")
+  }
 
   /** 2-D range aggregate answered from the Hilbert-clustered copy —
     * the sink_zorder surface on the better curve (different slice so
@@ -1230,6 +1322,7 @@ object Scans extends QueryGroup {
     "scan_sai_or" -> (scanSaiOr _),
     "scan_sai_contains" -> (scanSaiContains _),
     "scan_sai_ann" -> (scanSaiAnn _),
+    "scan_sai_ann_adaptive" -> (scanSaiAnnAdaptive _),
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
     "scan_sai_range" -> (scanSaiRange _),
@@ -1394,6 +1487,27 @@ object Scans extends QueryGroup {
         FROM d)
       SELECT query_id, vec_id, label, score, rk FROM r
       WHERE rk <= 8 ORDER BY query_id, rk""",
+    // both branches are exact, so the oracle is brute-force filtered
+    // top-k per probe — which branch ran is invisible in the output
+    "scan_sai_ann_adaptive" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id BETWEEN 5 AND 8),
+      d AS (
+        SELECT m.mode, m.hi, q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q,
+          (VALUES ('pre', 199), ('post', 1125899906842624)) m(mode, hi)
+        WHERE e.vec_id <> q.query_id AND e.label = 2
+          AND e.vec_id BETWEEN 0 AND m.hi),
+      r AS (
+        SELECT mode, query_id, vec_id, label, score,
+          ROW_NUMBER() OVER (PARTITION BY mode, query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT mode, query_id, vec_id, label, score, rk FROM r
+      WHERE rk <= 6 ORDER BY mode, query_id, rk""",
     "scan_manifest_pruned" -> s"""
       SELECT l_returnflag, l_linestatus,
         CAST(COUNT(*) AS BIGINT) AS n_items,

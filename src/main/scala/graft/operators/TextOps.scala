@@ -925,6 +925,89 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Bloom-prefiltered benchmark decontamination — [[textContamination]]
+    * is the exact face (every corpus 8-gram probes the broadcast
+    * benchmark gram map); this is the shape that survives a
+    * PRODUCTION benchmark suite. The benchmark grams are collected
+    * once (bounded: the benchmark suite is fixed-size no matter how
+    * big the corpus — same class as the langid profile) into a Bloom
+    * filter (fpp 1e-6 ≈ 29 bits/gram vs the exact map's full strings:
+    * GPT-3's 13-gram decontamination set is ~10⁸ grams, a ~350 MB
+    * bloom where the exact hash side stops fitting), the corpus pass
+    * is a row-local short-circuiting EXISTS over each doc's gram
+    * array via [[graft.plans.BloomHitExpr]] — no join, no shuffle,
+    * nothing leaves the scan — and only flagged docs (true hits plus
+    * a provably rare FP tail: P(doc flagged falsely) ≈ grams·1e-6)
+    * enter the exact confirm join. FPs die in the confirm (the
+    * join_bloom_prefilter discipline), so the output is hash-exact
+    * against the plain doc-level gram join; the no-false-negative
+    * superset guarantee and the FP bound are pinned in KernelSpec. */
+  def textContaminationBloom(s: SparkSession, dir: String): DataFrame =
+    contaminationBloomParts(s, dir)._2
+
+  /** (bloom-flagged doc ids, confirmed doc-level report) — split out
+    * so KernelSpec can pin flagged ⊇ exact and the FP bound. */
+  private[graft] def contaminationBloomParts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val all = Dedup.withPlanted(s, dir, offset = 200000L)
+    def gramsArr(df: DataFrame) = df.select(col("doc_id"),
+      array_distinct(Text.shingles(Text.words(col("text")), 8)).as("gs"))
+    val bench = gramsArr(all.filter(col("doc_id") < 20))
+    val gramList = bench.select(explode(col("gs")).as("g")).distinct()
+      .collect().map(_.getString(0)) // benchmark-sized, never corpus-sized
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(
+      math.max(gramList.length.toLong, 1L), 1e-6)
+    gramList.foreach(bloom.putString)
+    val flagged = gramsArr(all.filter(col("doc_id") >= 20))
+      .filter(exists(col("gs"), g => graft.plans.BloomHitExpr.hit(g, bloom)))
+    val benchPairs = bench.select(
+      col("doc_id").as("bench_id"), explode(col("gs")).as("g"))
+    val out = flagged.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(benchPairs), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("bench_id").as("n_bench_docs"),
+        count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+    (flagged.select("doc_id"), out)
+  }
+
+  /** Packing-efficiency report — the fill/waste accounting a training
+    * run publishes before committing to a bin budget: over
+    * [[nfdPack]]'s whole-document bins (the SFT contract, the one
+    * place padding exists — concat-and-chunk packing wastes nothing
+    * by construction), per shard: bins, docs, payload tokens, padding
+    * tokens (budget − fill, clamped at 0 for the oversize singleton
+    * bin a doc longer than the budget forces), the oversize count,
+    * fullest/emptiest bin, and the fill rate. Shard-domain output
+    * (~n/512 rows at any corpus size); two stacked aggregates on the
+    * pack kernel's existing shard shuffle — bin_tokens is keyed BY
+    * (shard, bin) which is a prefix-refinement of the shard key, so
+    * the second aggregate is map-side-local after the first. Shares
+    * [[nfdPack]] with pack_greedy/pipeline_sft: the report can never
+    * drift from the packer it describes. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    nfdPack(Tables.documents(s, dir).select(
+        col("doc_id"), size(Text.words(col("text"))).as("n_tokens")))
+      .groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("bin_tokens").as("sum_tokens"),
+        sum(greatest(lit(budget.toLong) - col("bin_tokens"), lit(0L)))
+          .as("pad_tokens"),
+        sum(when(col("bin_tokens") > budget, lit(1L)).otherwise(lit(0L)))
+          .as("n_oversize"),
+        max("bin_tokens").as("max_bin_tokens"),
+        min("bin_tokens").as("min_bin_tokens"))
+      .withColumn("fill_rate",
+        round(col("sum_tokens").cast("double") /
+          (col("n_bins") * lit(budget.toDouble)), 6))
+      .orderBy("shard")
+  }
+
   /** PII scrub stage: redact emails and phone-shaped digit runs,
     * reporting per-doc redaction counts. PII is planted
     * deterministically (every 10th doc) so the scrub provably fires;
@@ -1262,6 +1345,8 @@ object TextOps extends QueryGroup {
     "curriculum_order" -> (curriculumOrder _),
     "chunk_documents" -> (chunkDocuments _),
     "text_contamination" -> (textContamination _),
+    "text_contamination_bloom" -> (textContaminationBloom _),
+    "pack_efficiency" -> (packEfficiency _),
     "text_pii_scrub" -> (textPiiScrub _),
     "pipeline_curation" -> (pipelineCuration _),
     "text_clean" -> (textClean _),
@@ -1394,6 +1479,77 @@ object TextOps extends QueryGroup {
         ON c.g = b.g
       GROUP BY c.doc_id, b.bench_id
       ORDER BY c.doc_id, b.bench_id""",
+    // the bloom prefilter is output-invisible (FPs die in the exact
+    // confirm join; no false negatives by construction), so the oracle
+    // is the plain doc-level gram join
+    "text_contamination_bloom" -> """
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, substring(text, instr(text, ' ') + 1)
+        FROM documents WHERE doc_id < 20),
+      g AS (
+        SELECT doc_id, list_distinct([
+            w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||
+            w[i+5]||' '||w[i+6]||' '||w[i+7]
+            FOR i IN range(1, len(w) - 6)]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs)),
+      cj AS (
+        SELECT c.doc_id, b.bench_id
+        FROM (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id >= 20) c
+        JOIN (SELECT doc_id AS bench_id, unnest(gs) AS g FROM g WHERE doc_id < 20) b
+          ON c.g = b.g)
+      SELECT doc_id,
+        CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cj GROUP BY doc_id ORDER BY doc_id""",
+    // same recurrence as pack_greedy, aggregated to the bin then shard
+    // domain — the report face of the identical packing
+    "pack_efficiency" -> """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents),
+      p AS (
+        SELECT CAST(MIN(pw) AS INTEGER) AS nshards FROM (
+          SELECT (CAST(1 AS BIGINT) << i) AS pw FROM range(0, 31) t(i))
+        WHERE pw * 512 >= (SELECT COUNT(*) FROM docs)),
+      r AS (
+        SELECT doc_id, n_tokens,
+          CAST(CAST(concat('0x', substring(skey, 1, 8)) AS BIGINT)
+            % (SELECT nshards FROM p) AS INTEGER) AS shard
+        FROM docs),
+      rk AS (
+        SELECT shard, doc_id, n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY shard
+                             ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM r),
+      f AS (
+        SELECT shard, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS used
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT rk.shard, rk.doc_id, rk.n_tokens, rk.rn,
+          CASE WHEN f.used + rk.n_tokens > 512 THEN f.bin + 1 ELSE f.bin END,
+          CASE WHEN f.used + rk.n_tokens > 512 THEN rk.n_tokens
+               ELSE f.used + rk.n_tokens END
+        FROM f JOIN rk ON rk.shard = f.shard AND rk.rn = f.rn + 1),
+      b AS (
+        SELECT shard, bin,
+          CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY shard, bin)
+      SELECT shard,
+        CAST(COUNT(*) AS BIGINT) AS n_bins,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(bin_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(GREATEST(512 - bin_tokens, 0)) AS BIGINT) AS pad_tokens,
+        CAST(SUM(CASE WHEN bin_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oversize,
+        CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        CAST(MIN(bin_tokens) AS BIGINT) AS min_bin_tokens,
+        ROUND(CAST(SUM(bin_tokens) AS DOUBLE) / (COUNT(*) * 512.0), 6)
+          AS fill_rate
+      FROM b GROUP BY shard ORDER BY shard""",
     "text_pii_scrub" -> """
       SELECT doc_id,
         CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))

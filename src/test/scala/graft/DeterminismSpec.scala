@@ -229,7 +229,12 @@ class DeterminismSpec extends SparkSpec {
     "win_pattern",
     // decimal second moments → REGR_* scalar formulas: the
     // order-independence claim extended to slope/intercept/r2
-    "stats_regression")
+    "stats_regression",
+    // round-11 continuation: the bloom prefilter's EXISTS + confirm
+    // join, the adaptive branch pick, the report aggregates, and the
+    // pair-domain t-test must not depend on partition layout
+    "text_contamination_bloom", "scan_sai_ann_adaptive",
+    "pack_efficiency", "stats_ttest")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -960,4 +960,24 @@ class KernelSpec extends SparkSpec {
       }
     }
   }
+  test("contamination bloom prefilter: no false negatives, bounded FP tail, confirm equals exact") {
+    import org.apache.spark.sql.functions._
+    val (flaggedDf, outDf) =
+      graft.operators.TextOps.contaminationBloomParts(spark, sf001)
+    val flagged = flaggedDf.collect().map(_.getLong(0)).toSet
+    // ground truth: the exact face aggregated to the doc level
+    val exact = SparkEntry.queries("text_contamination")(spark, sf001)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "exact contamination found nothing — fixture broke")
+    // a Bloom filter can NEVER miss a true member: flagged ⊇ exact
+    assert(exact.subsetOf(flagged),
+      s"bloom missed contaminated docs: ${(exact -- flagged).take(5)}")
+    // fpp 1e-6 × ~100 grams/doc ⇒ expected extra flags ≪ 1; allow 10
+    assert(flagged.size - exact.size <= 10,
+      s"FP tail too fat: ${flagged.size} flagged vs ${exact.size} exact")
+    // FPs die in the confirm join: the report's doc set IS the exact set
+    val confirmed = outDf.collect().map(_.getLong(0)).toSet
+    assert(confirmed == exact,
+      "confirmed report diverges from the exact contamination set")
+  }
 }

@@ -644,6 +644,52 @@ class PlanSpec extends SparkSpec {
       "pruned ANN probe diverges from brute force on the clustered corpus")
   }
 
+  test("scan_sai_ann_adaptive: postings count picks the branch; pre-filter opens only candidate leaves") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // selective probe → pre-filter branch: candidate rows fetched by
+    // postings address, no IVF phase machinery
+    val (preDf, pre) = graft.operators.Scans.saiAnnAdaptive(
+      spark, sf001, labelSel = 2, lo = 0L, hi = 199L, k = 6)
+    assert(pre.mode == "pre" && pre.nCand > 0 && pre.nCand <= 32,
+      s"selective probe mis-gated: mode=${pre.mode} nCand=${pre.nCand}")
+    assert(pre.leaves.nonEmpty && pre.leaves.size <= pre.nCand,
+      s"pre-filter opened ${pre.leaves.size} leaves for ${pre.nCand} candidates")
+    val preRows = preDf.orderBy("query_id", "rk").collect()
+    // every data file read is a candidate leaf inside the ANN layout
+    val dataDirs = preDf.inputFiles.filter(_.contains("/data/_gen="))
+      .map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(dataDirs.nonEmpty &&
+      dataDirs.length == pre.leaves.size &&
+      dataDirs.forall(_.contains("/sai/ann")),
+      s"pre-filter read ${dataDirs.length} leaf dirs, expected ${pre.leaves.size}")
+    // unselective probe → post-filter branch (the IVF probe)
+    val (postDf, post) = graft.operators.Scans.saiAnnAdaptive(
+      spark, sf001, labelSel = 2, lo = 0L, hi = 1L << 50, k = 6)
+    assert(post.mode == "post" && post.nCand > 32,
+      s"unselective probe mis-gated: mode=${post.mode} nCand=${post.nCand}")
+    assert(postDf.collect().nonEmpty)
+    // the pre branch is exact: equals brute force under its predicate
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") >= 5 && col("vec_id") <= 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = emb.filter(col("label") === 2 && col("vec_id").between(0L, 199L))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 6)
+      .select("query_id", "vec_id", "label", "score", "rk")
+      .orderBy("query_id", "rk")
+      .collect()
+    assert(preRows.map(r => r.toString).toSeq ==
+      exact.map(r => s"[${r.mkString(",")},pre]").toSeq,
+      "pre-filter branch diverges from brute force under its predicate")
+  }
+
   test("SAI fetch size gate: broadcast semi below the threshold, shuffle semi above") {
     val (cand, gens) = graft.operators.Scans.saiSelect(spark, sf001, 7L, 80, 99)
     assert(gens.nonEmpty)
