@@ -652,9 +652,55 @@ object Aggregates extends QueryGroup {
       .orderBy("g1", "g2")
   }
 
+  /** One-way ANOVA across ALL l_returnflag populations on
+    * l_extendedprice — [[statsTtest]] answers pairwise, this answers
+    * "does the factor matter at all": between/within sums of squares
+    * from the same ONE decimal-moment aggregate, F = (SSB/df_b) /
+    * (SSW/df_w). Group moments stay DECIMAL (order-free) until the
+    * bounded flag domain; the 3 per-group float terms are quantized to
+    * 6 dp and summed as DECIMAL(38,6) — the sample_temperature
+    * discipline — so the cross-group sums are order-free too and the
+    * whole face hash-matches DuckDB. Grand totals ride a 1-row
+    * broadcast cross join (the stats_histogram bounds pattern), never
+    * a second corpus pass. */
+  def statsAnova(s: SparkSession, dir: String): DataFrame = {
+    val x = Num.d2(col("l_extendedprice"))
+    val m = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("nf"),
+        sum(x).as("sxd"),
+        sum(x * x).as("sxxd"))
+    val g = m.agg(
+      count(lit(1)).cast("double").as("k"),
+      sum(col("nf")).as("nn"),
+      sum(col("sxd")).as("sxg")) // decimal: exact, order-free
+    val mi = col("sxd").cast("double") / col("nf")
+    val mg = col("sxg").cast("double") / col("nn")
+    val termB = col("nf") * ((mi - mg) * (mi - mg))
+    val termW = col("sxxd").cast("double") -
+      col("sxd").cast("double") * col("sxd").cast("double") / col("nf")
+    val agg = m.crossJoin(broadcast(g))
+      .agg(
+        max(col("k")).as("kf"), max(col("nn")).as("nn"),
+        sum(round(termB, 6).cast("decimal(38,6)")).cast("double").as("ssb"),
+        sum(round(termW, 6).cast("decimal(38,6)")).cast("double").as("ssw"))
+    agg.select(
+      col("kf").cast("long").as("k"),
+      col("nn").cast("long").as("n"),
+      round(col("ssb"), 6).as("ssb"),
+      round(col("ssw"), 6).as("ssw"),
+      (col("kf") - 1).cast("long").as("df_between"),
+      (col("nn") - col("kf")).cast("long").as("df_within"),
+      round((col("ssb") / (col("kf") - 1)) /
+        (col("ssw") / (col("nn") - col("kf"))), 6).as("f_stat"),
+      round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
     "stats_ttest" -> (statsTtest _),
+    "stats_anova" -> (statsAnova _),
     "stats_corr" -> (statsCorr _),
     "stats_histogram" -> (statsHistogram _),
     "stats_analyze" -> (statsAnalyze _),
@@ -784,6 +830,40 @@ object Aggregates extends QueryGroup {
         ROUND((se1 + se2) * (se1 + se2)
           / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df_welch
       FROM q ORDER BY g1, g2""",
+    // decimal moments, quantized per-group terms summed as DECIMAL
+    // (order-free), identical double assembly
+    "stats_anova" -> """
+      WITH m AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS nf,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sxd,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxxd
+        FROM lineitem GROUP BY l_returnflag),
+      g AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+          SUM(nf) AS nn, SUM(sxd) AS sxg FROM m),
+      t AS (
+        SELECT m.nf,
+          m.nf * ((CAST(m.sxd AS DOUBLE) / m.nf - CAST(g.sxg AS DOUBLE) / g.nn)
+                * (CAST(m.sxd AS DOUBLE) / m.nf - CAST(g.sxg AS DOUBLE) / g.nn))
+            AS term_b,
+          CAST(m.sxxd AS DOUBLE)
+            - CAST(m.sxd AS DOUBLE) * CAST(m.sxd AS DOUBLE) / m.nf AS term_w,
+          g.k AS k, g.nn AS nn
+        FROM m, g),
+      a AS (
+        SELECT MAX(k) AS kf, MAX(nn) AS nn,
+          CAST(SUM(CAST(ROUND(term_b, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ssb,
+          CAST(SUM(CAST(ROUND(term_w, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ssw
+        FROM t)
+      SELECT CAST(kf AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        ROUND(ssb, 6) AS ssb, ROUND(ssw, 6) AS ssw,
+        CAST(kf - 1 AS BIGINT) AS df_between,
+        CAST(nn - kf AS BIGINT) AS df_within,
+        ROUND((ssb / (kf - 1)) / (ssw / (nn - kf)), 6) AS f_stat,
+        ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+      FROM a""",
     "stats_corr" -> """
       WITH a AS (
         SELECT l_returnflag,
