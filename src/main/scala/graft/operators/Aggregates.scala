@@ -660,9 +660,9 @@ object Aggregates extends QueryGroup {
     * bounded flag domain; the 3 per-group float terms are quantized to
     * 6 dp and summed as DECIMAL(38,6) — the sample_temperature
     * discipline — so the cross-group sums are order-free too and the
-    * whole face hash-matches DuckDB. Grand totals ride a 1-row
-    * broadcast cross join (the stats_histogram bounds pattern), never
-    * a second corpus pass. */
+    * whole face hash-matches DuckDB. Grand totals ride an unhinted
+    * 1-row cross join (the stats_histogram bounds pattern — AQE
+    * broadcasts on measured size), never a second corpus pass. */
   def statsAnova(s: SparkSession, dir: String): DataFrame = {
     val x = Num.d2(col("l_extendedprice"))
     val m = Tables.lineitem(s, dir)
@@ -680,7 +680,11 @@ object Aggregates extends QueryGroup {
     val termB = col("nf") * ((mi - mg) * (mi - mg))
     val termW = col("sxxd").cast("double") -
       col("sxd").cast("double") * col("sxd").cast("double") / col("nf")
-    val agg = m.crossJoin(broadcast(g))
+    // no broadcast hint: the grand-total side is a GLOBAL aggregate
+    // (the stats_histogram bounds pattern) — a hinted broadcast over an
+    // aggregate is the guarded scale-killer; unhinted, AQE broadcasts
+    // the 1-row side on its measured size
+    val agg = m.crossJoin(g)
       .agg(
         max(col("k")).as("kf"), max(col("nn")).as("nn"),
         sum(round(termB, 6).cast("decimal(38,6)")).cast("double").as("ssb"),
