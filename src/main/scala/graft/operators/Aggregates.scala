@@ -701,10 +701,58 @@ object Aggregates extends QueryGroup {
       round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
   }
 
+  /** Pearson chi-square test of independence between the two
+    * categorical lineitem dimensions (returnflag × linestatus) —
+    * completes the hypothesis-test trio next to [[statsTtest]]
+    * (means) and [[statsAnova]] (factor): ONE contingency aggregate
+    * to the ≤(3×2)-cell domain (map-side-combining, corpus-linear),
+    * marginals/grand totals as domain-sized aggregates joined back on
+    * the cell domain (no global window — a single-partition exchange,
+    * however small, is the banned shape),
+    * per-cell (o−e)²/e terms quantized to 6 dp and summed as
+    * DECIMAL(38,6) so the cross-cell sum is order-free — hash-exact.
+    * Cramér's V rides along as the effect size. Counts are exact
+    * integers, so o, e, and the marginals are bit-identical in both
+    * engines before any float enters. */
+  def statsChi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("o")) // the ONE corpus aggregate, ≤ 6 rows
+    // marginals/grand totals as domain-sized aggregates joined back in
+    // (no global window — a single-partition exchange, however small,
+    // is the shape the plan discipline bans); all joins are on the
+    // ≤6-row cell domain
+    val rt = cells.groupBy("l_returnflag").agg(sum("o").as("r_tot"))
+    val ct = cells.groupBy("l_linestatus").agg(sum("o").as("c_tot"))
+    val g = cells.agg(sum("o").as("n"),
+      countDistinct("l_returnflag").as("n_r"),
+      countDistinct("l_linestatus").as("n_c"))
+    val t = cells.join(rt, "l_returnflag").join(ct, "l_linestatus")
+      .crossJoin(g)
+      .withColumn("e", col("r_tot").cast("double") * col("c_tot").cast("double")
+        / col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"))
+    t.agg(
+        max(col("n")).as("nl"),
+        max(col("n_r")).as("nr"), max(col("n_c")).as("nc"),
+        sum(round(col("term"), 6).cast("decimal(38,6)")).cast("double")
+          .as("chi2d"))
+      .select(
+        col("nl").as("n"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("df"),
+        round(col("chi2d"), 6).as("chi2"),
+        round(sqrt(col("chi2d") / (col("nl").cast("double") *
+          least(col("nr") - 1, col("nc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
     "stats_ttest" -> (statsTtest _),
     "stats_anova" -> (statsAnova _),
+    "stats_chi2" -> (statsChi2 _),
     "stats_corr" -> (statsCorr _),
     "stats_histogram" -> (statsHistogram _),
     "stats_analyze" -> (statsAnalyze _),
@@ -834,6 +882,39 @@ object Aggregates extends QueryGroup {
         ROUND((se1 + se2) * (se1 + se2)
           / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6) AS df_welch
       FROM q ORDER BY g1, g2""",
+    // exact integer contingency counts; quantized per-cell terms
+    // summed as DECIMAL (order-free); identical double assembly
+    "stats_chi2" -> """
+      WITH cells AS (
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY l_returnflag, l_linestatus),
+      rt AS (SELECT l_returnflag, SUM(o) AS r_tot FROM cells
+             GROUP BY l_returnflag),
+      ct AS (SELECT l_linestatus, SUM(o) AS c_tot FROM cells
+             GROUP BY l_linestatus),
+      g AS (SELECT SUM(o) AS n,
+              COUNT(DISTINCT l_returnflag) AS n_r,
+              COUNT(DISTINCT l_linestatus) AS n_c FROM cells),
+      t AS (
+        SELECT cells.o,
+          CAST(rt.r_tot AS DOUBLE) * CAST(ct.c_tot AS DOUBLE)
+            / CAST(g.n AS DOUBLE) AS e,
+          g.n, g.n_r, g.n_c
+        FROM cells
+        JOIN rt USING (l_returnflag)
+        JOIN ct USING (l_linestatus), g),
+      a AS (
+        SELECT MAX(n) AS nl, MAX(n_r) AS nr, MAX(n_c) AS nc,
+          CAST(SUM(CAST(ROUND(
+            (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6)
+            AS DECIMAL(38,6))) AS DOUBLE) AS chi2d
+        FROM t)
+      SELECT CAST(nl AS BIGINT) AS n,
+        CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+        ROUND(chi2d, 6) AS chi2,
+        ROUND(sqrt(chi2d / (CAST(nl AS DOUBLE)
+          * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))), 6) AS cramers_v
+      FROM a""",
     // decimal moments, quantized per-group terms summed as DECIMAL
     // (order-free), identical double assembly
     "stats_anova" -> """

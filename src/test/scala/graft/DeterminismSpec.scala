@@ -234,7 +234,7 @@ class DeterminismSpec extends SparkSpec {
     // join, the adaptive branch pick, the report aggregates, and the
     // pair-domain t-test must not depend on partition layout
     "text_contamination_bloom", "scan_sai_ann_adaptive",
-    "pack_efficiency", "stats_ttest", "stats_anova")
+    "pack_efficiency", "stats_ttest", "stats_anova", "stats_chi2")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
