@@ -73,7 +73,13 @@ object Search extends QueryGroup {
     * explode + filter (row-local) and one aggregate keyed on
     * (doc_id, term). */
   private def postings(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    postingsOf(Tables.documents(s, dir))
+
+  /** Postings over an arbitrary (doc_id, text) corpus — the same
+    * definition whether the corpus is the raw table or a curated
+    * subset ([[pipelineRag]]), so index and pipeline cannot drift. */
+  private def postingsOf(base: DataFrame): DataFrame =
+    base
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("term"))
@@ -85,10 +91,13 @@ object Search extends QueryGroup {
     * matched-term count, dense rank) — the ONE scoring definition
     * [[searchBm25]] and [[searchHybridRrf]] both read, so the
     * standalone face and the fusion pool cannot drift. */
-  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame =
+    bm25RankedOf(s, Tables.documents(s, dir))
+
+  private def bm25RankedOf(s: SparkSession, base: DataFrame): DataFrame = {
     val sp = s; import sp.implicits._
-    val post = postings(s, dir)
-    val stats = Tables.documents(s, dir)
+    val post = postingsOf(base)
+    val stats = base
       .select(size(Text.words(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("dl").cast("long").as("sum_dl"))
@@ -154,13 +163,28 @@ object Search extends QueryGroup {
     * probe behind the same (query_id, doc_id, vec_rank) pool
     * interface); fusion itself joins two ≤(queries × 20)-row pools —
     * driver- and shuffle-trivial at any corpus size. */
-  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val kw = bm25Ranked(s, dir)
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(s, dir, Tables.documents(s, dir), restrictVec = false)
+
+  /** The fusion kernel over an arbitrary (doc_id, text) corpus: BM25
+    * arm from [[bm25RankedOf]], vector arm over embeddings (restricted
+    * to the corpus's ids when `restrictVec` — the composed-pipeline
+    * mode, where a gated-out doc must not resurface through its
+    * vector), RRF fusion. One definition serves the standalone face
+    * and [[pipelineRag]]. */
+  private def hybridRrfOf(s: SparkSession, dir: String, base: DataFrame,
+      restrictVec: Boolean): DataFrame = {
+    val kw = bm25RankedOf(s, base)
       .filter(col("rank") <= RrfPoolK)
       .select(col("query_id").cast("long").as("query_id"),
         col("doc_id"), col("rank").as("kw_rank"))
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id").isin(QueryTerms.map(_._1.toLong).distinct: _*))
+    val embAll = Tables.embeddings(s, dir)
+    val emb = if (restrictVec)
+      embAll.join(base.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    else embAll
+    // probes come from the FULL table — a query vector is not a corpus
+    // row and must survive even when its doc was gated out
+    val q = embAll.filter(col("vec_id").isin(QueryTerms.map(_._1.toLong).distinct: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val vw = Window.partitionBy("query_id")
       .orderBy(col("vscore").desc, col("doc_id").asc)
@@ -182,6 +206,38 @@ object Search extends QueryGroup {
         coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The composed RAG-stack capstone — retrieval over a CURATED
+    * corpus, the production shape (nobody serves search over raw
+    * crawl): quality gate + exact dedup (the SAME kernel definitions
+    * pipeline_curation ships — TextOps.cleanCol/qualityCol and the
+    * md5(ct) min-survivor window, so curation here and curation there
+    * cannot drift) → BM25 postings + vector arm + RRF fusion through
+    * [[hybridRrfOf]], the one fusion definition search_hybrid_rrf
+    * itself runs. The vector arm is id-restricted to the curated
+    * corpus: a doc the gates dropped must not resurface through its
+    * embedding — that id-consistency is exactly what the composition
+    * tests. Curated relation pinned once (three consumers: postings,
+    * corpus stats, the vector semi-join). Retrieval reads the RAW
+    * text of survivors — curation decides membership, not content.
+    * Hash-exact end to end: the oracle is the hybrid CTE chain over
+    * the gated+deduped base. */
+  def pipelineRag(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("ct"), " ")
+    val curated = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.cleanCol(col("text")).as("ct"))
+      .select(col("doc_id"), col("lang"), col("text"), col("ct"),
+        size(w).as("n_words"), TextOps.qualityCol(w).as("q"))
+      .filter(col("lang").isin("en", "de", "fr") &&
+        col("n_words") >= 20 && col("q") >= 0.4)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("ct"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "text")
+      .localCheckpoint()
+    hybridRrfOf(s, dir, curated, restrictVec = true)
   }
 
   /** Boolean AND retrieval — the SASI-index lookup without ranking:
@@ -302,13 +358,88 @@ object Search extends QueryGroup {
     "search_bm25" -> (searchBm25 _),
     "search_match_all" -> (searchMatchAll _),
     "search_phrase" -> (searchPhrase _),
-    "search_hybrid_rrf" -> (searchHybridRrf _)
+    "search_hybrid_rrf" -> (searchHybridRrf _),
+    "pipeline_rag" -> (pipelineRag _)
   )
 
   private val TermsValues: String =
     QueryTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
   private val TermInList: String =
     TermSet.map(t => s"'$t'").mkString(", ")
+
+  /** The hybrid-retrieval oracle chain over a parameterizable base
+    * corpus CTE — `search_hybrid_rrf` instantiates it with the raw
+    * table, [[pipelineRag]] with the gated+deduped base (and the
+    * vector arm id-joined to it). One SQL chain, two faces — the same
+    * no-drift discipline as the Scala kernels. */
+  private def hybridOracleSql(baseSql: String, vecJoin: String): String = s"""
+      WITH base AS ($baseSql),
+      dd AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
+               string_split(coalesce(text, ''), ' ') AS w
+        FROM base),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+      post AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+        WHERE term IN ($TermInList)
+        GROUP BY 1, 2, 3),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      terms(query_id, term) AS (VALUES $TermsValues),
+      kwscored AS (
+        SELECT t.query_id, p.doc_id,
+               CAST(floor(($TermScoreSql) * 1e12) AS BIGINT) AS sq
+        FROM post p
+        JOIN dfreq USING (term) JOIN terms t USING (term) CROSS JOIN stats),
+      kwranked AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sum(sq) DESC, doc_id) AS BIGINT)
+                 AS kw_rank
+        FROM kwscored GROUP BY query_id, doc_id),
+      kw AS (SELECT * FROM kwranked WHERE kw_rank <= $RrfPoolK),
+      qv AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      vd AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS vscore
+        FROM embeddings e$vecJoin, qv q
+        WHERE e.vec_id <> q.query_id),
+      vranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY vscore DESC, doc_id) AS BIGINT)
+                 AS vec_rank
+        FROM vd),
+      vec AS (SELECT * FROM vranked WHERE vec_rank <= $RrfPoolK),
+      fusedin AS (
+        SELECT coalesce(k.query_id, v.query_id) AS query_id,
+               coalesce(k.doc_id, v.doc_id) AS doc_id,
+               k.kw_rank, v.vec_rank
+        FROM kw k FULL OUTER JOIN vec v
+          ON k.query_id = v.query_id AND k.doc_id = v.doc_id),
+      fused AS (
+        SELECT query_id, doc_id, kw_rank, vec_rank,
+               ($RrfScoreSql) AS rrf
+        FROM fusedin),
+      final AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS BIGINT)
+                 AS rank,
+               doc_id, rrf,
+               CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf, kw_rank, vec_rank
+      FROM final WHERE rank <= $TopK
+      ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
     // the trigram prefilter is recall-lossless pruning (padded
@@ -390,73 +521,22 @@ object Search extends QueryGroup {
     // string), vector pool via the sim_topk float-mirror, fusion via
     // the shared RRF formula string — rank arithmetic on top of two
     // already-bit-exact rankings.
-    "search_hybrid_rrf" -> s"""
-      WITH dd AS (
-        SELECT doc_id,
-               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
-               string_split(coalesce(text, ''), ' ') AS w
-        FROM documents),
-      stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
-      post AS (
-        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
-        WHERE term IN ($TermInList)
-        GROUP BY 1, 2, 3),
-      dfreq AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
-      terms(query_id, term) AS (VALUES $TermsValues),
-      kwscored AS (
-        SELECT t.query_id, p.doc_id,
-               CAST(floor(($TermScoreSql) * 1e12) AS BIGINT) AS sq
-        FROM post p
-        JOIN dfreq USING (term) JOIN terms t USING (term) CROSS JOIN stats),
-      kwranked AS (
-        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY sum(sq) DESC, doc_id) AS BIGINT)
-                 AS kw_rank
-        FROM kwscored GROUP BY query_id, doc_id),
-      kw AS (SELECT * FROM kwranked WHERE kw_rank <= $RrfPoolK),
-      qv AS (
-        SELECT vec_id AS query_id, embedding AS qvec
-        FROM embeddings WHERE vec_id IN (1, 2, 3)),
-      vd AS (
-        SELECT q.query_id, e.vec_id AS doc_id,
-          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS vscore
-        FROM embeddings e, qv q
-        WHERE e.vec_id <> q.query_id),
-      vranked AS (
-        SELECT query_id, doc_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY vscore DESC, doc_id) AS BIGINT)
-                 AS vec_rank
-        FROM vd),
-      vec AS (SELECT * FROM vranked WHERE vec_rank <= $RrfPoolK),
-      fusedin AS (
-        SELECT coalesce(k.query_id, v.query_id) AS query_id,
-               coalesce(k.doc_id, v.doc_id) AS doc_id,
-               k.kw_rank, v.vec_rank
-        FROM kw k FULL OUTER JOIN vec v
-          ON k.query_id = v.query_id AND k.doc_id = v.doc_id),
-      fused AS (
-        SELECT query_id, doc_id, kw_rank, vec_rank,
-               ($RrfScoreSql) AS rrf
-        FROM fusedin),
-      final AS (
-        SELECT query_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY rrf DESC, doc_id) AS BIGINT)
-                 AS rank,
-               doc_id, rrf,
-               CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
-               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
-        FROM fused)
-      SELECT query_id, rank, doc_id, rrf, kw_rank, vec_rank
-      FROM final WHERE rank <= $TopK
-      ORDER BY query_id, rank""",
+    "search_hybrid_rrf" -> hybridOracleSql("SELECT doc_id, text FROM documents", ""),
+    // the same hybrid chain over the gated+deduped base (shared gate /
+    // dedup mirrors from TextOps), vector arm id-joined to the base
+    "pipeline_rag" -> hybridOracleSql(
+      s"""SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+          ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id) AS rn
+        FROM (
+          SELECT doc_id, text, ct
+          FROM (SELECT doc_id, lang, text, ct, string_split(ct, ' ') AS cw
+                FROM (SELECT doc_id, lang, text, ${TextOps.sqlClean("text")} AS ct
+                      FROM documents))
+          WHERE lang IN ('en', 'de', 'fr') AND len(cw) >= 20
+            AND ${TextOps.sqlQuality("cw")} >= 0.4))
+      WHERE rn = 1""",
+      " JOIN (SELECT doc_id FROM base) vb ON e.vec_id = vb.doc_id"),
     "search_match_all" -> s"""
       WITH dd AS (
         SELECT doc_id,

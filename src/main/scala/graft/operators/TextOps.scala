@@ -26,9 +26,9 @@ object TextOps extends QueryGroup {
 
   /** Normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace, trim. */
-  private def cleanCol(text: Column): Column =
+  private[operators] def cleanCol(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
-  private def sqlClean(x: String): String =
+  private[operators] def sqlClean(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** Stop-word count of a token array. */
@@ -39,10 +39,10 @@ object TextOps extends QueryGroup {
 
   /** Composite keep-score over a token array:
     * saturating length factor × (1 − stop-word ratio). */
-  private def qualityCol(w: Column): Column =
+  private[operators] def qualityCol(w: Column): Column =
     least(lit(1.0), size(w).cast("double") / 100.0) *
       (lit(1.0) - stopCountCol(w).cast("double") / size(w))
-  private def sqlQuality(w: String): String =
+  private[operators] def sqlQuality(w: String): String =
     s"least(1.0, CAST(len($w) AS DOUBLE) / 100.0) * " +
       s"(1.0 - CAST(${sqlStopCount(w)} AS DOUBLE) / len($w))"
 

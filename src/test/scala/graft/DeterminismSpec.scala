@@ -234,7 +234,10 @@ class DeterminismSpec extends SparkSpec {
     // join, the adaptive branch pick, the report aggregates, and the
     // pair-domain t-test must not depend on partition layout
     "text_contamination_bloom", "scan_sai_ann_adaptive",
-    "pack_efficiency", "stats_ttest", "stats_anova", "stats_chi2")
+    "pack_efficiency", "stats_ttest", "stats_anova", "stats_chi2",
+    // the composed curation->retrieval capstone: gates + dedup window +
+    // postings + fusion must hold on any layout
+    "pipeline_rag")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
