@@ -26,8 +26,13 @@ object TextOps extends QueryGroup {
 
   /** Normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace, trim. */
+  /** One fused native pass ([[graft.plans.CleanTextExpr]]) replacing
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))`
+    * — three regex-engine scans become one character walk, output
+    * bit-identical (the SQL mirror below still states the regex form
+    * and the whole oracle suite stays hash-exact). */
   private[operators] def cleanCol(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    graft.plans.CleanTextExpr.clean(text)
   private[operators] def sqlClean(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower($x), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
