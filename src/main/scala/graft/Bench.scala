@@ -90,17 +90,23 @@ object Bench {
       "compact_generations", "scan_snapshot", "batch_apply",
       "sink_shards", "text_quality_model", "pipeline_pretrain")
       .filter(SparkEntry.queries.contains)
-    def prewarm(dir: String): Double = {
-      if (sys.env.get("SPARK_GRAFT_PREWARM").contains("off")) return 0.0
+    // Returns (wall seconds, failure count): a broken one-time layout
+    // build must be visible in the JSON receipt, not just stderr —
+    // every dependent timed query would otherwise carry the failure
+    // accounting alone (ADVICE r11).
+    def prewarm(dir: String): (Double, Int) = {
+      if (sys.env.get("SPARK_GRAFT_PREWARM").contains("off")) return (0.0, 0)
       val t0 = System.nanoTime()
+      var nFailed = 0
       prewarmNames.foreach { n =>
         try { SparkEntry.queries(n)(spark, dir); () }
         catch { case e: Throwable =>
+          nFailed += 1
           System.err.println(s"[bench] prewarm $n failed: ${e.getMessage}") }
         finally spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, nFailed)
     }
     def runSuite(dir: String): Map[String, (Double, Long)] =
       selected.map { case (name, fn) =>
@@ -116,8 +122,53 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         name -> (dt, n)
       }
-    val prewarmSec = if (args.isEmpty) prewarm(sfDir) else 0.0
-    val results = runSuite(sfDir)
+    val (prewarmSec, prewarmFailed) =
+      if (args.isEmpty) prewarm(sfDir) else (0.0, 0)
+    val results0 = runSuite(sfDir)
+    // Environmental-stall re-time (VERDICT r11 next #7): a single
+    // transient GC/concurrent-load stall (q5_supplier recorded 112 s
+    // for a 1.9 s plan in the r11 driver bench) must not dominate the
+    // recorded total. Any line > 10× its same-config snapshot time AND
+    // > 5 s absolute is re-run once; the re-timed value goes into the
+    // per-query map and the original is reported alongside under
+    // "stalled" so the anomaly stays visible. Snapshot = a previous
+    // full-output bench JSON for the SAME sf dir (committed per round
+    // as target/bench_snapshot.json; SPARK_GRAFT_BENCH_SNAPSHOT
+    // overrides, missing file = pass-through).
+    def snapshotTimes(dir: String): Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_SNAPSHOT",
+        "target/bench_snapshot.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        if (!txt.contains("\"sf\":\"" + dir + "\"")) return Map.empty
+        val q = txt.indexOf("\"queries\":{")
+        if (q < 0) return Map.empty
+        val body = txt.substring(q + 11, txt.indexOf('}', q))
+        body.split(',').iterator.flatMap { kv =>
+          kv.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    val snap = if (args.isEmpty) snapshotTimes(sfDir) else Map.empty[String, Double]
+    val stalled: Map[String, Double] = results0.collect {
+      case (name, (t, n)) if n >= 0 && t > 5.0 &&
+        snap.get(name).exists(s => s > 0 && t > 10 * s) => name -> t
+    }
+    val results = results0 ++ stalled.keys.map { name =>
+      System.err.println(s"[bench] re-timing stalled line $name " +
+        s"(${results0(name)._1} s vs snapshot ${snap(name)} s)")
+      val t0 = System.nanoTime()
+      val n = try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
+        catch { case _: Throwable => -1L }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> (((System.nanoTime() - t0) / 1e9, n))
+    }
     // Second total at the ×10 fixture (VERDICT r4 #7 / r6 #5): the 2×
     // budget at sf0.1 no longer discriminates — the scale-up ratio is
     // the number that does. Gated on the dir existing (ScaleGen writes
@@ -157,16 +208,32 @@ object Bench {
     val failed = results.values.count(_._2 < 0)
     def f3(x: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val x10Part = x10Results.map { case (pw, r) =>
+    val x10Part = x10Results.map { case ((pw, pwF), r) =>
       val t = f3(r.values.map(_._1).sum)
       val x10Failed = r.values.count(_._2 < 0)
-      s""","x10_total_sec":$t,"x10_failed":$x10Failed,"x10_prewarm_sec":${f3(pw)},"x10_dir":"$x10Dir""""
+      s""","x10_total_sec":$t,"x10_failed":$x10Failed,"x10_prewarm_sec":${f3(pw)},"x10_prewarm_failed":$pwF,"x10_dir":"$x10Dir""""
     }.getOrElse("")
-    val pwPart = s""","prewarm_sec":${f3(prewarmSec)}"""
+    val pwPart =
+      s""","prewarm_sec":${f3(prewarmSec)},"prewarm_failed":$prewarmFailed"""
+    // Stalled lines: original (pre-re-time) seconds, so the anomaly is
+    // in the ledger even though the map carries the re-timed value.
+    val stalledPart =
+      if (stalled.isEmpty) ""
+      else stalled.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+        .mkString(""","stalled":{""", ",", "}")
+    // Stable-core subtotal (VERDICT r11 next #8): the subtotal over
+    // queries present in BOTH this run and the snapshot separates gate
+    // drift caused by new-operator mix from real regressions on the
+    // stable core.
+    val overlapPart = {
+      val ov = results.filter { case (k, _) => snap.contains(k) }
+      if (ov.isEmpty) ""
+      else s""","overlap_total_sec":${f3(ov.values.map(_._1).sum)},"overlap_n":${ov.size},"overlap_snapshot_sec":${f3(ov.keys.map(snap).sum)}"""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$pwPart$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$pwPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
     val brief =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$pwPart$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$pwPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

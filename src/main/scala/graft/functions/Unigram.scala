@@ -118,7 +118,17 @@ object Unigram {
         // prune the lowest-scoring quartile of multi-char pieces
         val keepN = math.min(multi.length - 1,
           math.max(targetVocab - chars.length, (multi.length * 3) / 4))
-        if (keepN <= 0) done = true // degenerate: alphabet alone over target
+        if (keepN <= 0) {
+          // degenerate: the single-character alphabet alone meets or
+          // exceeds the target. The ≤ targetVocab bound stated at call
+          // sites must still hold as tightly as coverage allows, so
+          // every multi-char piece is dropped (chars are the coverage
+          // floor — Viterbi still segments any input) instead of
+          // exiting with the target exceeded (ADVICE r11).
+          vocabSet = chars.toSet
+          scores = scores.filter { case (p, _) => vocabSet(p) }
+          done = true
+        }
         else {
           val kept = multi
             .sortBy(p => (-scores(p), p))

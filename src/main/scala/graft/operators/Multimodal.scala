@@ -229,7 +229,17 @@ object Multimodal extends QueryGroup {
   /** DuckDB mirror of the resize→ahash64→banded-pairs chain over a
     * CTE named `feed` (doc_id, text) — per-bit integer restatement,
     * brute-force pairs, Hamming ≤ 6. Shared by the standalone oracle
-    * and the capstone's. */
+    * and the capstone's.
+    *
+    * BMP-ONLY assumption (ADVICE r11): this mirror samples pixels with
+    * unicode()/len() — CODEPOINT indexing — while MediaCodec.resize
+    * indexes with String.charAt/length — UTF-16 CODE UNITS. The two
+    * agree exactly on BMP text (every fixture payload) and diverge on
+    * astral characters (emoji, rare CJK), where one codepoint occupies
+    * two code units. A future fixture with astral payload must either
+    * iterate codepoints in resize or expect a (correct) oracle
+    * mismatch here — the divergence is in the mirror's restatement,
+    * not the engine. */
   private[operators] val sqlPhashCtes: String = """
       px AS (
         SELECT doc_id, t.i,

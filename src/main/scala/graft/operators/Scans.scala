@@ -829,9 +829,14 @@ object Scans extends QueryGroup {
   private[graft] def saiFlushProbe(s: SparkSession, root: String,
       user: Long, extraGens: Seq[Long] = Nil): DataFrame = {
     val baseIdx = s.read.parquet(s"$root/idx_user")
+    // extra postings restricted to the LISTED generations — the
+    // signature promises per-generation selection, so a caller passing
+    // a subset of the flushed generations must not read postings of
+    // generations it did not request (ADVICE r11).
     val idx =
       if (extraGens.isEmpty) baseIdx
-      else baseIdx.unionByName(s.read.parquet(s"$root/idx_user_extra"))
+      else baseIdx.unionByName(s.read.parquet(s"$root/idx_user_extra")
+        .filter(col("_gen").isin(extraGens: _*)))
     val (cand, gens) = saiCandGens(
       idx.filter(col("user_id") === user).select("_gen", "event_id"))
     if (gens.isEmpty)

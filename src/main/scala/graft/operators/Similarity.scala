@@ -131,10 +131,19 @@ object Similarity extends QueryGroup {
       .filter(col("r") <= c).drop("r")
     val wEx = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
+    // θ = the kth exact phase-1 score. A query whose phase-1 pool is
+    // under-filled (< k candidates) gets a sentinel below any possible
+    // dot so ALL its candidates survive to the exact rescore — the
+    // same under-fill treatment as saiAnnSearch's θ; filter(r === k)
+    // alone would emit no θ row and the join would silently drop the
+    // query. Window-only (no aggregate) so the broadcast below stays
+    // inside the bounded-relation class the PlanSpec guard allows.
     val thr = rescore(short)
       .withColumn("r", row_number().over(wEx))
-      .filter(col("r") === k)
-      .select(col("query_id"), col("score").as("thr"))
+      .withColumn("nq", count(lit(1)).over(Window.partitionBy("query_id")))
+      .filter(col("r") === lit(k) || (col("nq") < k && col("r") === col("nq")))
+      .select(col("query_id"),
+        when(col("nq") < k, lit(-2.0)).otherwise(col("score")).as("thr"))
     val survivors = cand.join(broadcast(thr), Seq("query_id"))
       .filter(col("ub") >= col("thr"))
     rescore(survivors)
