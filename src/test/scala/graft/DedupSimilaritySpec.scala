@@ -784,4 +784,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mutantVerdicts.size == 20 && mutantVerdicts.forall(!_._2),
       s"a planted re-encode survived: ${mutantVerdicts.filter(_._2)}")
   }
+
+  test("hybrid vector arm: index pool equals the brute-force pool it retired, every mode") {
+    import graft.operators.Search
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "vec_rank").collect().map(_.toString).toSeq
+    // unrestricted — the search_hybrid_rrf mode
+    val (post, postPlan) = Search.annVecPool(spark, sf001, None)
+    assert(postPlan.mode == "post" && postPlan.totalLeaves > 0)
+    assert(rows(post) == rows(Search.bruteVecPool(spark, sf001, None)),
+      "unrestricted index pool diverges from brute force")
+    // corpus-restricted through the PROBE (the pipeline_rag shape):
+    // every third vector, too many to fetch by address
+    val restr = graft.core.Tables.embeddings(spark, sf001)
+      .filter(pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("vec_id").as("doc_id"))
+    val (rPost, rPlan) = Search.annVecPool(spark, sf001, Some(restr),
+      fetchThreshold = 8)
+    assert(rPlan.mode == "post" && rPlan.nRestrict > 8)
+    assert(rows(rPost) == rows(Search.bruteVecPool(spark, sf001, Some(restr))),
+      "restricted probe pool diverges from brute force")
+    // gated pre-fetch: a 5-id restriction collects, opens only its
+    // candidate leaves, and is UNDER-FILLED (< RrfPoolK) — totality of
+    // the fetch keeps it exact anyway
+    val tinyIds = Seq(10L, 20L, 30L, 40L, 50L)
+    val tiny = graft.core.Tables.embeddings(spark, sf001)
+      .filter(col("vec_id").isin(tinyIds: _*))
+      .select(col("vec_id").as("doc_id"))
+    val (pre, prePlan) = Search.annVecPool(spark, sf001, Some(tiny))
+    assert(prePlan.mode == "pre" && prePlan.nRestrict == 5 &&
+      prePlan.opened.nonEmpty && prePlan.opened.size <= 5,
+      s"pre branch mis-planned: $prePlan")
+    assert(rows(pre) == rows(Search.bruteVecPool(spark, sf001, Some(tiny))),
+      "pre-fetch pool diverges from brute force")
+    // the SAME under-filled restriction forced through the probe: the
+    // θ sentinel must open every leaf rather than silently truncate
+    val (uf, ufPlan) = Search.annVecPool(spark, sf001, Some(tiny),
+      fetchThreshold = 0)
+    assert(ufPlan.mode == "post")
+    assert(rows(uf) == rows(pre),
+      "under-filled probe diverges from the exact pre-fetch answer")
+  }
 }
