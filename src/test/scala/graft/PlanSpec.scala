@@ -759,6 +759,44 @@ class PlanSpec extends SparkSpec {
     assert(!wp.contains("Join"), s"win_pattern grew a join: unexpected")
   }
 
+  test("win_range_time: no corpus-sized shuffle keyed on event_type alone (two-phase day buckets)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = SparkEntry.queries("win_range_time")(spark, sf001)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => Nil
+      }
+      (p +: inner) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    val shuffles = walk(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, "expected shuffles in the two-phase plan")
+    val typeOnly = shuffles.filter(_.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.length == 1 &&
+          h.expressions.flatMap(_.references.map(_.name)) == Seq("event_type")
+      case _ => false
+    })
+    // the single-task-sort shape this pin retires (VERDICT r11 weak
+    // #2) shuffled the whole per-µs timeline on event_type; in the
+    // two-phase plan the only event_type-keyed exchanges feed the
+    // types × days relations (day cumulative, carry-in, probe-day
+    // carry) — kilobytes at ANY corpus size
+    assert(typeOnly.nonEmpty,
+      "expected the tiny day-level event_type exchanges to remain")
+    typeOnly.foreach { s =>
+      val bytes = s.metrics("dataSize").value
+      assert(bytes < (1L << 20),
+        s"corpus-sized shuffle keyed on event_type alone ($bytes bytes) — the single-task sort is back")
+    }
+  }
+
   test("hybrid vector arm reads index leaves, not the corpus; bound prunes on a clustered corpus") {
     import org.apache.spark.sql.functions._
     // the scan_sai_ann clustered-corpus construction: 4000 unit
