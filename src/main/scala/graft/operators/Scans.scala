@@ -1046,6 +1046,62 @@ object Scans extends QueryGroup {
   def scanSaiAnn(s: SparkSession, dir: String): DataFrame =
     saiAnnSearch(s, dir)._1
 
+  /** SAI ANN × driver paging — the CQL fetch-size contract over a
+    * vector read (VERDICT r11 missing #5): `SELECT … WHERE label = ?
+    * ORDER BY embedding ANN OF ? LIMIT 12` consumed through a
+    * fetch-size-4 cursor. The probe runs ONCE ([[saiAnnSearch]] at
+    * k = LIMIT, checkpointed): the server computes the full ANN
+    * result and the paging state only WALKS it — re-probing per page
+    * would re-open index leaves and could tear the result if a flush
+    * landed between pages. Each subsequent page applies the KEYSET
+    * predicate from the previous page's last row per query — strictly
+    * after (score, vec_id) in cursor order, the scan_paging
+    * discipline, never OFFSET; rounded scores CAN tie, so the
+    * composite comparison is load-bearing. The paging state is
+    * driver-held by definition (queries × one (score, id) pair — the
+    * same bounded class as the probe's θ map). A query whose page
+    * comes back short simply leaves the cursor exhausted: it drops
+    * out of the state and yields no further pages, the CQL contract.
+    * PlanSpec pins no-recompute-across-pages: the composed result
+    * reads NO parquet (every page is a filter over the one
+    * checkpointed probe) and the page union re-assembles the k = 12
+    * probe exactly. */
+  def scanSaiAnnPaged(s: SparkSession, dir: String): DataFrame = {
+    val fetch = 4; val k = 12
+    val full = saiAnnSearch(s, dir, k = k)._1
+      .select("query_id", "vec_id", "label", "score")
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    var state: Map[Long, (Double, Long)] = Map.empty
+    val pages = (0 until k / fetch).map { p =>
+      val afterState =
+        if (p == 0) full
+        else if (state.isEmpty) full.filter(lit(false))
+        else {
+          val sdf = s.createDataFrame(
+              state.toSeq.map { case (q, (sc, v)) => (q, sc, v) })
+            .toDF("query_id", "s_last", "v_last")
+          full.join(broadcast(sdf), Seq("query_id"))
+            .filter(col("score") < col("s_last") ||
+              (col("score") === col("s_last") && col("vec_id") > col("v_last")))
+            .drop("s_last", "v_last")
+        }
+      val page = afterState
+        .withColumn("page_rk", row_number().over(w).cast("long"))
+        .filter(col("page_rk") <= fetch)
+        .withColumn("page", lit(p.toLong))
+        .localCheckpoint()
+      state = page.filter(col("page_rk") === fetch)
+        .select("query_id", "score", "vec_id").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      page
+    }
+    pages.reduce(_ unionByName _)
+      .select("query_id", "page", "page_rk", "vec_id", "label", "score")
+      .orderBy("query_id", "page", "page_rk")
+  }
+
   private[graft] case class SaiAnnAdaptiveChoice(
       mode: String, nCand: Long, leaves: Seq[(Long, Int)])
 
@@ -1327,6 +1383,7 @@ object Scans extends QueryGroup {
     "scan_sai_or" -> (scanSaiOr _),
     "scan_sai_contains" -> (scanSaiContains _),
     "scan_sai_ann" -> (scanSaiAnn _),
+    "scan_sai_ann_paged" -> (scanSaiAnnPaged _),
     "scan_sai_ann_adaptive" -> (scanSaiAnnAdaptive _),
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
@@ -1492,6 +1549,28 @@ object Scans extends QueryGroup {
         FROM d)
       SELECT query_id, vec_id, label, score, rk FROM r
       WHERE rk <= 8 ORDER BY query_id, rk""",
+    // the paged read is the same exact top-k in pages of 4: the keyset
+    // walk over the once-computed probe is positionally identical to
+    // slicing the brute-force ranking (ties break on vec_id in both)
+    "scan_sai_ann_paged" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label = 2),
+      r AS (
+        SELECT query_id, vec_id, label, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, CAST((rk - 1) // 4 AS BIGINT) AS page,
+             CAST((rk - 1) % 4 + 1 AS BIGINT) AS page_rk,
+             vec_id, label, score
+      FROM r WHERE rk <= 12 ORDER BY query_id, page, page_rk""",
     // both branches are exact, so the oracle is brute-force filtered
     // top-k per probe — which branch ran is invisible in the output
     "scan_sai_ann_adaptive" -> """

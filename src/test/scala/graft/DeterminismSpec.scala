@@ -237,7 +237,10 @@ class DeterminismSpec extends SparkSpec {
     "pack_efficiency", "stats_ttest", "stats_anova", "stats_chi2",
     // the composed curation->retrieval capstone: gates + dedup window +
     // postings + fusion must hold on any layout
-    "pipeline_rag")
+    "pipeline_rag",
+    // round-12: the paged ANN cursor (driver-held keyset state per
+    // page must not depend on layout)
+    "scan_sai_ann_paged")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -797,6 +797,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("scan_sai_ann_paged: pages never recompute the probe, and reassemble it exactly") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("scan_sai_ann_paged")(spark, sf001)
+    // no-recompute pin: the one probe ran (checkpointed) at
+    // construction; the composed page walk reads NO parquet at all
+    assert(df.inputFiles.isEmpty,
+      s"page walk re-opened files: ${df.inputFiles.take(3).mkString(", ")}")
+    val rows = df.collect()
+    assert(rows.length > 0 && rows.length <= 60)
+    // page union ≡ the k=12 probe with positions page*4 + page_rk
+    val probe = graft.operators.Scans.saiAnnSearch(spark, sf001, k = 12)._1
+      .select(col("query_id"),
+        (floor((col("rk") - 1) / 4)).cast("long").as("page"),
+        (((col("rk") - 1) % 4) + 1).cast("long").as("page_rk"),
+        col("vec_id"), col("label"), col("score"))
+      .orderBy("query_id", "page", "page_rk")
+      .collect()
+    assert(rows.map(_.toString).toSeq == probe.map(_.toString).toSeq,
+      "paged walk diverges from the sliced probe")
+  }
+
   test("hybrid vector arm reads index leaves, not the corpus; bound prunes on a clustered corpus") {
     import org.apache.spark.sql.functions._
     // the scan_sai_ann clustered-corpus construction: 4000 unit
