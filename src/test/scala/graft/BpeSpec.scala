@@ -238,4 +238,64 @@ class BpeSpec extends SparkSpec {
       .filter(_._1 % 5 == 0).toMap
     assert(rows == liveCounts, "frozen-encode piece counts diverged from live")
   }
+
+  test("wordpiece: round-trip, greedy longest match, [UNK] rule, bounded deterministic vocab") {
+    import graft.functions.WordPiece
+    import graft.operators.TextOps
+    val vocab = TextOps.wordpieceVocab(spark, sf001)
+    assert(vocab.size <= 96, s"vocab ${vocab.size} > 96")
+    // every piece is well-formed: the bare/## split is structural
+    assert(vocab.forall(p => p.nonEmpty && (p == WordPiece.Unk || !p.startsWith("###"))))
+    val words = graft.core.Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+    for (w <- words) {
+      val enc = WordPiece.encode(w, vocab)
+      if (enc == Vector(WordPiece.Unk)) ()
+      else {
+        // round-trip: pieces concat (## stripped) back to the word
+        assert(enc.map(_.stripPrefix("##")).mkString == w,
+          s"lossy encode of '$w': $enc")
+        // greedy longest-match: at each boundary no LONGER vocab piece
+        // matched (the BERT inference rule, not just any segmentation)
+        var pos = 0
+        for (p <- enc) {
+          val plen = p.stripPrefix("##").length
+          for (longer <- plen + 1 to w.length - pos) {
+            val sub = w.substring(pos, pos + longer)
+            val cand = if (pos == 0) sub else s"##$sub"
+            assert(!vocab.contains(cand),
+              s"'$w' at $pos took '$p' but longer '$cand' is in vocab")
+          }
+          pos += plen
+        }
+      }
+    }
+    // the [UNK] rule: an out-of-alphabet char kills the WHOLE word
+    assert(WordPiece.encode("§bogus§", vocab) == Vector(WordPiece.Unk))
+    // a word that IS a piece encodes to exactly itself
+    val whole = vocab.find(p => !p.startsWith("##") && p.length > 2 && p != WordPiece.Unk)
+    whole.foreach(p => assert(WordPiece.encode(p, vocab) == Vector(p)))
+    // train determinism on the same bounded table
+    val wf = graft.core.Tables.documents(spark, sf001)
+      .select(explode(graft.functions.Text.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("word").asc).limit(4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(WordPiece.train(wf, 96) == vocab, "retrain diverged")
+  }
+
+  test("wordpiece frozen artifact: encode-only equals live on the held-out slice") {
+    import graft.operators.TextOps
+    val live = TextOps.wordpieceVocab(spark, sf001)
+    val frozen = spark.read.parquet(TextOps.wordpieceVocabPath(spark, sf001))
+      .collect().map(_.getString(0)).toSet
+    assert(frozen == live, "persisted vocab diverged from the live train")
+    val rows = SparkEntry.queries("tokenize_wordpiece_frozen")(spark, sf001)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val liveCounts = SparkEntry.queries("tokenize_wordpiece")(spark, sf001)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3))))
+      .filter(_._1 % 5 == 0).toMap
+    assert(rows == liveCounts, "frozen-encode counts diverged from live")
+  }
 }

@@ -239,8 +239,10 @@ class DeterminismSpec extends SparkSpec {
     // postings + fusion must hold on any layout
     "pipeline_rag",
     // round-12: the paged ANN cursor (driver-held keyset state per
-    // page must not depend on layout)
-    "scan_sai_ann_paged")
+    // page must not depend on layout); driver-trained likelihood vocab
+    // + row-local greedy longest-match — the tokenize_bpe discipline
+    // for the WordPiece family
+    "scan_sai_ann_paged", "tokenize_wordpiece")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
