@@ -1255,6 +1255,23 @@ object TextOps extends QueryGroup {
     * source text is. */
   private val ChunkWindow = 64
   private val ChunkStride = 48
+
+  /** The chunk CORPUS — (doc_id, chunk_id, chunk_text) retrieval
+    * units over the same windows [[chunkDocuments]] digests
+    * (KernelSpec pins md5(chunk_text) == chunk_md5 per unit, so the
+    * retrieval face and the digest face cannot drift). Shared with
+    * [[Search.searchHybridChunks]]. */
+  private[graft] def chunkCorpus(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("start",
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        array_join(slice(col("w"), col("start") + 1, lit(ChunkWindow)), " ")
+          .as("chunk_text"))
+
   def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))

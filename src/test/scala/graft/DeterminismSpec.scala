@@ -242,7 +242,10 @@ class DeterminismSpec extends SparkSpec {
     // page must not depend on layout); driver-trained likelihood vocab
     // + row-local greedy longest-match — the tokenize_bpe discipline
     // for the WordPiece family
-    "scan_sai_ann_paged", "tokenize_wordpiece")
+    "scan_sai_ann_paged", "tokenize_wordpiece",
+    // chunk pool + max-passage dedup + dense re-rank + fusion over the
+    // index-backed vector arm — every window must hold on any layout
+    "search_hybrid_chunks")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -980,4 +980,20 @@ class KernelSpec extends SparkSpec {
     assert(confirmed == exact,
       "confirmed report diverges from the exact contamination set")
   }
+
+  test("chunkCorpus windows are exactly the windows chunk_documents digests") {
+    import org.apache.spark.sql.functions._
+    // no-drift pin between the retrieval corpus (search_hybrid_chunks)
+    // and the digest face: md5(chunk_text) must equal chunk_md5 on
+    // every (doc_id, chunk_id), and the unit sets must be identical
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val corpus = graft.operators.TextOps.chunkCorpus(docs)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val digests = SparkEntry.queries("chunk_documents")(spark, sf001)
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(corpus == digests,
+      s"chunk corpus drifted from chunk_documents: ${(corpus.keySet diff digests.keySet).take(3)} / ${(digests.keySet diff corpus.keySet).take(3)}")
+  }
 }
