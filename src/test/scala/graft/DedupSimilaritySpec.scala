@@ -785,6 +785,110 @@ class DedupSimilaritySpec extends SparkSpec {
       s"a planted re-encode survived: ${mutantVerdicts.filter(_._2)}")
   }
 
+  test("sim_topk_graph: beam recall vs brute force, and >= the IVF probe at a smaller scored budget") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // a corpus with MANIFOLD structure — loose clusters so neighbors
+    // form a continuum (real embedding geometry), and BOUNDARY
+    // queries interpolated between two cluster directions: the case
+    // where a Voronoi cell boundary splits a query's true neighbor
+    // set and cell-probing must open extra cells, while graph
+    // navigation just walks the manifold (on uniform random vectors
+    // NO sublinear index navigates — both arms degrade to
+    // budget/corpus recall)
+    val dim = 64
+    val rnd = new scala.util.Random(23)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cdirs = Array.fill(16)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val vrows = (0 until 4000).map { i =>
+      // noise is PER-DIM: s per dim ⇒ ‖noise‖ ≈ s·√64 = 8s, so 0.1
+      // gives in-cluster cosine ≈ 0.6 — a continuum, not point masses
+      val v =
+        if (i < 5) // boundary query: between clusters i and i+1
+          normalize(cdirs(i).zip(cdirs(i + 1)).map { case (a, b) =>
+            0.5 * a + 0.5 * b + 0.05 * rnd.nextGaussian() })
+        else
+          normalize(cdirs(i % 16).map(_ + 0.1 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq, (i >> 4) % 10)
+    }
+    val fixDir = graft.core.RunId.scratch("graphfix")
+    spark.createDataFrame(vrows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$fixDir/embeddings.parquet")
+    val k = 8
+    val (outDf, visitedDf) = Similarity.graphAnnSearch(spark, fixDir,
+      k = k, beam = 2, rounds = 12)
+    val got = outDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val graphBudget = visitedDf.groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force truth on the same 5 probes
+    val emb = graft.core.Tables.embeddings(spark, fixDir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val truth = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (qq, a) => qq -> a.map(_._2).toSet }
+    val hitsG = truth.keys.toSeq.map(qq =>
+      (truth(qq) & got.getOrElse(qq, Set.empty)).size).sum
+    val recallG = hitsG.toDouble / (truth.size * k)
+    // the EQUAL-BUDGET IVF arm: nprobe = 1 — the query's own Voronoi
+    // cell (~250 candidates) against the graph walk's ~150 scored —
+    // the fair fight; boundary queries' neighbor sets straddle the
+    // cell boundary, which is exactly what cell probing cannot see
+    // without paying more cells
+    val (centPath, assignPath) = Similarity.ivfIndexPaths(spark, fixDir)
+    val assigned = spark.read.parquet(assignPath)
+    val cents = spark.read.parquet(centPath)
+    val qc = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        graft.functions.Vectors.fdot(col("qvec"), col("cent")))
+      .withColumn("cell_rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cent_sim").desc, col("cent_cell").asc)))
+      .filter(col("cell_rk") <= 1)
+      .select(col("query_id"), col("qvec"), col("cent_cell").as("cell"))
+    val ivf1 = assigned.join(broadcast(qc), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (qq, a) => qq -> a.map(_._2).toSet }
+    val hitsI = truth.keys.toSeq.map(qq =>
+      (truth(qq) & ivf1.getOrElse(qq, Set.empty)).size).sum
+    val recallI = hitsI.toDouble / (truth.size * k)
+    val cellSizes = assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ivfBudget = qc.select("query_id", "cell").collect()
+      .map(r => r.getLong(0) -> cellSizes(r.getInt(1))).toMap
+    info(s"graph recall@$k = $recallG (budgets $graphBudget), " +
+      s"ivf nprobe=1 recall@$k = $recallI (budgets $ivfBudget)")
+    assert(recallG >= 0.8, s"graph recall $recallG below 0.8")
+    assert(recallG > recallI,
+      s"graph recall $recallG did not beat equal-budget IVF $recallI")
+    // budget comparison over the query BATCH (per-query cell sizes
+    // vary by Voronoi luck; the walk's spend is uniform)
+    val gTotal = graphBudget.values.sum
+    val iTotal = ivfBudget.values.sum
+    assert(gTotal <= iTotal,
+      s"graph scored $gTotal candidates vs IVF's $iTotal — budget larger")
+  }
+
   test("hybrid vector arm: index pool equals the brute-force pool it retired, every mode") {
     import graft.operators.Search
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
