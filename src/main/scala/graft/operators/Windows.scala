@@ -192,11 +192,14 @@ object Windows extends QueryGroup {
     val data = cum.select(col("event_type"), col("day").as("bday"),
       col("us").as("k"), lit(1).as("kind"), col("us").as("orig_us"),
       col("s_cum").as("d_s"), col("c_cum").as("d_c"))
-    val probes = cum.select(col("event_type"),
+    // probes carry no cumulative values — derive them from perUs, not
+    // cum, so the intra-day window chain is computed for the data arm
+    // and the trail join only (one fewer full recompute per run)
+    val probes = perUs.select(col("event_type"),
       floor((col("us") - X) / X).as("bday"), (col("us") - X).as("k"),
       lit(0).as("kind"), col("us").as("orig_us"),
-      when(lit(false), col("s_cum")).as("d_s"),
-      when(lit(false), col("c_cum")).as("d_c"))
+      lit(null).cast(cum.schema("s_cum").dataType).as("d_s"),
+      lit(null).cast(cum.schema("c_cum").dataType).as("d_c"))
     val wAsof = Window.partitionBy("event_type", "bday")
       .orderBy(col("k"), col("kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
