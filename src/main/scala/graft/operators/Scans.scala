@@ -888,40 +888,64 @@ object Scans extends QueryGroup {
     * At 100 TB: more cells (4096), same bounded planning relations;
     * the unselective-θ fallback degrades to scanning only the
     * label-matching generations, never the corpus. */
+  /** The IVF-layout builder over an arbitrary vector source — shared
+    * by the full-corpus layout ([[saiAnnPath]]) and the flushed-only
+    * layout ([[saiAnnMemPath]]); one definition, so the memtable face
+    * probes artifacts byte-compatible with scan_sai_ann's. */
+  private def buildAnnLayout(s: SparkSession, root: String,
+      src: DataFrame): Unit = {
+    val cents = Similarity.trainCentroids(src)
+    val cnorm2 = cents.map(c => c.map(x => x.toDouble * x).sum)
+    val a = Similarity.cellArgmax(cents)
+    val base = src
+      .withColumn("_gen", pmod(xxhash64(col("vec_id")), lit(SaiGens)))
+      .withColumn("cell", (-a.getField("negcell")).as("cell"))
+      .withColumn("csim", a.getField("sim"))
+    base.select(col("vec_id"), col("label"), col("embedding"),
+        col("_gen"), col("cell"))
+      .write.mode("overwrite").partitionBy("_gen", "cell")
+      .parquet(s"$root/data")
+    // the metadata SAI postings (generation, label, row id) — cell
+    // rides along as the row ADDRESS inside its generation, which is
+    // what lets the adaptive pre-filter branch fetch candidate rows
+    // without opening any non-candidate leaf (scan_sai_ann itself
+    // reads only _gen/label, so column pruning keeps its probe
+    // byte-identical)
+    base.select(col("_gen"), col("label"), col("vec_id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$root/idx_label")
+    // per-(generation, cell) residual bound: max ‖x − c‖² =
+    // max(‖x‖² + ‖c‖² − 2·⟨x,c⟩) — one tiny aggregate
+    val d2 = graft.functions.Vectors.fdot(col("embedding"), col("embedding"))
+      .cast("double") - lit(2.0) * col("csim").cast("double") +
+      element_at(typedlit(cnorm2.toSeq), col("cell") + 1)
+    base.groupBy("_gen", "cell")
+      .agg(max(d2).as("max_d2"), count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+    s.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c, cnorm2(i)) })
+      .toDF("cell", "cent", "cnorm2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
+  }
+
   private val saiAnnPaths = new graft.core.BuildOnce[String, String]
   private[graft] def saiAnnPath(s: SparkSession, dir: String): String =
     saiAnnPaths.getOrElseUpdate(dir, {
       val root = graft.core.RunId.scratchKeyed("sai/ann", dir)
-      val cents = Similarity.trainCentroids(Tables.embeddings(s, dir))
-      val cnorm2 = cents.map(c => c.map(x => x.toDouble * x).sum)
-      val a = Similarity.cellArgmax(cents)
-      val base = Tables.embeddings(s, dir)
-        .withColumn("_gen", pmod(xxhash64(col("vec_id")), lit(SaiGens)))
-        .withColumn("cell", (-a.getField("negcell")).as("cell"))
-        .withColumn("csim", a.getField("sim"))
-      base.select(col("vec_id"), col("label"), col("embedding"),
-          col("_gen"), col("cell"))
-        .write.mode("overwrite").partitionBy("_gen", "cell")
-        .parquet(s"$root/data")
-      // the metadata SAI postings (generation, label, row id) — cell
-      // rides along as the row ADDRESS inside its generation, which is
-      // what lets the adaptive pre-filter branch fetch candidate rows
-      // without opening any non-candidate leaf (scan_sai_ann itself
-      // reads only _gen/label, so column pruning keeps its probe
-      // byte-identical)
-      base.select(col("_gen"), col("label"), col("vec_id"), col("cell"))
-        .write.mode("overwrite").parquet(s"$root/idx_label")
-      // per-(generation, cell) residual bound: max ‖x − c‖² =
-      // max(‖x‖² + ‖c‖² − 2·⟨x,c⟩) — one tiny aggregate
-      val d2 = graft.functions.Vectors.fdot(col("embedding"), col("embedding"))
-        .cast("double") - lit(2.0) * col("csim").cast("double") +
-        element_at(typedlit(cnorm2.toSeq), col("cell") + 1)
-      base.groupBy("_gen", "cell")
-        .agg(max(d2).as("max_d2"), count(lit(1)).as("n"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-      s.createDataFrame(cents.zipWithIndex.map { case (c, i) => (i, c, cnorm2(i)) })
-        .toDF("cell", "cent", "cnorm2")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
+      buildAnnLayout(s, root, Tables.embeddings(s, dir))
+      root
+    })
+
+  /** Flushed-only IVF layout + the UNINDEXED vector memtable: a 10%
+    * id slice (pmod 10 == 3, SQL-expressible so the oracle can state
+    * the arm flag) never reaches the index — the write path's
+    * memtable-before-flush state for vectors. */
+  private val saiAnnMemPaths = new graft.core.BuildOnce[String, String]
+  private[graft] def saiAnnMemPath(s: SparkSession, dir: String): String =
+    saiAnnMemPaths.getOrElseUpdate(dir, {
+      val root = graft.core.RunId.scratchKeyed("sai/annmem", dir)
+      val emb = Tables.embeddings(s, dir)
+      buildAnnLayout(s, root, emb.filter(pmod(col("vec_id"), lit(10)) =!= 3))
+      emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .write.mode("overwrite").parquet(s"$root/memtable")
       root
     })
 
@@ -935,8 +959,9 @@ object Scans extends QueryGroup {
   private[graft] def saiAnnSearch(s: SparkSession, dir: String,
       labelSel: Int = 2, k: Int = 8, nprobe: Int = 4,
       residual: Column = lit(true),
-      qPred: Column = col("vec_id") < 5): (DataFrame, SaiAnnPlan) = {
-    val root = saiAnnPath(s, dir)
+      qPred: Column = col("vec_id") < 5,
+      rootOverride: Option[String] = None): (DataFrame, SaiAnnPlan) = {
+    val root = rootOverride.getOrElse(saiAnnPath(s, dir))
     val margin = 1e-5
     // Bounded planning relations (collect is the AQE-stats move, never
     // row ids): centroids, per-leaf radii, candidate generations, the
@@ -1100,6 +1125,44 @@ object Scans extends QueryGroup {
     pages.reduce(_ unionByName _)
       .select("query_id", "page", "page_rk", "vec_id", "label", "score")
       .orderBy("query_id", "page", "page_rk")
+  }
+
+  /** Cassandra 5 `ANN OF` over flushed sstables ∪ the UNINDEXED
+    * memtable — the vector sibling of [[scanSaiMemtable]]: a write
+    * lands in the memtable first and has NO vector index until flush,
+    * yet `SELECT … ORDER BY embedding ANN OF ? LIMIT k` must see it.
+    * Flushed arm = the exact two-phase IVF probe over the
+    * flushed-only layout ([[saiAnnMemPath]], built by the same
+    * [[buildAnnLayout]] definition as scan_sai_ann's); memtable arm =
+    * brute-force over the unflushed tail — small BY CONSTRUCTION at
+    * any corpus size (it is one flush interval of writes) — with the
+    * probe vectors broadcast; global top-k over the union. Both arms
+    * are exact on their partition of the corpus, so the union rank is
+    * the exact corpus answer ⇒ ONE brute-force oracle over the whole
+    * table, with the arm flag stated by the SQL-expressible split. */
+  def scanSaiAnnMem(s: SparkSession, dir: String): DataFrame = {
+    val root = saiAnnMemPath(s, dir)
+    val labelSel = 1; val k = 8
+    val qPred = col("vec_id") >= 5 && col("vec_id") < 10
+    val (flushedArm, _) = saiAnnSearch(s, dir, labelSel = labelSel, k = k,
+      qPred = qPred, rootOverride = Some(root))
+    val q = Tables.embeddings(s, dir).filter(qPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val mem = s.read.parquet(s"$root/memtable")
+      .filter(col("label") === labelSel)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6)
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    flushedArm.drop("rk").withColumn("flushed", lit(true))
+      .unionByName(mem.withColumn("flushed", lit(false)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "label", "score", "rk", "flushed")
+      .orderBy("query_id", "rk")
   }
 
   private[graft] case class SaiAnnAdaptiveChoice(
@@ -1384,6 +1447,7 @@ object Scans extends QueryGroup {
     "scan_sai_contains" -> (scanSaiContains _),
     "scan_sai_ann" -> (scanSaiAnn _),
     "scan_sai_ann_paged" -> (scanSaiAnnPaged _),
+    "scan_sai_ann_memtable" -> (scanSaiAnnMem _),
     "scan_sai_ann_adaptive" -> (scanSaiAnnAdaptive _),
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
@@ -1571,6 +1635,27 @@ object Scans extends QueryGroup {
              CAST((rk - 1) % 4 + 1 AS BIGINT) AS page_rk,
              vec_id, label, score
       FROM r WHERE rk <= 12 ORDER BY query_id, page, page_rk""",
+    // both arms exact on their partition of the corpus ⇒ the union
+    // rank is the exact corpus answer; the memtable split (pmod 10 ==
+    // 3) is stated directly as the flushed flag
+    "scan_sai_ann_memtable" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+      d AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score,
+          (e.vec_id % 10 <> 3) AS flushed
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label = 1),
+      r AS (
+        SELECT query_id, vec_id, label, score, flushed,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, label, score, rk, flushed FROM r
+      WHERE rk <= 8 ORDER BY query_id, rk""",
     // both branches are exact, so the oracle is brute-force filtered
     // top-k per probe — which branch ran is invisible in the output
     "scan_sai_ann_adaptive" -> """

@@ -240,11 +240,11 @@ object Similarity extends QueryGroup {
     * machinery [[simKnnJoinLsh]] ships (collision pairs scored exactly
     * in both directions, occupancy 8 ⇒ O(n) candidate scores), each
     * vector keeping its top-[[GraphM]] neighbors by exact cosine —
-    * a navigable proximity graph: parquet (src_id, dst_id), plus 8
-    * deterministic spread entry points. At 100 TB the build is the
+    * a navigable proximity graph: parquet (src_id, dst_id), plus per-centroid
+    * nearest-vector entry points (one per coarse region). At 100 TB the build is the
     * nightly k-NN-join job every graph index runs; the graph at rest
     * is edge-list-sized (n × M), the entries 16 rows. */
-  private val GraphM = 8
+  private[graft] val GraphM = 6
   private val graphAnnPaths = new graft.core.BuildOnce[String, String]
   private[graft] def graphAnnPath(s: SparkSession, dir: String): String =
     graphAnnPaths.getOrElseUpdate(dir, {
@@ -287,8 +287,29 @@ object Similarity extends QueryGroup {
           topM.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
         .distinct()
         .write.mode("overwrite").parquet(s"$root/graph")
-      emb.filter(pmod(col("vec_id"), lit(31)) === 7)
-        .orderBy("vec_id").limit(8).select("vec_id")
+      // entry points: the corpus vector NEAREST each trained coarse
+      // centroid — one entry per region of the corpus, so every
+      // cluster-component of the graph is enterable (id-sampled
+      // entries measurably stranded half the clusters of a 16-cluster
+      // manifold: the in-cluster/cross-cluster similarity gap makes
+      // every edge in-cluster and the graph disconnects)
+      val cents = trainCentroids(emb)
+      val a = cellArgmax(cents)
+      val centEntries = emb
+        .select(col("vec_id"), a.getField("sim").as("csim"),
+          (-a.getField("negcell")).as("cell"))
+        .groupBy("cell")
+        .agg(max_by(col("vec_id"), struct(col("csim"), -col("vec_id")))
+          .as("vec_id"))
+        .select("vec_id")
+      // ∪ an id-residue sample: k-means is a local optimum and can
+      // merge two true regions into one cell (leaving one stranded);
+      // 16 ids spaced 31 apart cycle through every mod-16 residue
+      // class (gcd(31 mod 16, 16) = 1), an entry family independent
+      // of the trained geometry
+      val idEntries = emb.filter(pmod(col("vec_id"), lit(31)) === 7)
+        .orderBy("vec_id").limit(16).select("vec_id")
+      centEntries.unionByName(idEntries).distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$root/entries")
       root
     })
@@ -315,12 +336,16 @@ object Similarity extends QueryGroup {
     * measures recall vs brute force AND vs the IVF probe at a
     * no-larger scored budget. */
   private[graft] def graphAnnSearch(s: SparkSession, dir: String,
-      k: Int, beam: Int, rounds: Int): (DataFrame, DataFrame) = {
+      k: Int, beam: Int, rounds: Int,
+      queries: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val root = graphAnnPath(s, dir)
     val graph = s.read.parquet(s"$root/graph")
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // default probes = the 5 ids the IVF faces serve; callers may pass
+    // any (query_id, qvec) relation — the INSERT path walks with the
+    // arriving batch as queries
+    val q = queries.getOrElse(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
     def score(cand: DataFrame): DataFrame =
       cand.join(emb, "vec_id")
         .join(broadcast(q), "query_id")
@@ -370,6 +395,33 @@ object Similarity extends QueryGroup {
     * entry points. */
   def simTopkGraph(s: SparkSession, dir: String): DataFrame =
     graphAnnSearch(s, dir, k = 8, beam = 2, rounds = 12)._1
+
+  /** Incremental graph-ANN maintenance — the HNSW INSERT, completing
+    * the index-maintenance pair with [[simIndexDelta]] (IVF append):
+    * each arriving vector finds its GraphM nearest reachable
+    * neighbors by the SAME beam walk the read path uses (an HNSW
+    * insert IS a search), and the emitted rows are its new
+    * bidirectional links — merged into the standing edge list by a
+    * union, no rebuild, no retrain. The arriving batch is one
+    * micro-batch of writes (bounded by definition); the walk's state
+    * is (query, candidate) relations exactly as in the read path.
+    * Declared no-oracle (the walk is engine-defined);
+    * DedupSimilaritySpec plants EXACT copies as the delta batch and
+    * pins that every insert links its twin at rank 1 with score 1.0,
+    * and that a read over the merged graph returns the twin. */
+  def simGraphDelta(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    // the arriving batch: exact copies of a ~1% id slice at the
+    // collision-proof +2^40 offset (the ScaleGen-safe convention)
+    val delta = base.filter(pmod(col("vec_id"), lit(97)) === 13)
+      .select((col("vec_id") + (1L << 40)).as("query_id"),
+        col("embedding").as("qvec"))
+    graphAnnSearch(s, dir, k = GraphM, beam = 3, rounds = 16,
+      queries = Some(delta))._1
+      .select(col("query_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"), col("score"), col("rk"))
+      .orderBy("vec_id", "rk")
+  }
 
   /** All pairs above cosine τ=0.35 within a bounded id range. */
   def simThreshold(s: SparkSession, dir: String): DataFrame = {
@@ -1387,6 +1439,7 @@ object Similarity extends QueryGroup {
     "sim_topk_bq" -> (simTopkBq _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_graph" -> (simTopkGraph _),
+    "sim_graph_delta" -> (simGraphDelta _),
     "sim_topk_ivf_pq" -> (simTopkIvfPq _),
     "sim_index_delta" -> (simIndexDelta _),
     "dedup_embed" -> (dedupEmbed _)

@@ -874,8 +874,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val recallI = hitsI.toDouble / (truth.size * k)
     val cellSizes = assigned.groupBy("cell").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the IVF arm's scored budget = its cell's members + the 16
+    // centroid similarities the probe itself computes per query
     val ivfBudget = qc.select("query_id", "cell").collect()
-      .map(r => r.getLong(0) -> cellSizes(r.getInt(1))).toMap
+      .map(r => r.getLong(0) -> (cellSizes(r.getInt(1)) + 16)).toMap
     info(s"graph recall@$k = $recallG (budgets $graphBudget), " +
       s"ivf nprobe=1 recall@$k = $recallI (budgets $ivfBudget)")
     assert(recallG >= 0.8, s"graph recall $recallG below 0.8")
@@ -887,6 +889,41 @@ class DedupSimilaritySpec extends SparkSpec {
     val iTotal = ivfBudget.values.sum
     assert(gTotal <= iTotal,
       s"graph scored $gTotal candidates vs IVF's $iTotal — budget larger")
+  }
+
+  test("sim_graph_delta: every insert links its exact twin at rank 1 on a navigable corpus") {
+    import graft.operators.Similarity
+    // the same manifold fixture class as the sim_topk_graph spec —
+    // on uniform random vectors no graph walk navigates, so the
+    // twin-recovery pin holds where the index family is FOR
+    val dim = 64
+    val rnd = new scala.util.Random(41)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cdirs = Array.fill(16)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val vrows = (0 until 4000).map { i =>
+      val v = normalize(cdirs(i % 16).map(_ + 0.1 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat).toSeq, (i >> 4) % 10)
+    }
+    val fixDir = graft.core.RunId.scratch("graphdelta")
+    spark.createDataFrame(vrows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$fixDir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_graph_delta")(spark, fixDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val deltaIds = (0 until 4000).map(_.toLong).filter(_ % 97 == 13)
+      .map(_ + (1L << 40))
+    val byNode = out.groupBy(_._1)
+    assert(byNode.keySet == deltaIds.toSet,
+      s"insert set mismatch: ${byNode.keySet.size} vs ${deltaIds.size}")
+    for (d <- deltaIds) {
+      val links = byNode(d).sortBy(_._4)
+      assert(links.length == Similarity.GraphM,
+        s"insert $d got ${links.length} links")
+      val twin = d - (1L << 40)
+      assert(links.head._2 == twin && links.head._3 == 1.0,
+        s"insert $d rank-1 link ${links.head} is not its twin $twin@1.0")
+    }
   }
 
   test("hybrid vector arm: index pool equals the brute-force pool it retired, every mode") {

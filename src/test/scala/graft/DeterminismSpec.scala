@@ -245,7 +245,10 @@ class DeterminismSpec extends SparkSpec {
     "scan_sai_ann_paged", "tokenize_wordpiece",
     // chunk pool + max-passage dedup + dense re-rank + fusion over the
     // index-backed vector arm — every window must hold on any layout
-    "search_hybrid_chunks")
+    "search_hybrid_chunks",
+    // flushed IVF probe ∪ brute memtable arm union rank (collected θ
+    // planning state must not leak layout)
+    "scan_sai_ann_memtable")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
