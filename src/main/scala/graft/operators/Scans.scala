@@ -960,7 +960,8 @@ object Scans extends QueryGroup {
       labelSel: Int = 2, k: Int = 8, nprobe: Int = 4,
       residual: Column = lit(true),
       qPred: Column = col("vec_id") < 5,
-      rootOverride: Option[String] = None): (DataFrame, SaiAnnPlan) = {
+      rootOverride: Option[String] = None,
+      tombstones: Option[DataFrame] = None): (DataFrame, SaiAnnPlan) = {
     val root = rootOverride.getOrElse(saiAnnPath(s, dir))
     val margin = 1e-5
     // Bounded planning relations (collect is the AQE-stats move, never
@@ -1008,8 +1009,14 @@ object Scans extends QueryGroup {
     // the phase-1 cut keeps exactly the best provisional k
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
-    def score(src: DataFrame, probe: DataFrame): DataFrame =
-      src.join(broadcast(probe), expr("array_contains(cells, cell)"))
+    def score(src: DataFrame, probe: DataFrame): DataFrame = {
+      // tombstones (deleted row ids) mask candidates by anti-join —
+      // like the residual, exclusion only SHRINKS the candidate set,
+      // so the leaf bound (valid for every member row, deleted or
+      // not) stays admissible and the probe stays exact
+      val live = tombstones.fold(src)(t =>
+        src.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
+      live.join(broadcast(probe), expr("array_contains(cells, cell)"))
         // residual only SHRINKS the candidate set, so the
         // Cauchy–Schwarz leaf bound (valid for every row) stays
         // admissible and the probe stays exact under any predicate
@@ -1018,6 +1025,7 @@ object Scans extends QueryGroup {
         .select(col("query_id"), col("vec_id"), col("label"),
           graft.functions.Vectors.fdot(col("embedding"), col("qvec")).as("score_raw"))
         .withColumn("score", round(col("score_raw"), 6))
+    }
     // Fallback: if every probed cell is empty in every candidate
     // generation (possible on a tiny or skewed corpus), probe ALL
     // present cells — phase 1 must read something for θ to exist, and
@@ -1125,6 +1133,30 @@ object Scans extends QueryGroup {
     pages.reduce(_ unionByName _)
       .select("query_id", "page", "page_rk", "vec_id", "label", "score")
       .orderBy("query_id", "page", "page_rk")
+  }
+
+  /** `ANN OF` under DELETES — reads must mask tombstoned rows that
+    * are still physically present in every index artifact (data
+    * leaves, postings, leaf bounds: a Cassandra delete writes a
+    * tombstone, it does not rewrite sstables). The tombstone sstable
+    * (a 1/7 id slice, written once as its own relation) anti-joins
+    * the candidate rows inside the exact probe; exclusion only
+    * shrinks the candidate set, so the Cauchy–Schwarz leaf bound —
+    * computed over the PRE-delete leaves, a superset — stays
+    * admissible and the masked read is still provably exact. The
+    * split is SQL-expressible, so the oracle is the brute-force scan
+    * minus the deleted ids. */
+  private val saiAnnTombPaths = new graft.core.BuildOnce[String, String]
+  def scanSaiAnnTombstone(s: SparkSession, dir: String): DataFrame = {
+    val tpath = saiAnnTombPaths.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratchKeyed("sai/anntomb", dir)
+      Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(7)) === 2).select("vec_id")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    saiAnnSearch(s, dir,
+      tombstones = Some(s.read.parquet(tpath)))._1
   }
 
   /** Cassandra 5 `ANN OF` over flushed sstables ∪ the UNINDEXED
@@ -1448,6 +1480,7 @@ object Scans extends QueryGroup {
     "scan_sai_ann" -> (scanSaiAnn _),
     "scan_sai_ann_paged" -> (scanSaiAnnPaged _),
     "scan_sai_ann_memtable" -> (scanSaiAnnMem _),
+    "scan_sai_ann_tombstone" -> (scanSaiAnnTombstone _),
     "scan_sai_ann_adaptive" -> (scanSaiAnnAdaptive _),
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
@@ -1635,6 +1668,26 @@ object Scans extends QueryGroup {
              CAST((rk - 1) % 4 + 1 AS BIGINT) AS page_rk,
              vec_id, label, score
       FROM r WHERE rk <= 12 ORDER BY query_id, page, page_rk""",
+    // the masked read = brute force minus the deleted ids (tombstone
+    // split SQL-expressible)
+    "scan_sai_ann_tombstone" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label = 2
+          AND e.vec_id % 7 <> 2),
+      r AS (
+        SELECT query_id, vec_id, label, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, label, score, rk FROM r
+      WHERE rk <= 8 ORDER BY query_id, rk""",
     // both arms exact on their partition of the corpus ⇒ the union
     // rank is the exact corpus answer; the memtable split (pmod 10 ==
     // 3) is stated directly as the flushed flag

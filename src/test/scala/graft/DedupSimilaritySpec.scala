@@ -891,6 +891,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"graph scored $gTotal candidates vs IVF's $iTotal — budget larger")
   }
 
+  test("scan_sai_ann_tombstone: no deleted id surfaces, and the mask actually engaged") {
+    val masked = SparkEntry.queries("scan_sai_ann_tombstone")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(masked.nonEmpty)
+    assert(masked.forall(_._2 % 7 != 2),
+      s"tombstoned id in output: ${masked.filter(_._2 % 7 == 2).take(3)}")
+    // the mask changed the answer (a tombstoned id sat in the unmasked
+    // top-k, so exclusion is observable, not vacuous)
+    val unmasked = SparkEntry.queries("scan_sai_ann")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unmasked.exists(_._2 % 7 == 2) && masked != unmasked,
+      "fixture drift: no tombstoned id in the unmasked top-k — the mask pin is vacuous")
+  }
+
   test("sim_graph_delta: every insert links its exact twin at rank 1 on a navigable corpus") {
     import graft.operators.Similarity
     // the same manifold fixture class as the sim_topk_graph spec —
