@@ -1159,6 +1159,29 @@ object Scans extends QueryGroup {
       tombstones = Some(s.read.parquet(tpath)))._1
   }
 
+  /** Compaction PURGES tombstones — the other half of the delete
+    * lifecycle [[scanSaiAnnTombstone]] starts: a major compaction
+    * rewrites the vector sstables WITHOUT the deleted rows (data
+    * leaves, postings, and the per-leaf bounds all rebuilt over the
+    * live set by the same [[buildAnnLayout]] definition — the bounds
+    * TIGHTEN, they were a superset before), drops the tombstone
+    * sstable, and the read runs clean with no mask at all. The
+    * contract the spec and the shared oracle pin: the masked read
+    * over the pre-compaction layout and the clean read over the
+    * purged layout return byte-identical rows (CQL semantics —
+    * compaction is invisible to reads), so this face reuses
+    * scan_sai_ann_tombstone's oracle verbatim. */
+  private val saiAnnPurgePaths = new graft.core.BuildOnce[String, String]
+  def compactAnnPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = saiAnnPurgePaths.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratchKeyed("sai/annpurge", dir)
+      buildAnnLayout(s, p, Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(7)) =!= 2))
+      p
+    })
+    saiAnnSearch(s, dir, rootOverride = Some(root))._1
+  }
+
   /** Cassandra 5 `ANN OF` over flushed sstables ∪ the UNINDEXED
     * memtable — the vector sibling of [[scanSaiMemtable]]: a write
     * lands in the memtable first and has NO vector index until flush,
@@ -1455,6 +1478,28 @@ object Scans extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** One oracle for BOTH halves of the vector delete lifecycle: the
+    * tombstone-masked read over the pre-compaction layout and the
+    * clean read over the purged layout must answer identically. */
+  private val SaiAnnTombstoneOracle: String = """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label = 2
+          AND e.vec_id % 7 <> 2),
+      r AS (
+        SELECT query_id, vec_id, label, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, label, score, rk FROM r
+      WHERE rk <= 8 ORDER BY query_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_secondary_index" -> (scanSecondaryIndex _),
     "scan_partition_pruned" -> (scanPartitionPruned _),
@@ -1481,6 +1526,7 @@ object Scans extends QueryGroup {
     "scan_sai_ann_paged" -> (scanSaiAnnPaged _),
     "scan_sai_ann_memtable" -> (scanSaiAnnMem _),
     "scan_sai_ann_tombstone" -> (scanSaiAnnTombstone _),
+    "compact_ann_purge" -> (compactAnnPurge _),
     "scan_sai_ann_adaptive" -> (scanSaiAnnAdaptive _),
     "scan_sai_contains_key" -> (scanSaiContainsKey _),
     "scan_sai_map_entry" -> (scanSaiMapEntry _),
@@ -1670,24 +1716,11 @@ object Scans extends QueryGroup {
       FROM r WHERE rk <= 12 ORDER BY query_id, page, page_rk""",
     // the masked read = brute force minus the deleted ids (tombstone
     // split SQL-expressible)
-    "scan_sai_ann_tombstone" -> """
-      WITH q AS (
-        SELECT vec_id AS query_id, embedding AS qvec
-        FROM embeddings WHERE vec_id < 5),
-      d AS (
-        SELECT q.query_id, e.vec_id, e.label,
-          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
-        FROM embeddings e, q
-        WHERE e.vec_id <> q.query_id AND e.label = 2
-          AND e.vec_id % 7 <> 2),
-      r AS (
-        SELECT query_id, vec_id, label, score,
-          ROW_NUMBER() OVER (PARTITION BY query_id
-                             ORDER BY score DESC, vec_id ASC) AS rk
-        FROM d)
-      SELECT query_id, vec_id, label, score, rk FROM r
-      WHERE rk <= 8 ORDER BY query_id, rk""",
+    "scan_sai_ann_tombstone" -> SaiAnnTombstoneOracle,
+    // compaction is invisible to reads: the purged-layout clean read
+    // answers the SAME oracle as the masked pre-compaction read —
+    // sharing the string IS the no-drift pin
+    "compact_ann_purge" -> SaiAnnTombstoneOracle,
     // both arms exact on their partition of the corpus ⇒ the union
     // rank is the exact corpus answer; the memtable split (pmod 10 ==
     // 3) is stated directly as the flushed flag

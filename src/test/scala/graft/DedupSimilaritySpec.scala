@@ -903,6 +903,15 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(unmasked.exists(_._2 % 7 == 2) && masked != unmasked,
       "fixture drift: no tombstoned id in the unmasked top-k — the mask pin is vacuous")
+    // compaction is invisible to reads: the clean read over the
+    // PURGED layout (rebuilt leaves, tightened bounds, no mask at
+    // all) returns byte-identical rows to the masked read
+    val purged = SparkEntry.queries("compact_ann_purge")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    val maskedRows = SparkEntry.queries("scan_sai_ann_tombstone")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(purged == maskedRows,
+      "purged-layout read diverges from the tombstone-masked read")
   }
 
   test("sim_graph_delta: every insert links its exact twin at rank 1 on a navigable corpus") {
