@@ -87,7 +87,7 @@ object Bench {
       "dedup_delta", "dedup_delta_near", "dedup_cluster",
       "tokenize_bpe_frozen", "tokenize_bpe_bytes", "tokenize_bpe_bytes_frozen",
       "tokenize_wordpiece_frozen", "sim_topk_graph", "scan_sai_ann_memtable",
-      "compact_ann_purge",
+      "compact_ann_purge", "scan_sai_ann_tombstone",
       "agg_sketch_merge", "agg_sketch_intersect",
       "compact_generations", "scan_snapshot", "batch_apply",
       "sink_shards", "text_quality_model", "pipeline_pretrain")
@@ -147,14 +147,19 @@ object Bench {
         val q = txt.indexOf("\"queries\":{")
         if (q < 0) return Map.empty
         val body = txt.substring(q + 11, txt.indexOf('}', q))
-        body.split(',').iterator.flatMap { kv =>
-          kv.split(':') match {
-            case Array(k, v) =>
-              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap
+        // Anchor the parse to the writer's exact format ("name":num per
+        // entry) instead of naive split-on-','/':' — a snapshot with
+        // nested values or a ':' inside a name would silently yield a
+        // wrong map (ADVICE r12), and SPARK_GRAFT_BENCH_SNAPSHOT admits
+        // arbitrary files. A body containing '{' is not ours: warn and
+        // pass through (stall gate disabled, never mis-keyed).
+        if (body.contains('{')) {
+          System.err.println(s"[bench] snapshot $path queries block has " +
+            "nested values - not this writer's format, ignoring snapshot")
+          return Map.empty
+        }
+        val entry = """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+        entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }
     val snap = if (args.isEmpty) snapshotTimes(sfDir) else Map.empty[String, Double]
@@ -162,14 +167,21 @@ object Bench {
       case (name, (t, n)) if n >= 0 && t > 5.0 &&
         snap.get(name).exists(s => s > 0 && t > 10 * s) => name -> t
     }
-    val results = results0 ++ stalled.keys.map { name =>
+    val results = results0 ++ stalled.keys.flatMap { name =>
       System.err.println(s"[bench] re-timing stalled line $name " +
         s"(${results0(name)._1} s vs snapshot ${snap(name)} s)")
       val t0 = System.nanoTime()
       val n = try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => -1L }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> (((System.nanoTime() - t0) / 1e9, n))
+      // A failed re-run must not replace a SUCCESSFUL original
+      // measurement (ADVICE r12): keep the original (t, n) and only
+      // note the failed attempt on stderr; "stalled" already carries
+      // the original time either way.
+      if (n < 0 && results0(name)._2 >= 0) {
+        System.err.println(s"[bench] re-time of $name failed; keeping original line")
+        None
+      } else Some(name -> ((System.nanoTime() - t0) / 1e9, n))
     }
     // Second total at the ×10 fixture (VERDICT r4 #7 / r6 #5): the 2×
     // budget at sf0.1 no longer discriminates — the scale-up ratio is

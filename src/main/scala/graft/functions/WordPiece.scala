@@ -29,6 +29,13 @@ object WordPiece {
 
   val Unk = "[UNK]"
 
+  /** A literal '#' in a word would collide with the `##` continuation
+    * marker (symbols("a#b") would emit "###b"-style pieces, making
+    * encode round-trips ambiguous — ADVICE r12). BERT's own rule for
+    * characters the convention can't represent applies: the whole
+    * word is [UNK], on both the training and the encoding side. */
+  private def representable(w: String): Boolean = !w.contains('#')
+
   /** Initial symbol sequence of a word: first char bare, rest `##`. */
   private def symbols(w: String): Vector[String] =
     w.iterator.zipWithIndex
@@ -47,7 +54,7 @@ object WordPiece {
     * reached or nothing is left to merge. */
   def train(wordFreq: Seq[(String, Long)], targetVocab: Int): Set[String] = {
     var words = wordFreq.toVector.sortBy(_._1)
-      .filter(_._1.nonEmpty)
+      .filter(wf => wf._1.nonEmpty && representable(wf._1))
       .map { case (w, f) => (symbols(w), f) }
     val vocab = mutable.Set.empty[String]
     words.foreach { case (syms, _) => vocab ++= syms }
@@ -107,6 +114,7 @@ object WordPiece {
     * (an out-of-alphabet character) the whole word becomes [UNK]. */
   def encode(word: String, vocab: Set[String]): Vector[String] = {
     if (word.isEmpty) return Vector.empty
+    if (!representable(word)) return Vector(Unk)
     val out = Vector.newBuilder[String]
     var start = 0
     while (start < word.length) {

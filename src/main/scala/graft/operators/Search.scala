@@ -428,9 +428,18 @@ object Search extends QueryGroup {
     * mirrors the document-level face already ships. */
   def searchHybridChunks(s: SparkSession, dir: String): DataFrame = {
     val pack = 1L << 20
+    // The 2²⁰/2⁴³ bounds were stated but never asserted (ADVICE r12):
+    // a doc with ≥2²⁰ windows or a doc_id ≥2⁴³ would silently corrupt
+    // packed keys. Fail fast inline — the conditional folds into the
+    // same codegen projection, so the bounded-pool path pays nothing.
+    val packed = when(col("chunk_id") < pack && col("doc_id") < (1L << 43) &&
+        col("chunk_id") >= 0 && col("doc_id") >= 0,
+        col("doc_id") * pack + col("chunk_id"))
+      .otherwise(raise_error(concat(
+        lit("chunk-id packing overflow: doc_id="), col("doc_id").cast("string"),
+        lit(" chunk_id="), col("chunk_id").cast("string"))))
     val chunks = TextOps.chunkCorpus(Tables.documents(s, dir))
-      .select((col("doc_id") * pack + col("chunk_id")).as("doc_id"),
-        col("chunk_text").as("text"))
+      .select(packed.as("doc_id"), col("chunk_text").as("text"))
     val wDedup = Window.partitionBy("query_id", "doc_id")
       .orderBy("chunk_rank")
     val wDoc = Window.partitionBy("query_id").orderBy("chunk_rank")

@@ -743,7 +743,7 @@ object TextOps extends QueryGroup {
     * GPT-2 pre-token table — is its natural input): likelihood-scored
     * merges, `##` continuation pieces, ≤96-piece target (48-symbol alphabet + ~48 genuine merges — sized so the fixture tail keeps real subword splits, the tokenize_bpe 48-merge reasoning). */
   private val wordpieceVocabCache =
-    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+    new graft.core.BuildOnce[String, Set[String]]
   private[graft] def wordpieceVocab(s: SparkSession, dir: String): Set[String] =
     wordpieceVocabCache.getOrElseUpdate(dir, {
       val wf = Tables.documents(s, dir)
