@@ -217,6 +217,31 @@ class DedupSimilaritySpec extends SparkSpec {
       s"pq overlap ${(pqSet & brute).size} < ivf overlap ${(ivf & brute).size}")
   }
 
+  test("sim_topk_pq_adc: ADC detour holds float-IVF overlap at equal nprobe; codes are 32x smaller") {
+    val brute = SparkEntry.queries("sim_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_topk_ivf")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("sim_topk_pq_adc")(spark, sf001).collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    val pqSet = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same coarse cells + exact rescore of a 3x over-fetch: the
+    // 8-subspace ADC approximation may reorder the over-fetch tail
+    // but must not lose brute-force overlap vs the float probe beyond
+    // a 10% slack (PQ at 32x compression is lossier than int8's 4x;
+    // the rescore recovers the head)
+    assert((pqSet & brute).size * 10 >= (ivf & brute).size * 9,
+      s"pq-adc overlap ${(pqSet & brute).size} fell >10% under ivf ${(ivf & brute).size}")
+    // the compression claim: one tinyint code per subspace
+    val c = graft.operators.Similarity.pqCodebooks(spark, sf001)
+    assert(c.length == 8 && c.forall(_.length == 16))
+    val dim = graft.core.Tables.embeddings(spark, sf001)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    assert(dim * 4 == 8 * 32, s"dim $dim: expected 8 code bytes vs ${dim * 4} float bytes (32x)")
+  }
+
   test("sim_threshold_lsh agrees with the exact bounded kernel (subset + recall)") {
     // exact all-pairs over vec_id < 300 is the ground-truth anchor
     val exact = SparkEntry.queries("sim_threshold")(spark, sf001)
