@@ -589,6 +589,69 @@ object CellStore extends QueryGroup {
       .orderBy("user_id")
   }
 
+  /** Conditional-BATCH merge kernel for [[batchCas]]: each user's
+    * attempt set is one CQL logged BATCH with IF conditions — all
+    * statements on ONE partition (user_id), per-row condition
+    * "target row exists AND a_value > current value" (the monotonic
+    * guard `UPDATE … IF value < ?`), and the batch applies
+    * ALL-OR-NOTHING: one failed condition anywhere in the user's
+    * batch leaves EVERY row of that user byte-identical, and an
+    * attempt on a missing (user, type) row fails the whole batch
+    * without creating anything (the condition is false on a missing
+    * row). Column contract: base(user_id, event_type, event_id,
+    * value), attempts(user_id, event_type, a_event_id, a_value).
+    * Scale shape: one shuffle of each side on (user_id, event_type)
+    * for the condition join, one user-keyed aggregate over the
+    * attempt relation (batch-sized, not corpus-sized), one key join
+    * back — the [[casMerge]] class with a bool_and between. */
+  private[graft] def batchCasMerge(base: DataFrame,
+      attempts: DataFrame): DataFrame = {
+    val checked = attempts.join(
+        base.select(col("user_id"), col("event_type"),
+          col("event_id").as("b_event_id"), col("value").as("b_value")),
+        Seq("user_id", "event_type"), "left")
+      .withColumn("cond_ok",
+        col("b_event_id").isNotNull && (col("a_value") > col("b_value")))
+    val perUser = checked.groupBy("user_id")
+      .agg(bool_and(col("cond_ok")).as("batch_applied"))
+    val applied = coalesce(col("batch_applied"), lit(false))
+    base.join(checked.select("user_id", "event_type", "a_event_id", "a_value"),
+        Seq("user_id", "event_type"), "left")
+      .join(perUser, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("event_type"),
+        applied.as("batch_applied"),
+        (applied && col("a_event_id").isNotNull).as("row_written"),
+        when(applied && col("a_event_id").isNotNull, col("a_event_id"))
+          .otherwise(col("event_id")).as("event_id"),
+        when(applied && col("a_event_id").isNotNull, col("a_value"))
+          .otherwise(col("value")).as("value"))
+  }
+
+  /** CQL conditional BATCH (logged BATCH + LWT — VERDICT r12 missing
+    * #4, composing [[casApply]]'s condition gate with [[batchApply]]'s
+    * all-or-nothing apply): the newest post-cutoff write per
+    * (user, event_type) forms the user's batch; the whole batch
+    * applies iff EVERY row's monotonic condition holds against the
+    * current LWW state. Failed batches are pure no-ops — the oracle
+    * states the postcondition row-for-row, so this face is
+    * hash-exact; BatchCasSpec carries the no-op/missing-row/replay
+    * properties on planted fixtures. */
+  def batchCas(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-14 00:00:00").cast("timestamp_ntz")
+    val e = Tables.events(s, dir)
+      .select("user_id", "event_id", "event_type", "value", "ts")
+    val base = Lww.latest(e.filter(col("ts") <= cutoff),
+        Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_type", "event_id", "value")
+    val attempts = Lww.latest(e.filter(col("ts") > cutoff),
+        Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("a_event_id"), col("value").as("a_value"))
+    batchCasMerge(base, attempts)
+      .orderBy("user_id", "event_type")
+  }
+
   /** Logged-BATCH write path for [[batchApply]]: append the batch's
     * rows to BOTH engine tables (per-user and per-type layouts), THEN
     * append the commit marker. Readers gate on the marker, so a crash
@@ -837,6 +900,7 @@ object CellStore extends QueryGroup {
     "commitlog_replay" -> (commitlogReplay _),
     "cas_apply" -> (casApply _),
     "batch_apply" -> (batchApply _),
+    "batch_cas" -> (batchCas _),
     "sink_cell_store" -> (sinkCellStore _),
     "tombstone_merge" -> (tombstoneMerge _),
     "compact_generations" -> (compactGenerations _),
@@ -964,6 +1028,39 @@ object CellStore extends QueryGroup {
              THEN a.a_value ELSE b.value END AS value
       FROM base b LEFT JOIN att a USING (user_id)
       ORDER BY user_id""",
+    "batch_cas" -> """
+      WITH base AS (
+        SELECT user_id, event_type, event_id, value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= TIMESTAMP '2024-01-14 00:00:00') t
+        WHERE rn = 1),
+      att AS (
+        SELECT user_id, event_type, event_id AS a_event_id,
+               value AS a_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts > TIMESTAMP '2024-01-14 00:00:00') t
+        WHERE rn = 1),
+      checked AS (
+        SELECT a.user_id, a.event_type, a.a_event_id, a.a_value,
+               (b.event_id IS NOT NULL AND a.a_value > b.value) AS cond_ok
+        FROM att a LEFT JOIN base b USING (user_id, event_type)),
+      per_user AS (
+        SELECT user_id, bool_and(cond_ok) AS batch_applied
+        FROM checked GROUP BY user_id)
+      SELECT b.user_id, b.event_type,
+        COALESCE(p.batch_applied, FALSE) AS batch_applied,
+        (COALESCE(p.batch_applied, FALSE) AND c.a_event_id IS NOT NULL)
+          AS row_written,
+        CASE WHEN COALESCE(p.batch_applied, FALSE) AND c.a_event_id IS NOT NULL
+             THEN c.a_event_id ELSE b.event_id END AS event_id,
+        CASE WHEN COALESCE(p.batch_applied, FALSE) AND c.a_event_id IS NOT NULL
+             THEN c.a_value ELSE b.value END AS value
+      FROM base b
+      LEFT JOIN checked c USING (user_id, event_type)
+      LEFT JOIN per_user p USING (user_id)
+      ORDER BY user_id, event_type""",
     "batch_apply" -> """
       SELECT CAST(event_id % 50 AS BIGINT) AS batch_id,
         COUNT(*) AS n_user_rows,

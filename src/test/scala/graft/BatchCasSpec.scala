@@ -69,6 +69,49 @@ class BatchCasSpec extends SparkSpec {
     assert(CellStore.readCommitted(spark, root, "by_type").count() === 3)
   }
 
+  // batchCasMerge fixtures: base state per (user, type); user 1's
+  // batch is all-passing, user 2's batch has ONE failing row (its
+  // other row would pass in isolation), user 3's batch targets a
+  // missing row (condition false on absence), user 4 has no batch.
+  private def bcBase =
+    Seq((1L, "click", 10L, 1.0), (1L, "view", 11L, 2.0),
+        (2L, "click", 20L, 5.0), (2L, "view", 21L, 6.0),
+        (3L, "click", 30L, 7.0),
+        (4L, "click", 40L, 8.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+  private def bcAttempts =
+    Seq((1L, "click", 110L, 3.0), (1L, "view", 111L, 4.0),  // both pass
+        (2L, "click", 120L, 9.0), (2L, "view", 121L, 1.0),  // 2nd fails (1.0 < 6.0)
+        (3L, "click", 130L, 9.0), (3L, "scroll", 131L, 9.0)) // scroll row missing
+      .toDF("user_id", "event_type", "a_event_id", "a_value")
+
+  test("batchCasMerge: all-or-nothing per user; a failed or missing-row condition blocks the whole batch") {
+    val out = CellStore.batchCasMerge(bcBase, bcAttempts)
+      .orderBy("user_id", "event_type").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+         r.getLong(4), r.getDouble(5)))
+    assert(out === Seq(
+      (1L, "click", true, true, 110L, 3.0),   // applied wholesale
+      (1L, "view", true, true, 111L, 4.0),
+      (2L, "click", false, false, 20L, 5.0),  // sibling row failed ⇒ no-op
+      (2L, "view", false, false, 21L, 6.0),
+      (3L, "click", false, false, 30L, 7.0),  // missing-row attempt ⇒ no-op
+      (4L, "click", false, false, 40L, 8.0))) // no batch ⇒ untouched
+    // nothing created: the missing (3, scroll) target must not appear
+    assert(!out.exists(r => r._1 == 3L && r._2 == "scroll"))
+  }
+
+  test("batchCasMerge: replay of an applied batch is a converged no-op (LWT CAS fails the second time)") {
+    val once = CellStore.batchCasMerge(bcBase, bcAttempts)
+      .select("user_id", "event_type", "event_id", "value")
+    val twice = CellStore.batchCasMerge(once, bcAttempts)
+      .select("user_id", "event_type", "event_id", "value")
+    // second application: every previously-applied row now has
+    // value == a_value, so its condition a_value > value is false and
+    // the replayed batch is a pure no-op — state is unchanged
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
   test("a duplicate replay of a committed batch does not double the tables") {
     val root = graft.core.RunId.scratch("batchcas_replay")
     CellStore.applyBatches(changes, root)
