@@ -80,7 +80,11 @@ object Text {
     * shingles dominate any longer document's signature anyway. Same
     * scale shape as
     * [[minhashSignature]]: one shuffle on the doc id, shuffle volume =
-    * docs × 17 longs. */
+    * docs × 17 longs. The declared dedup_simhash face uses the same
+    * packed-counter shape over an md5 bit source
+    * (Dedup.simhashSignatureMd5) so its oracle mirrors; THIS xxhash64
+    * variant is the higher-throughput kernel for pipelines that don't
+    * need a SQL twin, overflow-safety pinned by KernelSpec. */
   def simhashSignature(docs: DataFrame, idCol: String, shCol: String): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(slice(col(shCol), 1, 32767)).as("_s"))

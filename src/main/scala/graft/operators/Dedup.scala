@@ -38,7 +38,16 @@ object Dedup extends QueryGroup {
     * band keys from the signature only, candidate PAIRS of bare ids
     * from the per-band self-join, and shingle arrays joined back in
     * only for the (few) candidates — arrays never ride through the
-    * band shuffle. */
+    * band shuffle.
+    *
+    * Hash family: md5-relational-MIN — per-component hash = first 15
+    * hex chars (60 bits, positive in both engines) of
+    * md5(c ":" shingle), the [[dedupMinhashEval]] estimator
+    * discipline; band key = the comma-joined component string. Every
+    * step (signature, banding, collision join, exact verify) now
+    * mirrors verbatim in DuckDB, so this face is HASH-EXACT, not just
+    * planted-recall-tested (VERDICT r12 next #5). Same shape and
+    * shuffle count as the xxhash64 form it replaces. */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
     // Materialize the shingle arrays once: three downstream branches
     // (signature, both sides of the verify join) would otherwise each
@@ -49,11 +58,22 @@ object Dedup extends QueryGroup {
       .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "sh")
       .localCheckpoint()
-    val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes).localCheckpoint()
-    val mh = (0 until NumHashes).map(j => col(s"mh$j"))
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("g"))
+    val aggs = (0 until NumHashes).map(j =>
+      min(conv(substring(md5(concat_ws(":", lit(j), col("g"))), 1, 15), 16, 10)
+        .cast("long")).as(s"mh$j"))
+    val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val rows = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws(",", (b * rows until (b + 1) * rows)
+          .map(j => col(s"mh$j")): _*).as("band_val"))
+    }
     val banded = sig
-      .withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_val").as("band_val"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
@@ -68,6 +88,43 @@ object Dedup extends QueryGroup {
       .filter(col("jaccard") >= 0.6)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash signature with an md5 bit source — the
+    * [[graft.functions.Text.simhashSignature]] packed-counter shape
+    * (16 packed agg columns + one count, one shuffle on the doc id)
+    * rekeyed from xxhash64 (no DuckDB twin) to md5 hex chunks so the
+    * WHOLE operator mirrors in SQL and dedup_simhash flips
+    * no_oracle → hash-exact (VERDICT r12 next #5): per shingle, chunk
+    * i (of 8) = hex pair 2i..2i+1 of md5(shingle) — 8 bits each, 64
+    * total; per-bit majorities re-assemble doc chunk values, OR-packed
+    * into one sim long (bitwise, so bit 63 can't trip ANSI addition
+    * overflow). Same 32 767 slice cap ⇒ the 16-bit packed counters
+    * stay carry-free. */
+  private[graft] def simhashSignatureMd5(base: DataFrame): DataFrame = {
+    val exploded = base
+      .select(col("doc_id"), explode(slice(col("sh"), 1, 32767)).as("_s"))
+      .select(col("doc_id"), md5(col("_s")).as("_h"))
+    def chunk(i: Int) =
+      conv(substring(col("_h"), 2 * i + 1, 2), 16, 10).cast("long")
+    // p_{i,g} packs counters for bits 4g..4g+3 of chunk i at 16-bit
+    // offsets (the simhashSignature packing, two longs per chunk)
+    val packedCols = for { i <- 0 until 8; g <- 0 until 2 } yield
+      sum((0 until 4).map { j =>
+        shiftright(chunk(i), 4 * g + j).bitwiseAND(lit(1L)) * lit(1L << (16 * j))
+      }.reduce(_ + _)).as(s"p_${i}_$g")
+    val counted = exploded.groupBy("doc_id")
+      .agg(packedCols.head, (packedCols.tail :+ count(lit(1)).as("n")): _*)
+    def cnt(i: Int, j: Int) =
+      shiftright(col(s"p_${i}_${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xFFFFL))
+    // 1L << 63 is Long.MinValue — a fixed Scala-side literal, and the
+    // chunks land in disjoint bit ranges, so bitwise OR (never +)
+    // assembles sim without any ANSI-overflow surface
+    val sim = (for { i <- 0 until 8; j <- 0 until 8 } yield
+      when(cnt(i, j) * 2 > col("n"), lit(1L << (8 * i + j)))
+        .otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    counted.select(col("doc_id"), sim.as("sim"))
   }
 
   /** SimHash near-dup: 64-bit fingerprints over 3-gram shingles
@@ -86,7 +143,7 @@ object Dedup extends QueryGroup {
       .withColumn("w", Text.words(col("text")))
       .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "sh")
-    val docs = Text.simhashSignature(base, "doc_id", "sh").localCheckpoint()
+    val docs = simhashSignatureMd5(base).localCheckpoint()
     def chunk(c: Int) = shiftright(col("sim"), c * 8).bitwiseAND(lit(0xFFL))
     val bands = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
     val banded = docs.select(
@@ -1094,6 +1151,101 @@ object Dedup extends QueryGroup {
       FROM c
       WHERE greatest(c_ab, c_ba) > 0.1
       ORDER BY id_a, id_b""",
+    // Full MinHash-LSH mirror: md5-relational-MIN signature (the
+    // dedup_minhash_eval technique), comma-joined band keys, the
+    // per-band collision self-join, and the exact-Jaccard verify —
+    // candidate generation included, bit-for-bit.
+    "dedup_near" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               substring(text, instr(text, ' ') + 1) AS text
+        FROM documents WHERE doc_id < 20),
+      sh AS (
+        SELECT doc_id,
+          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           FOR i IN range(1, len(w)-1)] AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3),
+      sig AS (
+        SELECT doc_id, c,
+          MIN(CAST(concat('0x',
+            substring(md5(CAST(c AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT))
+            AS minh
+        FROM (SELECT doc_id, unnest(sh) AS g FROM sh), range(0, 16) r(c)
+        GROUP BY doc_id, c),
+      band AS (
+        SELECT doc_id, c // 4 AS band_idx,
+          string_agg(CAST(minh AS VARCHAR), ',' ORDER BY c) AS band_val
+        FROM sig GROUP BY doc_id, c // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a
+        JOIN band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id),
+      shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh)
+      SELECT c.id_a, c.id_b,
+        ROUND(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+          (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))), 6)
+          AS jaccard
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.id_a
+      JOIN shd b ON b.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+          (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))), 6)
+          >= 0.6
+      ORDER BY id_a, id_b""",
+    // Full SimHash mirror: md5 hex-pair chunks as the bit source,
+    // per-bit majorities via a bits join, chunk-PAIR banding (i<j),
+    // per-chunk popcount Hamming — collision generation included.
+    "dedup_simhash" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               substring(text, instr(text, ' ') + 1) AS text
+        FROM documents WHERE doc_id < 20),
+      sh AS (
+        SELECT doc_id,
+          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           FOR i IN range(1, len(w)-1)] AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= 3),
+      hx AS (
+        SELECT doc_id, md5(g) AS h
+        FROM (SELECT doc_id, unnest(sh[1:32767]) AS g FROM sh)),
+      n AS (SELECT doc_id, count(*) AS n FROM hx GROUP BY doc_id),
+      cnts AS (
+        SELECT doc_id, i, j,
+          SUM((CAST(concat('0x', substring(h, 2*i+1, 2)) AS INTEGER) >> j) & 1)
+            AS cnt
+        FROM hx, range(0, 8) ci(i), range(0, 8) bj(j)
+        GROUP BY doc_id, i, j),
+      ch AS (
+        SELECT c.doc_id, c.i,
+          CAST(SUM(CASE WHEN 2 * c.cnt > n.n THEN (1 << c.j) ELSE 0 END)
+            AS BIGINT) AS chv
+        FROM cnts c JOIN n USING (doc_id)
+        GROUP BY c.doc_id, c.i),
+      bandrel AS (
+        SELECT x.doc_id, x.i AS bi, y.i AS bj, x.chv * 256 + y.chv AS bv
+        FROM ch x JOIN ch y ON x.doc_id = y.doc_id AND x.i < y.i),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandrel a
+        JOIN bandrel b ON a.bi = b.bi AND a.bj = b.bj AND a.bv = b.bv
+        WHERE a.doc_id < b.doc_id),
+      ham AS (
+        SELECT c.id_a, c.id_b,
+          CAST(SUM(bit_count(xor(xa.chv, xb.chv))) AS INTEGER) AS hamming
+        FROM cand c
+        JOIN ch xa ON xa.doc_id = c.id_a
+        JOIN ch xb ON xb.doc_id = c.id_b AND xb.i = xa.i
+        GROUP BY c.id_a, c.id_b)
+      SELECT id_a, id_b, hamming FROM ham
+      WHERE hamming <= 6
+      ORDER BY id_a, id_b""",
     // Connected components as a recursive CTE over the SAME jaccard
     // pairs: label(id) = min node id reachable from id.
     "dedup_cluster" -> s"""
@@ -1129,7 +1281,7 @@ object Dedup extends QueryGroup {
                            ORDER BY n.n_words DESC, l.doc_id ASC) = 1 AS is_survivor
       FROM lbl l JOIN n ON l.doc_id = n.doc_id
       ORDER BY l.doc_id"""
-    // dedup_near, dedup_simhash: no oracle (LSH candidate generation is
-    // engine-defined; planted-pair recovery asserted in DedupSpec)
+    // dedup_near and dedup_simhash ARE oracled above (md5-keyed
+    // signatures, candidate generation mirrored bit-for-bit).
   )
 }

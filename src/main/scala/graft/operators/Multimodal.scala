@@ -119,8 +119,8 @@ object Multimodal extends QueryGroup {
     * symbol changed (+2^40 ids) — a pixel-local perturbation, the
     * near-dup class byte hashing misses. Because the whole chain is
     * integer arithmetic over sampled code points, the ORACLE restates
-    * it exactly (per-bit mirror, brute-force pairs) — unlike the
-    * xxhash-based dedup_simhash, this one is hash-checked. Scale:
+    * it exactly (per-bit mirror, brute-force pairs) — hash-checked,
+    * like the md5-rekeyed dedup_simhash (round 13). Scale:
     * candidates are band-bucketed, never all-pairs; signatures are 8
     * bytes/doc; the brute-force mirror lives only in DuckDB. */
   /** The one-symbol "re-encode" perturbation planted as a perceptual

@@ -20,7 +20,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val base = Dedup.withPlanted(spark, sf001)
       .withColumn("sh", Text.shingles(Text.words(col("text")), 3))
       .select("doc_id", "sh")
-    val sig = Text.simhashSignature(base, "doc_id", "sh")
+    // ground truth over the SAME signature family the query banding
+    // uses (md5 hex chunks — the oracle-mirrorable bit source): the
+    // property under test is banding COMPLETENESS at Hamming<=6, which
+    // must hold for any hash family
+    val sig = Dedup.simhashSignatureMd5(base)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val expected = (for {
       (ida, sa) <- sig; (idb, sb) <- sig
