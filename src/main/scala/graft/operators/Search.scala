@@ -392,9 +392,14 @@ object Search extends QueryGroup {
     * text of survivors — curation decides membership, not content.
     * Hash-exact end to end: the oracle is the hybrid CTE chain over
     * the gated+deduped base. */
-  def pipelineRag(s: SparkSession, dir: String): DataFrame = {
+  /** The curated retrieval corpus — quality gate + exact dedup, the
+    * SAME kernel definitions pipeline_curation ships; ONE definition
+    * for both RAG capstones ([[pipelineRag]] doc-level,
+    * [[pipelineRagChunks]] passage-level), so their membership cannot
+    * drift. */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val w = split(col("ct"), " ")
-    val curated = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextOps.cleanCol(col("text")).as("ct"))
       .select(col("doc_id"), col("lang"), col("text"), col("ct"),
@@ -406,8 +411,22 @@ object Search extends QueryGroup {
       .filter(col("rn") === 1)
       .select("doc_id", "text")
       .localCheckpoint()
-    hybridRrfOf(s, dir, curated, restrictVec = true)
   }
+
+  def pipelineRag(s: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(s, dir, curatedDocs(s, dir), restrictVec = true)
+
+  /** The production RAG read at PASSAGE granularity over a curated
+    * corpus (VERDICT r12 missing #6, composing the two round-12
+    * closures): [[curatedDocs]]' membership (pipeline_curation's
+    * kernels) feeds [[hybridChunksOf]]' chunk-level BM25 arm +
+    * max-passage dedup + id-restricted vector arm + RRF fusion — the
+    * winning chunk_id rides the output as the passage pointer exactly
+    * as in search_hybrid_chunks. Every stage is SQL-expressible, so
+    * the oracle is the curation CTE spliced under the chunk-hybrid
+    * CTE chain — hash-exact end to end, shared kernels throughout. */
+  def pipelineRagChunks(s: SparkSession, dir: String): DataFrame =
+    hybridChunksOf(s, dir, curatedDocs(s, dir), restrictVec = true)
 
   /** Chunk-level hybrid retrieval — real RAG retrieves PASSAGES, not
     * whole documents (VERDICT r11 missing #2): the BM25 arm ranks the
@@ -426,7 +445,15 @@ object Search extends QueryGroup {
     * Fully SQL-expressible ⇒ hash-exact oracle: the chunk explode,
     * the BM25 chain, both rank windows, and the fusion are the same
     * mirrors the document-level face already ships. */
-  def searchHybridChunks(s: SparkSession, dir: String): DataFrame = {
+  def searchHybridChunks(s: SparkSession, dir: String): DataFrame =
+    hybridChunksOf(s, dir, Tables.documents(s, dir), restrictVec = false)
+
+  /** The chunk-granularity fusion over ANY (doc_id, text) corpus —
+    * the one definition [[searchHybridChunks]] (raw corpus) and
+    * [[pipelineRagChunks]] (curated corpus, vector arm id-restricted)
+    * both run, so the capstone cannot drift from the declared face. */
+  private def hybridChunksOf(s: SparkSession, dir: String,
+      docs: DataFrame, restrictVec: Boolean): DataFrame = {
     val pack = 1L << 20
     // The 2²⁰/2⁴³ bounds were stated but never asserted (ADVICE r12):
     // a doc with ≥2²⁰ windows or a doc_id ≥2⁴³ would silently corrupt
@@ -438,7 +465,7 @@ object Search extends QueryGroup {
       .otherwise(raise_error(concat(
         lit("chunk-id packing overflow: doc_id="), col("doc_id").cast("string"),
         lit(" chunk_id="), col("chunk_id").cast("string"))))
-    val chunks = TextOps.chunkCorpus(Tables.documents(s, dir))
+    val chunks = TextOps.chunkCorpus(docs)
       .select(packed.as("doc_id"), col("chunk_text").as("text"))
     val wDedup = Window.partitionBy("query_id", "doc_id")
       .orderBy("chunk_rank")
@@ -453,7 +480,8 @@ object Search extends QueryGroup {
       .filter(col("rn") === 1)
       .withColumn("kw_rank", row_number().over(wDoc).cast("long"))
       .select("query_id", "doc_id", "chunk_id", "kw_rank")
-    val vec = annVecPool(s, dir, None)._1
+    val vec = annVecPool(s, dir,
+      if (restrictVec) Some(docs.select("doc_id")) else None)._1
     val fw = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)
     kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -587,7 +615,8 @@ object Search extends QueryGroup {
     "search_phrase" -> (searchPhrase _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_hybrid_chunks" -> (searchHybridChunks _),
-    "pipeline_rag" -> (pipelineRag _)
+    "pipeline_rag" -> (pipelineRag _),
+    "pipeline_rag_chunks" -> (pipelineRagChunks _)
   )
 
   private val TermsValues: String =
@@ -668,6 +697,114 @@ object Search extends QueryGroup {
       SELECT query_id, rank, doc_id, rrf, kw_rank, vec_rank
       FROM final WHERE rank <= $TopK
       ORDER BY query_id, rank"""
+
+  /** The chunk-granularity hybrid oracle chain over a parameterizable
+    * base corpus CTE — `search_hybrid_chunks` instantiates it with the
+    * raw table, [[pipelineRagChunks]] with the gated+deduped base (and
+    * the vector arm id-joined to it): the SQL twin of
+    * [[hybridChunksOf]]'s one-definition discipline. */
+  private def hybridChunksOracleSql(baseSql: String, vecJoin: String): String = s"""
+      WITH base AS ($baseSql),
+      dd0 AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
+        FROM base),
+      chunks AS (
+        SELECT doc_id * 1048576 + (t.start // 48) AS doc_id,
+               array_to_string(w0[t.start + 1 : t.start + 64], ' ') AS text
+        FROM dd0, LATERAL unnest(range(0, len(w0), 48)) t(start)),
+      dd AS (
+        SELECT doc_id,
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
+               string_split(coalesce(text, ''), ' ') AS w
+        FROM chunks),
+      stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
+      post AS (
+        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+        WHERE term IN ($TermInList)
+        GROUP BY 1, 2, 3),
+      dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+      terms(query_id, term) AS (VALUES $TermsValues),
+      kwscored AS (
+        SELECT t.query_id, p.doc_id,
+               CAST(floor(($TermScoreSql) * 1e12) AS BIGINT) AS sq
+        FROM post p
+        JOIN dfreq USING (term) JOIN terms t USING (term) CROSS JOIN stats),
+      kwranked AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS ckey,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sum(sq) DESC, doc_id) AS BIGINT)
+                 AS chunk_rank
+        FROM kwscored GROUP BY query_id, doc_id),
+      kdedup AS (
+        SELECT query_id, ckey // 1048576 AS doc_id, ckey % 1048576 AS chunk_id,
+               chunk_rank,
+               ROW_NUMBER() OVER (PARTITION BY query_id, ckey // 1048576
+                                  ORDER BY chunk_rank) AS rn
+        FROM kwranked WHERE chunk_rank <= $RrfPoolK),
+      kw AS (
+        SELECT query_id, doc_id, chunk_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY chunk_rank) AS BIGINT) AS kw_rank
+        FROM kdedup WHERE rn = 1),
+      qv AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+      vd AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS vscore
+        FROM embeddings e$vecJoin, qv q
+        WHERE e.vec_id <> q.query_id),
+      vranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY vscore DESC, doc_id) AS BIGINT)
+                 AS vec_rank
+        FROM vd),
+      vec AS (SELECT * FROM vranked WHERE vec_rank <= $RrfPoolK),
+      fusedin AS (
+        SELECT coalesce(k.query_id, v.query_id) AS query_id,
+               coalesce(k.doc_id, v.doc_id) AS doc_id,
+               k.kw_rank, v.vec_rank, k.chunk_id
+        FROM kw k FULL OUTER JOIN vec v
+          ON k.query_id = v.query_id AND k.doc_id = v.doc_id),
+      fused AS (
+        SELECT query_id, doc_id, kw_rank, vec_rank, chunk_id,
+               ($RrfScoreSql) AS rrf
+        FROM fusedin),
+      final AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS BIGINT)
+                 AS rank,
+               doc_id, rrf,
+               CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+               CAST(coalesce(chunk_id, -1) AS BIGINT) AS chunk_id
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf, kw_rank, vec_rank, chunk_id
+      FROM final WHERE rank <= $TopK
+      ORDER BY query_id, rank"""
+
+  /** The curated-corpus base CTE — gate + exact dedup, the SQL twin of
+    * [[curatedDocs]], shared by BOTH RAG-capstone oracles so their
+    * membership cannot drift (mirrors TextOps' clean/quality SQL). */
+  private def CuratedBaseSql: String =
+    s"""SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+          ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id) AS rn
+        FROM (
+          SELECT doc_id, text, ct
+          FROM (SELECT doc_id, lang, text, ct, string_split(ct, ' ') AS cw
+                FROM (SELECT doc_id, lang, text, ${TextOps.sqlClean("text")} AS ct
+                      FROM documents))
+          WHERE lang IN ('en', 'de', 'fr') AND len(cw) >= 20
+            AND ${TextOps.sqlQuality("cw")} >= 0.4))
+      WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
     // the trigram prefilter is recall-lossless pruning (padded
@@ -753,105 +890,16 @@ object Search extends QueryGroup {
     // the chunk-level face: same BM25 chain over the exploded window
     // corpus, max-passage dedup, dense doc re-rank, same fusion —
     // every stage a mirror the document-level chain already uses
-    "search_hybrid_chunks" -> s"""
-      WITH dd0 AS (
-        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w0
-        FROM documents),
-      chunks AS (
-        SELECT doc_id * 1048576 + (t.start // 48) AS doc_id,
-               array_to_string(w0[t.start + 1 : t.start + 64], ' ') AS text
-        FROM dd0, LATERAL unnest(range(0, len(w0), 48)) t(start)),
-      dd AS (
-        SELECT doc_id,
-               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS dl,
-               string_split(coalesce(text, ''), ' ') AS w
-        FROM chunks),
-      stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dl) AS BIGINT) AS sum_dl FROM dd),
-      post AS (
-        SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
-        WHERE term IN ($TermInList)
-        GROUP BY 1, 2, 3),
-      dfreq AS (
-        SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
-      terms(query_id, term) AS (VALUES $TermsValues),
-      kwscored AS (
-        SELECT t.query_id, p.doc_id,
-               CAST(floor(($TermScoreSql) * 1e12) AS BIGINT) AS sq
-        FROM post p
-        JOIN dfreq USING (term) JOIN terms t USING (term) CROSS JOIN stats),
-      kwranked AS (
-        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS ckey,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY sum(sq) DESC, doc_id) AS BIGINT)
-                 AS chunk_rank
-        FROM kwscored GROUP BY query_id, doc_id),
-      kdedup AS (
-        SELECT query_id, ckey // 1048576 AS doc_id, ckey % 1048576 AS chunk_id,
-               chunk_rank,
-               ROW_NUMBER() OVER (PARTITION BY query_id, ckey // 1048576
-                                  ORDER BY chunk_rank) AS rn
-        FROM kwranked WHERE chunk_rank <= $RrfPoolK),
-      kw AS (
-        SELECT query_id, doc_id, chunk_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY chunk_rank) AS BIGINT) AS kw_rank
-        FROM kdedup WHERE rn = 1),
-      qv AS (
-        SELECT vec_id AS query_id, embedding AS qvec
-        FROM embeddings WHERE vec_id IN (1, 2, 3)),
-      vd AS (
-        SELECT q.query_id, e.vec_id AS doc_id,
-          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS vscore
-        FROM embeddings e, qv q
-        WHERE e.vec_id <> q.query_id),
-      vranked AS (
-        SELECT query_id, doc_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY vscore DESC, doc_id) AS BIGINT)
-                 AS vec_rank
-        FROM vd),
-      vec AS (SELECT * FROM vranked WHERE vec_rank <= $RrfPoolK),
-      fusedin AS (
-        SELECT coalesce(k.query_id, v.query_id) AS query_id,
-               coalesce(k.doc_id, v.doc_id) AS doc_id,
-               k.kw_rank, v.vec_rank, k.chunk_id
-        FROM kw k FULL OUTER JOIN vec v
-          ON k.query_id = v.query_id AND k.doc_id = v.doc_id),
-      fused AS (
-        SELECT query_id, doc_id, kw_rank, vec_rank, chunk_id,
-               ($RrfScoreSql) AS rrf
-        FROM fusedin),
-      final AS (
-        SELECT query_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY rrf DESC, doc_id) AS BIGINT)
-                 AS rank,
-               doc_id, rrf,
-               CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
-               CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
-               CAST(coalesce(chunk_id, -1) AS BIGINT) AS chunk_id
-        FROM fused)
-      SELECT query_id, rank, doc_id, rrf, kw_rank, vec_rank, chunk_id
-      FROM final WHERE rank <= $TopK
-      ORDER BY query_id, rank""",
+    "search_hybrid_chunks" ->
+      hybridChunksOracleSql("SELECT doc_id, text FROM documents", ""),
+    // the chunk chain over the gated+deduped base with the vector arm
+    // id-joined to it — pipeline_rag's base under search_hybrid_chunks'
+    // chain, both reused verbatim
+    "pipeline_rag_chunks" -> hybridChunksOracleSql(CuratedBaseSql,
+      " JOIN (SELECT doc_id FROM base) vb ON e.vec_id = vb.doc_id"),
     // the same hybrid chain over the gated+deduped base (shared gate /
     // dedup mirrors from TextOps), vector arm id-joined to the base
-    "pipeline_rag" -> hybridOracleSql(
-      s"""SELECT doc_id, text FROM (
-        SELECT doc_id, text,
-          ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id) AS rn
-        FROM (
-          SELECT doc_id, text, ct
-          FROM (SELECT doc_id, lang, text, ct, string_split(ct, ' ') AS cw
-                FROM (SELECT doc_id, lang, text, ${TextOps.sqlClean("text")} AS ct
-                      FROM documents))
-          WHERE lang IN ('en', 'de', 'fr') AND len(cw) >= 20
-            AND ${TextOps.sqlQuality("cw")} >= 0.4))
-      WHERE rn = 1""",
+    "pipeline_rag" -> hybridOracleSql(CuratedBaseSql,
       " JOIN (SELECT doc_id FROM base) vb ON e.vec_id = vb.doc_id"),
     "search_match_all" -> s"""
       WITH dd AS (

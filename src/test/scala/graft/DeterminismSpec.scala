@@ -248,7 +248,11 @@ class DeterminismSpec extends SparkSpec {
     "search_hybrid_chunks",
     // flushed IVF probe ∪ brute memtable arm union rank (collected θ
     // planning state must not leak layout)
-    "scan_sai_ann_memtable")
+    "scan_sai_ann_memtable",
+    // round-13: the passage-granularity capstone — curation gates +
+    // dedup window + chunk explode + both rank windows + fusion must
+    // hold on any layout
+    "pipeline_rag_chunks")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
