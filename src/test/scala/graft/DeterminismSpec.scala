@@ -252,7 +252,11 @@ class DeterminismSpec extends SparkSpec {
     // round-13: the passage-granularity capstone — curation gates +
     // dedup window + chunk explode + both rank windows + fusion must
     // hold on any layout
-    "pipeline_rag_chunks")
+    "pipeline_rag_chunks",
+    // base ∪ flushed-generation probe with the extra postings/bounds
+    // unioned into the planning relations — exactness must not depend
+    // on layout
+    "stream_ann_memtable")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

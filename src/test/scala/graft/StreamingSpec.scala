@@ -989,6 +989,112 @@ class StreamingSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+  test("vector memtable flush lifecycle: micro-batches flush into NEW ANN generations; restart does not re-flush; replay idempotent") {
+    // stream_ann_memtable's streaming side — the scan_sai_memtable
+    // flush discipline applied to the ANN layout: each micro-batch of
+    // arriving vectors flushes into a brand-new generation with ALL
+    // index artifacts (cell-partitioned data leaves under the
+    // persisted centroids, label postings, per-cell residual bounds)
+    // built at flush time, and the ONE exact probe answers over
+    // base ∪ flushed generations.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_flush").toString
+    val (root, segs, ckpt) = (s"$dir/layout", s"$dir/segments", s"$dir/ckpt")
+    val G = graft.operators.Scans.AnnFlushGenBase
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val emb = graft.core.Tables.embeddings(s, sf001)
+      val ten = pmod(col("vec_id"), lit(10))
+      graft.operators.Scans.buildAnnLayout(s, root,
+        emb.filter(ten =!= 3 && ten =!= 7))
+      // two arriving segments (the vector memtable contents)
+      emb.filter(ten === 3).coalesce(1).write.mode("append").parquet(segs)
+      emb.filter(ten === 7).coalesce(1).write.mode("append").parquet(segs)
+      val schema = s.read.parquet(segs).schema
+      def flush(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        graft.operators.Scans.annFlush(s, root, df, batchId)
+      def run(): Unit = {
+        q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(segs)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch(flush _).start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      def dataGens: List[String] = new java.io.File(s"$root/data").listFiles()
+        .map(_.getName).filter(_.startsWith("_gen=")).sorted.toList
+      assert(dataGens.contains(s"_gen=$G") && dataGens.contains(s"_gen=${G + 1}"),
+        s"flushed generations missing: $dataGens")
+      // the probe over base ∪ flushed generations is EXACT over the
+      // whole corpus — equals brute force
+      val qPred = col("vec_id") >= 10 && col("vec_id") < 15
+      def probe(extra: Seq[Long]): List[(Long, Long, Double, Int)] =
+        graft.operators.Scans.saiAnnSearch(s, sf001, labelSel = 0, k = 8,
+          qPred = qPred, rootOverride = Some(root), extraGens = extra)._1
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+          .toList
+      def brute(extraRows: org.apache.spark.sql.DataFrame): List[(Long, Long, Double, Int)] = {
+        val qv = emb.filter(qPred)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("vec_id").asc)
+        emb.unionByName(extraRows).filter(col("label") === 0)
+          .crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6)
+              .as("score"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toList.sorted
+      }
+      assert(probe(Seq(G, G + 1)).sorted == brute(emb.filter(lit(false))),
+        "probe over base + flushed generations must equal brute force")
+      // without the flushed generations the unflushed slices are
+      // invisible — the flush-time index build is what keeps reads
+      // complete
+      val baseOnlyIds = probe(Nil).map(_._2)
+      assert(baseOnlyIds.nonEmpty &&
+        baseOnlyIds.forall(v => v % 10 != 3 && v % 10 != 7),
+        "base-only probe must not see unflushed ids")
+      // restart over the same checkpoint with a third wave: exact
+      // TWINS of two query vectors under fresh ids — the old segments
+      // must NOT re-flush, the twins land in the next generation and
+      // surface at rank 1 with score 1.0 (unit-norm fixture)
+      val twins = emb.filter(col("vec_id").isin(10L, 11L))
+        .select((col("vec_id") + (1L << 40)).as("vec_id"),
+          col("embedding"), lit(0).as("label"))
+      twins.coalesce(1).write.mode("append").parquet(segs)
+      val posts0 = s.read.parquet(s"$root/idx_label_extra/_gen=$G").count()
+      run()
+      assert(s.read.parquet(s"$root/idx_label_extra/_gen=$G").count() == posts0,
+        "restart re-flushed an already-committed batch")
+      assert(dataGens.contains(s"_gen=${G + 2}"), s"third wave missing: $dataGens")
+      val got2 = probe(Seq(G, G + 1, G + 2))
+      for (qid <- Seq(10L, 11L)) {
+        val top = got2.filter(_._1 == qid).minBy(_._4)
+        assert(top._2 == qid + (1L << 40) && top._3 == 1.0,
+          s"planted twin of $qid not at rank 1: $top")
+      }
+      assert(got2.sorted == brute(twins),
+        "probe with twins must equal brute force over the grown corpus")
+      // replay idempotence: re-flushing the third batch (the crash
+      // replay) leaves the probe byte-identical — generation-keyed
+      // overwrite, not append
+      graft.operators.Scans.annFlush(s, root, twins, 2L)
+      assert(probe(Seq(G, G + 1, G + 2)) == got2, "replayed flush changed the read")
+    } finally {
+      if (q != null) q.stop()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("near-dup admission stream: file waves, in-stream index, restart, replay idempotent") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
