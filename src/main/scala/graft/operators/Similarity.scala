@@ -339,14 +339,18 @@ object Similarity extends QueryGroup {
     * frontier join that follows — both filters exist purely so the
     * round's IO is frontier-proportional, not edge-list-proportional
     * (PlanSpec pins numFiles < layout files). */
-  private[graft] def graphEdgesFor(s: SparkSession, root: String,
+  private[graft] def graphEdgesFor(graph: DataFrame,
       frontierIds: Array[Long]): DataFrame = {
     val buckets = frontierIds.map(id => (id % GraphBuckets).toInt).distinct
-    s.read.parquet(s"$root/graph")
+    graph
       .filter(col("src_bucket").isin(buckets.map(Int.box).toIndexedSeq: _*) &&
         col("src_id").isin(frontierIds.map(Long.box).toIndexedSeq: _*))
       .select("src_id", "dst_id")
   }
+
+  private[graft] def graphEdgesFor(s: SparkSession, root: String,
+      frontierIds: Array[Long]): DataFrame =
+    graphEdgesFor(s.read.parquet(s"$root/graph"), frontierIds)
 
   /** Graph-ANN beam search — bounded best-first exploration of the
     * persisted neighbor graph, the HNSW-family read re-expressed as
@@ -373,6 +377,12 @@ object Similarity extends QueryGroup {
       k: Int, beam: Int, rounds: Int,
       queries: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val root = graphAnnPath(s, dir)
+    // ONE read relation for all rounds: the bucketed layout's file
+    // listing happens once here; each round's frontier filter is a new
+    // plan over it, so partition/row-group pruning still applies
+    // per-round while the 64-directory listing cost does not recur
+    // (re-reading per round measurably dominated the toy-scale walk).
+    val graph = s.read.parquet(s"$root/graph")
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     // default probes = the 5 ids the IVF faces serve; callers may pass
     // any (query_id, qvec) relation — the INSERT path walks with the
@@ -402,13 +412,13 @@ object Similarity extends QueryGroup {
       expanded = expanded.unionByName(frontier).localCheckpoint()
       // Frontier ids are ≤ beam×queries — the same bounded driver
       // state the budget bound already carries — so collect them
-      // (cheap: the frontier is checkpointed) and push them into the
-      // edge scan; the round reads only frontier buckets, not the
-      // whole edge list (VERDICT r12 weak #1).
-      val frontierIds = frontier.select("vec_id").distinct()
-        .collect().map(_.getLong(0))
+      // (cheap: the frontier is checkpointed; dedup driver-side, a
+      // distinct() here would be one extra shuffle job per round) and
+      // push them into the edge scan; the round reads only frontier
+      // buckets, not the whole edge list (VERDICT r12 weak #1).
+      val frontierIds = frontier.collect().map(_.getLong(1)).distinct
       val cand = frontier
-        .join(graphEdgesFor(s, root, frontierIds),
+        .join(graphEdgesFor(graph, frontierIds),
           col("vec_id") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("vec_id"))
         .distinct()
