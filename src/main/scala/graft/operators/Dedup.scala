@@ -18,6 +18,16 @@ object Dedup extends QueryGroup {
 
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
+  /** Modulus of dedup_near's universal affine MinHash family — 2³¹−1
+    * (prime), so a_j·h < 2⁶² stays BIGINT-exact in Spark AND DuckDB. */
+  private val MinhashP = 2147483647L
+  /** (a_j, b_j) of component j — fixed multiplicative-hash constants,
+    * interpolated verbatim into the DuckDB oracle's `aff` VALUES so
+    * the two engines run the SAME family by construction. */
+  private val MinhashAffine: IndexedSeq[(Long, Long)] =
+    (0 until NumHashes).map(j =>
+      ((2654435761L * (j + 1)) % MinhashP,
+        (1013904223L * (j + 1)) % MinhashP)).toIndexedSeq
 
   /** Corpus + planted near-duplicate mutations — docs 0-19 copied
     * with the first word dropped, at `offset` ids (public: tests and
@@ -40,14 +50,17 @@ object Dedup extends QueryGroup {
     * only for the (few) candidates — arrays never ride through the
     * band shuffle.
     *
-    * Hash family: md5-relational-MIN — per-component hash = first 15
-    * hex chars (60 bits, positive in both engines) of
-    * md5(c ":" shingle), the [[dedupMinhashEval]] estimator
-    * discipline; band key = the comma-joined component string. Every
-    * step (signature, banding, collision join, exact verify) now
+    * Hash family: ONE md5 base hash per shingle (first 15 hex chars,
+    * 60 bits, positive in both engines, reduced mod P = 2³¹−1) fanned
+    * into [[NumHashes]] components by the classical universal affine
+    * family h_j = (a_j·h + b_j) mod P (Broder's minwise-via-universal
+    * construction — public knowledge; a_j·h < 2⁶² so BIGINT-safe in
+    * both engines); band key = the comma-joined component string.
+    * Every step (signature, banding, collision join, exact verify)
     * mirrors verbatim in DuckDB, so this face is HASH-EXACT, not just
-    * planted-recall-tested (VERDICT r12 next #5). Same shape and
-    * shuffle count as the xxhash64 form it replaces. */
+    * planted-recall-tested (VERDICT r12 next #5). One crypto hash per
+    * shingle, not one per (component, shingle): the 16-md5 form this
+    * replaces measured 4× slower at ×100 with identical shape. */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
     // Materialize the shingle arrays once: three downstream branches
     // (signature, both sides of the verify join) would otherwise each
@@ -59,9 +72,13 @@ object Dedup extends QueryGroup {
       .select("doc_id", "sh")
       .localCheckpoint()
     val exploded = base.select(col("doc_id"), explode(col("sh")).as("g"))
-    val aggs = (0 until NumHashes).map(j =>
-      min(conv(substring(md5(concat_ws(":", lit(j), col("g"))), 1, 15), 16, 10)
-        .cast("long")).as(s"mh$j"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(MinhashP)).as("h"))
+    val aggs = (0 until NumHashes).map { j =>
+      val (a, b) = MinhashAffine(j)
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"mh$j")
+    }
     val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
     val rows = NumHashes / Bands
@@ -1151,11 +1168,12 @@ object Dedup extends QueryGroup {
       FROM c
       WHERE greatest(c_ab, c_ba) > 0.1
       ORDER BY id_a, id_b""",
-    // Full MinHash-LSH mirror: md5-relational-MIN signature (the
-    // dedup_minhash_eval technique), comma-joined band keys, the
+    // Full MinHash-LSH mirror: one md5 base hash per shingle fanned
+    // into 16 components by the SAME affine family (constants
+    // interpolated from MinhashAffine), comma-joined band keys, the
     // per-band collision self-join, and the exact-Jaccard verify —
     // candidate generation included, bit-for-bit.
-    "dedup_near" -> """
+    "dedup_near" -> s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -1168,12 +1186,16 @@ object Dedup extends QueryGroup {
            FOR i IN range(1, len(w)-1)] AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
         WHERE len(w) >= 3),
+      aff(c, a, b) AS (VALUES ${MinhashAffine.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")}),
+      hx AS (
+        SELECT doc_id,
+          CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+            % $MinhashP AS h
+        FROM (SELECT doc_id, unnest(sh) AS g FROM sh)),
       sig AS (
-        SELECT doc_id, c,
-          MIN(CAST(concat('0x',
-            substring(md5(CAST(c AS VARCHAR) || ':' || g), 1, 15)) AS BIGINT))
-            AS minh
-        FROM (SELECT doc_id, unnest(sh) AS g FROM sh), range(0, 16) r(c)
+        SELECT doc_id, c, MIN((a * h + b) % $MinhashP) AS minh
+        FROM hx, aff
         GROUP BY doc_id, c),
       band AS (
         SELECT doc_id, c // 4 AS band_idx,
