@@ -84,6 +84,7 @@ object Bench {
       "scan_sai_ann", "scan_sai_range", "scan_sai_memtable",
       "backfill_partitioned", "join_dpp",
       "sim_topk_ivf", "sim_topk_ivf_pq", "sim_topk_pq_adc", "sim_index_delta",
+      "sim_pq_delta",
       "dedup_delta", "dedup_delta_near", "dedup_cluster",
       "tokenize_bpe_frozen", "tokenize_bpe_bytes", "tokenize_bpe_bytes_frozen",
       "tokenize_wordpiece_frozen", "sim_topk_graph", "scan_sai_ann_memtable",

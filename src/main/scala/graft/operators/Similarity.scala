@@ -1051,12 +1051,26 @@ object Similarity extends QueryGroup {
       val cents = s.read.parquet(ivfIndexPaths(s, dir)._1)
         .orderBy("cent_cell").collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-      val sample = Tables.embeddings(s, dir)
-        .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-        .orderBy("vec_id").limit(4096)
-        .select("embedding")
-        .collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      trainPqBooks(cents, pqSample(s, dir, lit(true)))
+    })
+
+  /** The bounded deterministic codebook-training sample over an
+    * embedding slice — the coarse quantizer's own sampling rule. */
+  private def pqSample(s: SparkSession, dir: String,
+      slicePred: Column): Array[Array[Double]] =
+    Tables.embeddings(s, dir)
+      .filter(slicePred && pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .orderBy("vec_id").limit(4096)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** The codebook-training body behind [[pqCodebooks]], reusable over
+    * any (coarse centroids, sample) pair — sim_pq_delta trains on the
+    * STANDING slice only (the frozen artifact a nightly ingest
+    * encodes against). */
+  private def trainPqBooks(cents: Array[Array[Double]],
+      sample: Array[Array[Double]]): IndexedSeq[IndexedSeq[Seq[Float]]] = {
       require(sample.nonEmpty, "PQ codebook training: sample is empty")
       val dim = sample.head.length
       require(dim % PqM == 0, s"dim $dim not divisible by m=$PqM")
@@ -1074,7 +1088,7 @@ object Similarity extends QueryGroup {
         lloydL2(residuals.map(_.slice(m * sub, (m + 1) * sub)), PqKs, iters = 4)
           .map(_.map(_.toFloat).toSeq).toIndexedSeq
       }.toIndexedSeq
-    })
+  }
 
   /** Per-(JVM, corpus) path of the TRUE product-quantization code
     * table: vec_id, cell (the standing IVF cells — PQ replaces the
@@ -1093,29 +1107,41 @@ object Similarity extends QueryGroup {
       val (centPath, assignPath) = ivfIndexPaths(s, dir)
       val books = pqCodebooks(s, dir)
       val path = RunId.scratchKeyed("pq_codes", cacheKey)
-      val sub = books.head.head.length
-      val centsLit = typedlit(s.read.parquet(centPath)
-        .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq)
-      // residual = embedding − coarse centroid of the row's cell (a
-      // 16-entry array-literal lookup, O(1) per row); then one argmin
-      // per subspace over broadcast-literal codebooks
-      val resid = zip_with(col("embedding"),
-        element_at(centsLit, col("cell").cast("int") + 1), (a, b) => a - b)
-      val codeCols = (0 until PqM).map { m =>
-        val rSlice = org.apache.spark.sql.functions.slice(
-          col("resid"), m * sub + 1, sub)
-        (-array_max(array(books(m).zipWithIndex.map { case (c, j) =>
-          val half = c.map(x => x.toDouble * x).sum / 2.0
-          struct((Vectors.fdot(rSlice, typedlit(c)).cast("double") - half)
-            .as("score"), lit(-j).as("negj"))
-        }: _*)).getField("negj")).cast("tinyint")
-      }
-      s.read.parquet(assignPath)
-        .withColumn("resid", resid)
-        .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+      val centsF = s.read.parquet(centPath)
+        .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
+      pqEncode(s.read.parquet(assignPath), centsF, books)
         .write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })
+  }
+
+  /** Encode any assigned (vec_id, cell, embedding) relation into PQ
+    * codes under FROZEN (coarse centroids, codebooks) — the ONE
+    * encode definition, shared by the full build ([[pqCodesPath]]),
+    * the standing build and the delta ingest ([[pqDeltaPaths]]), so
+    * stored codes cannot drift from what a re-encode would assign.
+    * Residual = embedding − coarse centroid of the row's cell (a
+    * 16-entry array-literal lookup, O(1) per row); then one argmin
+    * per subspace over broadcast-literal codebooks — row-local,
+    * whole-stage-codegen, no shuffle. */
+  private[graft] def pqEncode(assigned: DataFrame, centsF: Seq[Seq[Float]],
+      books: IndexedSeq[IndexedSeq[Seq[Float]]]): DataFrame = {
+    val sub = books.head.head.length
+    val resid = zip_with(col("embedding"),
+      element_at(typedlit(centsF), col("cell").cast("int") + 1),
+      (a, b) => a - b)
+    val codeCols = (0 until PqM).map { m =>
+      val rSlice = org.apache.spark.sql.functions.slice(
+        col("resid"), m * sub + 1, sub)
+      (-array_max(array(books(m).zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x.toDouble * x).sum / 2.0
+        struct((Vectors.fdot(rSlice, typedlit(c)).cast("double") - half)
+          .as("score"), lit(-j).as("negj"))
+      }: _*)).getField("negj")).cast("tinyint")
+    }
+    assigned
+      .withColumn("resid", resid)
+      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
   }
 
   /** IVF + true product quantization with asymmetric-distance lookup —
@@ -1192,6 +1218,94 @@ object Similarity extends QueryGroup {
       .filter(col("rk") <= 10)
       .select("query_id", "vec_id", "score", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  private val pqDeltaDirs = new graft.core.BuildOnce[String, (String, String)]
+
+  /** PQ code assignment on INGEST under frozen artifacts — the
+    * index-maintenance face of [[simTopkPqAdc]], completing the
+    * compression tier's lifecycle the way [[simIndexDelta]] (IVF
+    * append) and sim_graph_delta (graph insert) do for theirs: the
+    * coarse quantizer AND the subspace codebooks are trained ONCE on
+    * the standing corpus slice (vec_id % 10 < 8) and PERSISTED (the
+    * tokenize_*_frozen artifact discipline); the nightly delta batch
+    * (% 10 ≥ 8) is encoded by the SAME [[pqEncode]] definition against
+    * the stored artifacts — encode-only, no retrain, no touch of the
+    * standing code files — and appended as new files under the
+    * matching cell partitions. At 100 TB the nightly cost is
+    * delta-sized: one row-local codegen encode scan plus one
+    * partitioned append; codebooks stay 4 KB of driver state. */
+  private[graft] def pqDeltaPaths(s: SparkSession, dir: String): (String, String) = {
+    val cacheKey = ivfCacheKey(s, dir)
+    pqDeltaDirs.getOrElseUpdate(cacheKey, {
+      val (centPath, assignPath) = ivfDeltaPaths(s, dir)
+      val booksPath = RunId.scratchKeyed("pq_delta_books", cacheKey)
+      val codesPath = RunId.scratchKeyed("pq_delta_codes", cacheKey)
+      val centsF = s.read.parquet(centPath)
+        .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
+      val books = trainPqBooks(centsF.map(_.map(_.toDouble).toArray).toArray,
+        pqSample(s, dir, pmod(col("vec_id"), lit(10)) < 8))
+      // persist the frozen artifact: (subspace, code, centroid) rows —
+      // what a nightly ingest job loads instead of retraining
+      s.createDataFrame(for { m <- 0 until PqM; j <- 0 until PqKs }
+          yield (m, j, books(m)(j)))
+        .toDF("m", "j", "cent")
+        .coalesce(1).write.mode("overwrite").parquet(booksPath)
+      val assigned = s.read.parquet(assignPath)
+      val standing = pmod(col("vec_id"), lit(10)) < 8
+      pqEncode(assigned.filter(standing), centsF, books)
+        .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+      // the delta ingest: encode-only under the frozen artifacts
+      pqEncode(assigned.filter(!standing), centsF, books)
+        .write.mode("append").partitionBy("cell").parquet(codesPath)
+      (booksPath, codesPath)
+    })
+  }
+
+  /** The drift audit over the merged (standing + delta) PQ code table
+    * — the read every production PQ ingest runs before trusting
+    * frozen codebooks on new data: per cell and per arm, row counts
+    * and the mean reconstruction error ‖resid − decode(codes)‖² (the
+    * quantity PQ training minimizes; a delta distribution the frozen
+    * books no longer fit shows up as err_delta ≫ err_corpus and
+    * triggers the nightly retrain). One scan of the code table joined
+    * to the float vectors, domain-sized output. Declared no-oracle
+    * (cells/codes are engine-defined, like every IVF face);
+    * DedupSimilaritySpec pins losslessness, encode idempotence under
+    * the persisted artifact, and the drift bound. */
+  def simPqDelta(s: SparkSession, dir: String): DataFrame = {
+    val (booksPath, codesPath) = pqDeltaPaths(s, dir)
+    val (centPath, assignPath) = ivfDeltaPaths(s, dir)
+    val books: IndexedSeq[IndexedSeq[Seq[Float]]] =
+      s.read.parquet(booksPath).orderBy("m", "j").collect()
+        .groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toIndexedSeq)
+    val sub = books.head.head.length
+    val centsF = s.read.parquet(centPath)
+      .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
+    val resid = zip_with(col("embedding"),
+      element_at(typedlit(centsF), col("cell").cast("int") + 1),
+      (a, b) => a - b)
+    val errCols = (0 until PqM).map { m =>
+      val rs = org.apache.spark.sql.functions.slice(
+        col("resid"), m * sub + 1, sub)
+      val dec = element_at(typedlit(books(m).map(_.toSeq)),
+        element_at(col("codes"), m + 1).cast("int") + 1)
+      val diff = zip_with(rs, dec, (a, b) => a - b)
+      Vectors.fdot(diff, diff).cast("double")
+    }
+    s.read.parquet(codesPath)
+      .join(s.read.parquet(assignPath).select("vec_id", "embedding"), "vec_id")
+      .withColumn("resid", resid)
+      .withColumn("err", errCols.reduce(_ + _))
+      .withColumn("is_delta", pmod(col("vec_id"), lit(10)) >= 8)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        round(avg(when(!col("is_delta"), col("err"))), 6).as("err_corpus"),
+        round(avg(when(col("is_delta"), col("err"))), 6).as("err_delta"))
+      .orderBy("cell")
   }
 
   /** Per-vector calibrated symmetric int8 quantization — the storage
@@ -1694,6 +1808,7 @@ object Similarity extends QueryGroup {
     "sim_graph_delta" -> (simGraphDelta _),
     "sim_topk_ivf_pq" -> (simTopkIvfPq _),
     "sim_topk_pq_adc" -> (simTopkPqAdc _),
+    "sim_pq_delta" -> (simPqDelta _),
     "sim_index_delta" -> (simIndexDelta _),
     "dedup_embed" -> (dedupEmbed _)
   )

@@ -246,6 +246,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dim * 4 == 8 * 32, s"dim $dim: expected 8 code bytes vs ${dim * 4} float bytes (32x)")
   }
 
+  test("sim_pq_delta: frozen-book delta encode is lossless, idempotent, and drift-bounded") {
+    val s = spark
+    val rows = SparkEntry.queries("sim_pq_delta")(s, sf001).collect()
+    // lossless merge: every vector is coded exactly once
+    val nTotal = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(nTotal == graft.core.Tables.embeddings(s, sf001).count(),
+      s"code table carries $nTotal rows")
+    assert(rows.map(_.getLong(2)).sum > 0, "no delta rows coded")
+    // drift bound: same-distribution delta must reconstruct in the
+    // corpus error class under the FROZEN books (weighted means)
+    def wmean(nIdx: Int, eIdx: Int): Double = {
+      val picked = rows.filter(r => r.getLong(nIdx) > 0 && !r.isNullAt(eIdx))
+      picked.map(r => r.getDouble(eIdx) * r.getLong(nIdx)).sum /
+        picked.map(_.getLong(nIdx)).sum
+    }
+    val (ec, ed) = (wmean(1, 3), wmean(2, 4))
+    assert(ec > 0 && ed > 0, s"degenerate reconstruction errors: $ec / $ed")
+    assert(ed <= 3 * ec, s"frozen-book drift: delta err $ed vs corpus err $ec")
+    // idempotence: re-encoding the delta slice against the PERSISTED
+    // artifacts reproduces the stored delta codes byte-for-byte (the
+    // crash-replay / backfill property)
+    val (booksPath, codesPath) = graft.operators.Similarity.pqDeltaPaths(s, sf001)
+    val stored = s.read.parquet(codesPath)
+      .filter(pmod(col("vec_id"), lit(10)) >= 8)
+      .select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val books = s.read.parquet(booksPath).orderBy("m", "j").collect()
+      .groupBy(_.getInt(0)).toIndexedSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toIndexedSeq)
+    val centsF = s.read.parquet(
+        graft.operators.Similarity.ivfDeltaPaths(s, sf001)._1)
+      .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
+    val re = graft.operators.Similarity.pqEncode(
+        s.read.parquet(graft.operators.Similarity.ivfDeltaPaths(s, sf001)._2)
+          .filter(pmod(col("vec_id"), lit(10)) >= 8), centsF, books)
+      .select("vec_id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(re == stored, "re-encode under the persisted artifacts diverged")
+  }
+
   test("sim_threshold_lsh agrees with the exact bounded kernel (subset + recall)") {
     // exact all-pairs over vec_id < 300 is the ground-truth anchor
     val exact = SparkEntry.queries("sim_threshold")(spark, sf001)
