@@ -119,11 +119,23 @@ object Dedup extends QueryGroup {
     * overflow). Same 32 767 slice cap ⇒ the 16-bit packed counters
     * stay carry-free. */
   private[graft] def simhashSignatureMd5(base: DataFrame): DataFrame = {
+    // Bit extraction is ONCE per row, before the aggregate: two hex
+    // parses (chars 1–8 and 9–16 of the digest as 32-bit groups), then
+    // the 8 chunk columns by shift-mask — chunk i is hex pair
+    // (2i+1, 2i+2), i.e. byte (3 − i mod 4) of its big-endian group,
+    // the identity the DuckDB mirror's per-pair CAST states directly.
+    // Inlining the parse into the 16 packed aggregate columns instead
+    // evaluated it up to 8× per chunk per row (measured +20 s at ×100).
+    val chunkCols = (0 until 8).map { i =>
+      val grp = conv(substring(col("_h"), 8 * (i / 4) + 1, 8), 16, 10)
+        .cast("long")
+      shiftright(grp, 8 * (3 - i % 4)).bitwiseAND(lit(0xFFL)).as(s"_c$i")
+    }
     val exploded = base
       .select(col("doc_id"), explode(slice(col("sh"), 1, 32767)).as("_s"))
       .select(col("doc_id"), md5(col("_s")).as("_h"))
-    def chunk(i: Int) =
-      conv(substring(col("_h"), 2 * i + 1, 2), 16, 10).cast("long")
+      .select(col("doc_id") +: chunkCols: _*)
+    def chunk(i: Int) = col(s"_c$i")
     // p_{i,g} packs counters for bits 4g..4g+3 of chunk i at 16-bit
     // offsets (the simhashSignature packing, two longs per chunk)
     val packedCols = for { i <- 0 until 8; g <- 0 until 2 } yield
