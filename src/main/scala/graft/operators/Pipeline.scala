@@ -238,10 +238,72 @@ object Pipeline extends QueryGroup {
           x => x.cast("string")), ",")).as("ids_md5"))
       .orderBy("shard")
 
+  /** SFT chat-template rendering with assistant-only loss-mask spans —
+    * the step between curation and packing every instruction-tuning
+    * pipeline runs (render turns into ONE training string, mask the
+    * loss to assistant content): conversations are derived
+    * deterministically from the corpus (6-doc groups: turn 0 system,
+    * odd turns user, even turns assistant; the trailing user turn is
+    * dropped — SFT keeps only assistant-supervised suffixes, so every
+    * conversation ends on supervision and carries TWO assistant spans,
+    * the multi-turn masking case), each turn truncated to its first
+    * 12 words; rendering is `<|role|> content…` segments space-joined
+    * in turn order, so MASK OFFSETS ARE WORD POSITIONS — exact by
+    * construction, the whitespace-token convention every pack/count
+    * face in this engine uses (a tokenizer's offset mapping composes
+    * downstream). Per conversation: the rendered string's md5 (pins
+    * the exact rendering without a kilobyte text column), total words,
+    * masked fraction; one OUTPUT ROW PER ASSISTANT SPAN with
+    * 1-indexed inclusive (mask_start, mask_end) covering content only
+    * (role markers are never supervised). Shape: two keyed windows +
+    * one aggregate on conv_id — co-partitioned, corpus-linear, no
+    * driver state. Fully SQL-expressible ⇒ hash-exact oracle. */
+  def sftRender(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 1)
+      .select(expr("doc_id div 6").as("conv_id"),
+        pmod(col("doc_id"), lit(6)).cast("int").as("turn_idx"),
+        graft.functions.Text.words(col("text")).as("w"))
+      .filter(col("turn_idx") <= 4)
+      .withColumn("role",
+        when(col("turn_idx") === 0, lit("system"))
+          .when(pmod(col("turn_idx"), lit(2)) === 1, lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("kept", slice(col("w"), 1, 12))
+      .withColumn("seg_words", (size(col("kept")) + 1).cast("long"))
+      .withColumn("seg", concat(lit("<|"), col("role"), lit("|> "),
+        array_join(col("kept"), " ")))
+    val wOrd = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val off = t
+      .withColumn("cum", sum("seg_words").over(wOrd) - col("seg_words"))
+      .withColumn("conv_words",
+        sum("seg_words").over(Window.partitionBy("conv_id")))
+    val conv = off.groupBy("conv_id").agg(
+      md5(array_join(transform(
+        array_sort(collect_list(struct(
+          col("turn_idx").as("a"), col("seg").as("b")))),
+        x => x.getField("b")), " ")).as("render_md5"),
+      round(sum(when(col("role") === "assistant", col("seg_words") - 1L)
+        .otherwise(0L)).cast("double") / max("conv_words"), 6).as("mask_frac"))
+    val wSpan = Window.partitionBy("conv_id").orderBy("turn_idx")
+    off.filter(col("role") === "assistant")
+      .withColumn("span_idx", row_number().over(wSpan).cast("long"))
+      .select(col("conv_id"), col("span_idx"),
+        (col("cum") + 2L).as("mask_start"),
+        (col("cum") + col("seg_words")).as("mask_end"),
+        col("conv_words"))
+      .join(conv, "conv_id")
+      .select("conv_id", "span_idx", "mask_start", "mask_end",
+        "conv_words", "mask_frac", "render_md5")
+      .orderBy("conv_id", "span_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
     "pipeline_sft" -> (pipelineSft _),
-    "pipeline_multimodal" -> (pipelineMultimodal _)
+    "pipeline_multimodal" -> (pipelineMultimodal _),
+    "sft_render" -> (sftRender _)
   )
 
   /** pipeline_pretrain has no SQL form (semantic dedup candidates are
@@ -281,6 +343,49 @@ object Pipeline extends QueryGroup {
         MIN(clip_score) AS min_clip, MAX(clip_score) AS max_clip,
         md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
       FROM sh GROUP BY shard ORDER BY shard""",
+    // the full render restated: same turn derivation, same truncation,
+    // same `<|role|> ` segments, same running word offsets — the
+    // rendered string is pinned through its md5
+    "sft_render" -> """
+      WITH t AS (
+        SELECT doc_id // 6 AS conv_id,
+          CAST(doc_id % 6 AS INTEGER) AS turn_idx,
+          CASE WHEN doc_id % 6 = 0 THEN 'system'
+               WHEN doc_id % 6 % 2 = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          string_split(text, ' ')[1:12] AS kept
+        FROM documents
+        WHERE len(text) >= 1 AND doc_id % 6 <= 4),
+      seg AS (
+        SELECT conv_id, turn_idx, role,
+          CAST(len(kept) + 1 AS BIGINT) AS seg_words,
+          '<|' || role || '|> ' || array_to_string(kept, ' ') AS seg
+        FROM t),
+      off AS (
+        SELECT *,
+          CAST(SUM(seg_words) OVER w - seg_words AS BIGINT) AS cum,
+          CAST(SUM(seg_words) OVER (PARTITION BY conv_id) AS BIGINT)
+            AS conv_words
+        FROM seg
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      conv AS (
+        SELECT conv_id,
+          md5(string_agg(seg, ' ' ORDER BY turn_idx)) AS render_md5,
+          ROUND(CAST(SUM(CASE WHEN role = 'assistant' THEN seg_words - 1
+                              ELSE 0 END) AS DOUBLE) / MAX(conv_words), 6)
+            AS mask_frac
+        FROM off GROUP BY conv_id),
+      sp AS (
+        SELECT conv_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS span_idx,
+          cum + 2 AS mask_start, cum + seg_words AS mask_end, conv_words
+        FROM off WHERE role = 'assistant')
+      SELECT s.conv_id, s.span_idx, s.mask_start, s.mask_end,
+        s.conv_words, c.mask_frac, c.render_md5
+      FROM sp s JOIN conv c USING (conv_id)
+      ORDER BY conv_id, span_idx""",
     "pipeline_sft" -> """
       WITH RECURSIVE d AS (
         SELECT doc_id, source, n_chars, lang, text,

@@ -256,7 +256,10 @@ class DeterminismSpec extends SparkSpec {
     // base ∪ flushed-generation probe with the extra postings/bounds
     // unioned into the planning relations — exactness must not depend
     // on layout
-    "stream_ann_memtable")
+    "stream_ann_memtable",
+    // running word offsets from two stacked conv_id windows + the
+    // order-sensitive render md5 — must hold on any layout
+    "sft_render")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
