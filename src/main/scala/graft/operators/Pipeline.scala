@@ -299,54 +299,69 @@ object Pipeline extends QueryGroup {
       .orderBy("conv_id", "span_idx")
   }
 
+  /** Sequence length of the SFT packing face — chosen BELOW the max
+    * rendered conversation length (≤ 66 words) so the fixture provably
+    * exercises the boundary-tear path at any scale; production uses
+    * the model's context length, same arithmetic. */
+  private val SftSeqLen = 48
+
+  /** Loss masks SURVIVING sequence packing — the composition most
+    * SFT pipelines get wrong: [[sftRender]]'s word-offset assistant
+    * spans are remapped through the SAME prefix-sum packing placement
+    * [[TextOps.packFrom]] gives pack_sequences (at [[SftSeqLen]]),
+    * into sequence-local coordinates, TORN at sequence boundaries
+    * exactly like pack_attention_spans tears documents: a span
+    * covering global words [gs, ge] lands in sequences
+    * (gs−1) div L .. (ge−1) div L (≤ 2 parts here since a
+    * conversation is shorter than 2L), each part clamped to its
+    * sequence and re-based 1-indexed. One row per (span, part) —
+    * what a training loader actually consumes to build the loss mask
+    * of each packed sequence. Spans explode output-sized, never
+    * quadratic; everything rides the conv_id/shard keys. Fully
+    * SQL-expressible ⇒ hash-exact: the oracle embeds the sft_render
+    * chain verbatim under the pack mirror. */
+  def sftPackMasked(s: SparkSession, dir: String): DataFrame = {
+    val L = SftSeqLen
+    val spans = sftRender(s, dir)
+    val packed = TextOps.packFrom(
+      spans.select("conv_id", "conv_words").distinct().select(
+        col("conv_id").as("doc_id"),
+        pmod(col("conv_id"), lit(8)).as("shard"),
+        col("conv_words").as("n_tokens")), L)
+    spans
+      .join(packed.select(col("doc_id").as("conv_id"), col("shard"),
+        col("tok_start")), "conv_id")
+      .withColumn("gs", col("tok_start") + col("mask_start"))
+      .withColumn("ge", col("tok_start") + col("mask_end"))
+      .withColumn("s_from", expr(s"(gs - 1) div $L"))
+      .withColumn("s_to", expr(s"(ge - 1) div $L"))
+      .withColumn("seq_in_shard", explode(sequence(col("s_from"), col("s_to"))))
+      .withColumn("part", (col("seq_in_shard") - col("s_from")).cast("long"))
+      .withColumn("loss_start",
+        greatest(col("gs"), col("seq_in_shard") * L + 1) - col("seq_in_shard") * L)
+      .withColumn("loss_end",
+        least(col("ge"), (col("seq_in_shard") + 1) * L) - col("seq_in_shard") * L)
+      .select("shard", "seq_in_shard", "conv_id", "span_idx", "part",
+        "loss_start", "loss_end")
+      .orderBy("shard", "seq_in_shard", "conv_id", "span_idx", "part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
     "pipeline_sft" -> (pipelineSft _),
     "pipeline_multimodal" -> (pipelineMultimodal _),
-    "sft_render" -> (sftRender _)
+    "sft_render" -> (sftRender _),
+    "sft_pack_masked" -> (sftPackMasked _)
   )
 
   /** pipeline_pretrain has no SQL form (semantic dedup candidates are
     * engine-defined; BPE is iterative) — PipelineSpec carries its
     * correctness burden. pipeline_sft composes only SQL-expressible
     * stages, so its oracle chains the stage mirrors verbatim. */
-  val oracles: Map[String, String] = Map(
-    // the stage mirrors chained verbatim: the clip float-mirror, the
-    // shared re-encode + per-bit pHash CTEs, the md5 shard manifest
-    "pipeline_multimodal" -> s"""
-      WITH clip AS (
-        SELECT e.vec_id // 2 AS doc_id,
-          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-            i -> CAST(e.embedding[i] * o.embedding[i] AS DOUBLE)), 'sum'), 6)
-            AS clip_score
-        FROM embeddings e JOIN embeddings o ON o.vec_id = e.vec_id + 1
-        WHERE e.vec_id % 2 = 0),
-      items AS (
-        SELECT d.doc_id, d.text, c.clip_score
-        FROM documents d JOIN clip c USING (doc_id)
-        WHERE c.clip_score >= 0.1),
-      feed AS (
-        SELECT doc_id, text, clip_score FROM items
-        UNION ALL
-        SELECT doc_id + 1099511627776 AS doc_id,
-          ${Multimodal.sqlReencode("text")} AS text, clip_score
-        FROM items WHERE doc_id < 20),
-      ${Multimodal.sqlPhashCtes},
-      dropped AS (SELECT DISTINCT id_b AS doc_id FROM hpairs),
-      sh AS (
-        SELECT CAST(concat('0x', substring(md5(concat_ws(':', '42',
-            CAST(f.doc_id AS VARCHAR))), 1, 4)) AS INTEGER) % 8 AS shard,
-          f.doc_id, f.clip_score
-        FROM feed f
-        WHERE f.doc_id NOT IN (SELECT doc_id FROM dropped))
-      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_items,
-        MIN(clip_score) AS min_clip, MAX(clip_score) AS max_clip,
-        md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
-      FROM sh GROUP BY shard ORDER BY shard""",
-    // the full render restated: same turn derivation, same truncation,
-    // same `<|role|> ` segments, same running word offsets — the
-    // rendered string is pinned through its md5
-    "sft_render" -> """
+  /** The sft_render chain as a reusable fragment: sft_pack_masked
+    * embeds it verbatim under the pack mirror, so the two faces'
+    * span semantics cannot drift. */
+  private val SftRenderOracle: String = """
       WITH t AS (
         SELECT doc_id // 6 AS conv_id,
           CAST(doc_id % 6 AS INTEGER) AS turn_idx,
@@ -385,7 +400,70 @@ object Pipeline extends QueryGroup {
       SELECT s.conv_id, s.span_idx, s.mask_start, s.mask_end,
         s.conv_words, c.mask_frac, c.render_md5
       FROM sp s JOIN conv c USING (conv_id)
-      ORDER BY conv_id, span_idx""",
+      ORDER BY conv_id, span_idx"""
+
+  val oracles: Map[String, String] = Map(
+    // the stage mirrors chained verbatim: the clip float-mirror, the
+    // shared re-encode + per-bit pHash CTEs, the md5 shard manifest
+    "pipeline_multimodal" -> s"""
+      WITH clip AS (
+        SELECT e.vec_id // 2 AS doc_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * o.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS clip_score
+        FROM embeddings e JOIN embeddings o ON o.vec_id = e.vec_id + 1
+        WHERE e.vec_id % 2 = 0),
+      items AS (
+        SELECT d.doc_id, d.text, c.clip_score
+        FROM documents d JOIN clip c USING (doc_id)
+        WHERE c.clip_score >= 0.1),
+      feed AS (
+        SELECT doc_id, text, clip_score FROM items
+        UNION ALL
+        SELECT doc_id + 1099511627776 AS doc_id,
+          ${Multimodal.sqlReencode("text")} AS text, clip_score
+        FROM items WHERE doc_id < 20),
+      ${Multimodal.sqlPhashCtes},
+      dropped AS (SELECT DISTINCT id_b AS doc_id FROM hpairs),
+      sh AS (
+        SELECT CAST(concat('0x', substring(md5(concat_ws(':', '42',
+            CAST(f.doc_id AS VARCHAR))), 1, 4)) AS INTEGER) % 8 AS shard,
+          f.doc_id, f.clip_score
+        FROM feed f
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM dropped))
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_items,
+        MIN(clip_score) AS min_clip, MAX(clip_score) AS max_clip,
+        md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_md5
+      FROM sh GROUP BY shard ORDER BY shard""",
+    // the full render restated: same turn derivation, same truncation,
+    // same `<|role|> ` segments, same running word offsets — the
+    // rendered string is pinned through its md5
+    "sft_render" -> SftRenderOracle,
+    // the render chain embedded VERBATIM under the pack mirror
+    // (pack_sequences' sharded prefix sum at the SFT sequence length),
+    // then the boundary-tear arithmetic stated directly
+    "sft_pack_masked" -> s"""
+      WITH r AS (SELECT * FROM ($SftRenderOracle)),
+      convs AS (
+        SELECT DISTINCT conv_id, conv_words, conv_id % 8 AS shard FROM r),
+      p AS (
+        SELECT conv_id, shard,
+          CAST(SUM(conv_words) OVER (PARTITION BY shard ORDER BY conv_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - conv_words
+            AS BIGINT) AS tok_start
+        FROM convs),
+      g AS (
+        SELECT r.conv_id, r.span_idx, p.shard,
+          p.tok_start + r.mask_start AS gs, p.tok_start + r.mask_end AS ge
+        FROM r JOIN p USING (conv_id)),
+      e AS (
+        SELECT *, (gs - 1) // 48 AS s_from, (ge - 1) // 48 AS s_to FROM g)
+      SELECT shard, t.s AS seq_in_shard, conv_id, span_idx,
+        CAST(t.s - s_from AS BIGINT) AS part,
+        GREATEST(gs, t.s * 48 + 1) - t.s * 48 AS loss_start,
+        LEAST(ge, (t.s + 1) * 48) - t.s * 48 AS loss_end
+      FROM e, LATERAL (SELECT unnest(range(s_from, s_to + 1)) AS s) t
+      ORDER BY shard, seq_in_shard, conv_id, span_idx, part""",
     "pipeline_sft" -> """
       WITH RECURSIVE d AS (
         SELECT doc_id, source, n_chars, lang, text,

@@ -273,12 +273,14 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
 
   /** Shared packing kernel over (doc_id, shard, n_tokens): sharded
-    * prefix sums → (sequence id, offset) placement. Used by both the
-    * whitespace-proxy [[packSequences]] and the BPE-real
-    * [[packSequencesBpe]], so the two stay boundary-compatible. */
-  private def packFrom(base: DataFrame): DataFrame = {
+    * prefix sums → (sequence id, offset) placement. Used by the
+    * whitespace-proxy [[packSequences]], the BPE-real
+    * [[packSequencesBpe]], and (at the SFT face's sequence length)
+    * [[Pipeline.sftPackMasked]], so all three stay
+    * boundary-compatible. */
+  private[operators] def packFrom(base: DataFrame,
+      seqLen: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seqLen = 2048
     val byShard = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base

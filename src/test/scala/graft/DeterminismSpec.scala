@@ -259,7 +259,10 @@ class DeterminismSpec extends SparkSpec {
     "stream_ann_memtable",
     // running word offsets from two stacked conv_id windows + the
     // order-sensitive render md5 — must hold on any layout
-    "sft_render")
+    "sft_render",
+    // the render spans remapped through the sharded prefix-sum pack +
+    // the boundary-tear explode — placement must hold on any layout
+    "sft_pack_masked")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -67,6 +67,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.sameElements(manifest.map(_.toString).sorted))
   }
 
+  test("sft_pack_masked: spans tear at sequence boundaries and reassemble exactly") {
+    val spans = SparkEntry.queries("sft_render")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val parts = SparkEntry.queries("sft_pack_masked")(spark, sf001).collect()
+    val L = 48L
+    // every part is 1-indexed inside its sequence and non-empty
+    assert(parts.forall(r => r.getLong(5) >= 1 && r.getLong(6) <= L &&
+      r.getLong(5) <= r.getLong(6)), "part outside its sequence")
+    // the tear path is exercised by construction (L < max conv length)
+    assert(parts.exists(_.getLong(4) == 1L),
+      "no torn span — the boundary case is unexercised")
+    // torn parts reassemble: per (conv, span), covered words == width
+    val widths = parts.groupBy(r => (r.getLong(2), r.getLong(3)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getLong(6) - r.getLong(5) + 1).sum }
+    assert(widths.keySet == spans.keySet, "span set drifted through packing")
+    assert(widths.forall { case (k, w) => w == spans(k)._2 - spans(k)._1 + 1 },
+      "torn parts do not cover their span exactly")
+  }
+
   test("pipeline_sft manifest conserves the independently-derived survivor set") {
     import graft.core.Tables
     import graft.functions.Text
