@@ -346,12 +346,86 @@ object Pipeline extends QueryGroup {
       .orderBy("shard", "seq_in_shard", "conv_id", "span_idx", "part")
   }
 
+  /** DPO preference-pair construction — the data-prep step every
+    * direct-preference-optimization run needs between curation and
+    * training: pair a shared prompt with a CHOSEN and a REJECTED
+    * response, render both through the SAME chat template sft_render
+    * uses, and emit the response-only loss-mask bounds for each
+    * rendering (DPO masks the log-prob sums to response tokens on
+    * both sequences). Pairs are derived deterministically from
+    * 4-document groups (slot 0 system, slot 1 user prompt, slots 2–3
+    * the two candidate responses; groups missing a slot are dropped —
+    * a pair needs all four faces). Preference = the engine's
+    * composite quality kernel ([[TextOps.qualityCol]], the
+    * text_quality score) over each candidate's FULL word array — the
+    * rendered response is the 12-word-truncated segment, scored
+    * quality is the whole document, the asymmetry a real reward-model
+    * proxy has. Ties prefer slot 2 (the `>=`), so chosen/rejected is
+    * total. One row per pair: docs on both sides, the score margin,
+    * the shared prompt width, response mask bounds for both
+    * renderings (mask_start is shared — same prompt), and both
+    * rendered strings pinned through md5. Shape: one corpus-linear
+    * pass, ONE aggregate on pair_id (conditional slot pivot — no
+    * joins, no windows); at 100 TB the only shuffle carries one row
+    * per document keyed by pair_id. Fully SQL-expressible ⇒
+    * hash-exact oracle restating the render and the preference rule
+    * verbatim. */
+  def pipelineDpo(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 1)
+      .select(expr("doc_id div 4").as("pair_id"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("slot"),
+        col("doc_id"),
+        graft.functions.Text.words(col("text")).as("w"))
+      .withColumn("role",
+        when(col("slot") === 0, lit("system"))
+          .when(col("slot") === 1, lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("kept", slice(col("w"), 1, 12))
+      .withColumn("seg_words", (size(col("kept")) + 1).cast("long"))
+      .withColumn("seg", concat(lit("<|"), col("role"), lit("|> "),
+        array_join(col("kept"), " ")))
+      .withColumn("q", round(TextOps.qualityCol(col("w")), 6))
+    val g = t.groupBy("pair_id").agg(
+      count(lit(1)).as("n"),
+      max(when(col("slot") === 0, col("seg"))).as("sys_seg"),
+      max(when(col("slot") === 1, col("seg"))).as("usr_seg"),
+      sum(when(col("slot") <= 1, col("seg_words"))).as("prompt_words"),
+      max(when(col("slot") === 2, col("seg"))).as("a_seg"),
+      max(when(col("slot") === 2, col("seg_words"))).as("a_words"),
+      max(when(col("slot") === 2, col("q"))).as("a_q"),
+      max(when(col("slot") === 2, col("doc_id"))).as("a_doc"),
+      max(when(col("slot") === 3, col("seg"))).as("b_seg"),
+      max(when(col("slot") === 3, col("seg_words"))).as("b_words"),
+      max(when(col("slot") === 3, col("q"))).as("b_q"),
+      max(when(col("slot") === 3, col("doc_id"))).as("b_doc")
+    ).filter(col("n") === 4)
+    val chooseA = col("a_q") >= col("b_q")
+    g.select(
+      col("pair_id"),
+      when(chooseA, col("a_doc")).otherwise(col("b_doc")).as("chosen_doc"),
+      when(chooseA, col("b_doc")).otherwise(col("a_doc")).as("rejected_doc"),
+      round(abs(col("a_q") - col("b_q")), 6).as("margin"),
+      col("prompt_words"),
+      (col("prompt_words") + 2L).as("mask_start"),
+      (col("prompt_words") +
+        when(chooseA, col("a_words")).otherwise(col("b_words"))).as("chosen_mask_end"),
+      (col("prompt_words") +
+        when(chooseA, col("b_words")).otherwise(col("a_words"))).as("rejected_mask_end"),
+      md5(concat_ws(" ", col("sys_seg"), col("usr_seg"),
+        when(chooseA, col("a_seg")).otherwise(col("b_seg")))).as("chosen_md5"),
+      md5(concat_ws(" ", col("sys_seg"), col("usr_seg"),
+        when(chooseA, col("b_seg")).otherwise(col("a_seg")))).as("rejected_md5"))
+      .orderBy("pair_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
     "pipeline_sft" -> (pipelineSft _),
     "pipeline_multimodal" -> (pipelineMultimodal _),
     "sft_render" -> (sftRender _),
-    "sft_pack_masked" -> (sftPackMasked _)
+    "sft_pack_masked" -> (sftPackMasked _),
+    "pipeline_dpo" -> (pipelineDpo _)
   )
 
   /** pipeline_pretrain has no SQL form (semantic dedup candidates are
@@ -510,6 +584,57 @@ object Pipeline extends QueryGroup {
         CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         md5(string_agg(CAST(doc_id AS VARCHAR), ','
           ORDER BY n_tokens DESC, doc_id)) AS docs_md5
-      FROM f GROUP BY shard, bin ORDER BY shard, bin"""
+      FROM f GROUP BY shard, bin ORDER BY shard, bin""",
+    // the render + preference rule restated verbatim: same 4-slot
+    // derivation, same 12-word truncation and <|role|> segments, the
+    // quality kernel over the FULL word array, ties to slot 2
+    "pipeline_dpo" -> s"""
+      WITH t AS (
+        SELECT doc_id // 4 AS pair_id,
+          CAST(doc_id % 4 AS INTEGER) AS slot, doc_id,
+          string_split(text, ' ') AS w
+        FROM documents WHERE len(text) >= 1),
+      seg AS (
+        SELECT pair_id, slot, doc_id,
+          CASE WHEN slot = 0 THEN 'system'
+               WHEN slot = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          w[1:12] AS kept,
+          CAST(len(w[1:12]) + 1 AS BIGINT) AS seg_words,
+          ROUND(${TextOps.sqlQuality("w")}, 6) AS q
+        FROM t),
+      seg2 AS (
+        SELECT *, '<|' || role || '|> ' || array_to_string(kept, ' ') AS seg
+        FROM seg),
+      g AS (
+        SELECT pair_id, COUNT(*) AS n,
+          MAX(CASE WHEN slot = 0 THEN seg END) AS sys_seg,
+          MAX(CASE WHEN slot = 1 THEN seg END) AS usr_seg,
+          CAST(SUM(CASE WHEN slot <= 1 THEN seg_words END) AS BIGINT)
+            AS prompt_words,
+          MAX(CASE WHEN slot = 2 THEN seg END) AS a_seg,
+          MAX(CASE WHEN slot = 2 THEN seg_words END) AS a_words,
+          MAX(CASE WHEN slot = 2 THEN q END) AS a_q,
+          MAX(CASE WHEN slot = 2 THEN doc_id END) AS a_doc,
+          MAX(CASE WHEN slot = 3 THEN seg END) AS b_seg,
+          MAX(CASE WHEN slot = 3 THEN seg_words END) AS b_words,
+          MAX(CASE WHEN slot = 3 THEN q END) AS b_q,
+          MAX(CASE WHEN slot = 3 THEN doc_id END) AS b_doc
+        FROM seg2 GROUP BY pair_id HAVING COUNT(*) = 4)
+      SELECT pair_id,
+        CASE WHEN a_q >= b_q THEN a_doc ELSE b_doc END AS chosen_doc,
+        CASE WHEN a_q >= b_q THEN b_doc ELSE a_doc END AS rejected_doc,
+        ROUND(ABS(a_q - b_q), 6) AS margin,
+        prompt_words,
+        prompt_words + 2 AS mask_start,
+        prompt_words + (CASE WHEN a_q >= b_q THEN a_words ELSE b_words END)
+          AS chosen_mask_end,
+        prompt_words + (CASE WHEN a_q >= b_q THEN b_words ELSE a_words END)
+          AS rejected_mask_end,
+        md5(sys_seg || ' ' || usr_seg || ' ' ||
+          (CASE WHEN a_q >= b_q THEN a_seg ELSE b_seg END)) AS chosen_md5,
+        md5(sys_seg || ' ' || usr_seg || ' ' ||
+          (CASE WHEN a_q >= b_q THEN b_seg ELSE a_seg END)) AS rejected_md5
+      FROM g ORDER BY pair_id"""
   )
 }

@@ -111,6 +111,43 @@ class PipelineSpec extends SparkSpec {
     assert(nDocs > 0 && nDocs < 500, s"funnel passed $nDocs of 500 docs")
     assert(sft.length < nDocs, "every doc got its own bin — fold not folding")
   }
+  test("pipeline_dpo: preference agrees with standalone text_quality and masks bound the response") {
+    val dpo = graft.operators.Pipeline.pipelineDpo(spark, sf001)
+    val q = graft.operators.TextOps.textQuality(spark, sf001)
+      .select(col("doc_id"), col("quality_score"))
+    // the preference RULE re-checked against the standalone operator:
+    // chosen quality >= rejected quality, pair for pair
+    val joined = dpo
+      .join(q.select(col("doc_id").as("chosen_doc"),
+        col("quality_score").as("cq")), "chosen_doc")
+      .join(q.select(col("doc_id").as("rejected_doc"),
+        col("quality_score").as("rq")), "rejected_doc")
+    assert(joined.filter(col("cq") < col("rq")).count() == 0,
+      "a pair prefers the lower-quality candidate")
+    val rows = dpo.collect()
+    assert(rows.nonEmpty, "no complete 4-doc groups at sf0.001+")
+    // pair count = complete 4-slot groups, recomputed from the corpus
+    val expected = graft.core.Tables.documents(spark, sf001)
+      .filter(length(col("text")) >= 1)
+      .groupBy(expr("doc_id div 4")).count()
+      .filter(col("count") === 4).count()
+    assert(rows.length == expected,
+      s"${rows.length} pairs vs $expected complete groups")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") >= 0.0, "negative margin")
+      assert(r.getAs[Long]("mask_start") ==
+        r.getAs[Long]("prompt_words") + 2, "mask_start != prompt + marker")
+      assert(r.getAs[Long]("chosen_mask_end") >= r.getAs[Long]("mask_start"),
+        "chosen span empty")
+      assert(r.getAs[Long]("rejected_mask_end") >= r.getAs[Long]("mask_start"),
+        "rejected span empty")
+      assert(r.getAs[Long]("chosen_doc") != r.getAs[Long]("rejected_doc"))
+    }
+    // the two renderings actually differ somewhere (the md5 pins bite)
+    assert(rows.exists(r => r.getAs[String]("chosen_md5") !=
+      r.getAs[String]("rejected_md5")), "all pairs rendered identically")
+  }
+
   test("pipeline_multimodal manifest conserves the independently-derived kept set") {
     import org.apache.spark.sql.functions._
     import graft.core.Tables
