@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.expressions.Window
 import graft.core.{Num, Tables}
 import graft.functions.WeightedAvg
 
@@ -748,8 +749,67 @@ object Aggregates extends QueryGroup {
           .as("cramers_v"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the distribution-shape
+    * member of the stats family ([[statsTtest]] compares means, this
+    * compares the WHOLE empirical CDF): D = sup over values of
+    * |F_A(v) − F_N(v)| between the 'A' and 'N' l_returnflag
+    * populations on l_extendedprice, plus the scaled statistic
+    * λ = D·√(n₁n₂/(n₁+n₂)) and the α=0.05 decision against the
+    * asymptotic critical value 1.358·√((n₁+n₂)/n₁n₂).
+    *
+    * Shape at scale: ONE corpus aggregate to the (distinct value)
+    * relation with per-population counts; the running CDFs come from
+    * the two-phase bucketed rank ([[Shards.orderedFrom]] discipline) —
+    * values bucket by the FIXED price domain (v div 1000, ≤ ~115
+    * buckets at any SF), per-bucket totals collect driver-side
+    * (bounded planning state, the gated-collect class), scanLeft
+    * offsets broadcast back, and the within-bucket cumulative runs
+    * under `Window.partitionBy(bucket)` — no single-partition
+    * exchange anywhere. The sup and its location reduce the
+    * distinct-value relation twice (max, then min value attaining
+    * it); CDF ratios are integer-over-integer doubles, so the whole
+    * face is hash-exact against DuckDB's plain windowed mirror. */
+  def statsKs(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val pv = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_returnflag").as("g"), Num.d2(col("l_extendedprice")).as("v"))
+      .groupBy("v").agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("c2"))
+      .withColumn("b", floor(col("v") / 1000).cast("int"))
+    val counts = pv.groupBy("b")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .lazyZip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .lazyZip(counts.map(_._3).scanLeft(0L)(_ + _))
+      .toSeq
+    val n1 = counts.map(_._2).sum.toDouble
+    val n2 = counts.map(_._3).sum.toDouble
+    val byB = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = pv
+      .join(broadcast(offsets.toDF("b", "off1", "off2")), "b")
+      .withColumn("k1", col("off1") + sum("c1").over(byB))
+      .withColumn("k2", col("off2") + sum("c2").over(byB))
+      .withColumn("dv", abs(col("k1").cast("double") / n1 -
+        col("k2").cast("double") / n2))
+    val m = d.agg(max("dv").as("dmax"))
+    d.join(m, col("dv") === col("dmax"))
+      .agg(min("v").as("at_value"), max("dmax").as("dm"))
+      .select(
+        lit(n1.toLong).as("n1"), lit(n2.toLong).as("n2"),
+        round(col("dm"), 6).as("d_stat"),
+        col("at_value"),
+        round(col("dm") * sqrt(lit(n1) * n2 / (n1 + n2)), 6).as("ks_lambda"),
+        round(lit(1.358) * sqrt(lit(n1 + n2) / (n1 * n2)), 6).as("crit_05"),
+        (col("dm") > lit(1.358) * sqrt(lit(n1 + n2) / (n1 * n2))).as("reject_05"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
+    "stats_ks" -> (statsKs _),
     "stats_ttest" -> (statsTtest _),
     "stats_anova" -> (statsAnova _),
     "stats_chi2" -> (statsChi2 _),
@@ -857,6 +917,41 @@ object Aggregates extends QueryGroup {
       FROM a ORDER BY l_returnflag""",
     // identical decimal moments, identical left-associated double
     // arithmetic — bit-exact on both engines
+    // plain windowed CDF mirror of the two-phase bucketed rank: the
+    // cumulative counts are identical integers, the ratios
+    // integer-over-integer doubles, the sup location tie-broken to
+    // the smallest value in both engines
+    "stats_ks" -> """
+      WITH li AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+      pv AS (
+        SELECT v,
+          SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS c1,
+          SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS c2
+        FROM li GROUP BY v),
+      n AS (
+        SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+               CAST(SUM(c2) AS DOUBLE) AS n2 FROM pv),
+      c AS (
+        SELECT v,
+          SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS k1,
+          SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS k2
+        FROM pv),
+      d AS (
+        SELECT v, ABS(CAST(k1 AS DOUBLE) / n.n1
+                    - CAST(k2 AS DOUBLE) / n.n2) AS dv
+        FROM c, n),
+      m AS (SELECT MAX(dv) AS dm FROM d),
+      a AS (SELECT MIN(v) AS at_value FROM d, m WHERE d.dv = m.dm)
+      SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+        ROUND(m.dm, 6) AS d_stat, a.at_value,
+        ROUND(m.dm * sqrt(n.n1 * n.n2 / (n.n1 + n.n2)), 6) AS ks_lambda,
+        ROUND(1.358 * sqrt((n.n1 + n.n2) / (n.n1 * n.n2)), 6) AS crit_05,
+        m.dm > 1.358 * sqrt((n.n1 + n.n2) / (n.n1 * n.n2)) AS reject_05
+      FROM n, m, a""",
     "stats_ttest" -> """
       WITH m AS (
         SELECT l_returnflag AS g,

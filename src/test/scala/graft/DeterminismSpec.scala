@@ -262,7 +262,13 @@ class DeterminismSpec extends SparkSpec {
     "sft_render",
     // the render spans remapped through the sharded prefix-sum pack +
     // the boundary-tear explode — placement must hold on any layout
-    "sft_pack_masked")
+    "sft_pack_masked",
+    // conditional-pivot aggregate + quality-kernel preference rule —
+    // chosen/rejected assignment must hold on any layout
+    "pipeline_dpo",
+    // driver-collected bucket offsets + within-bucket CDF windows +
+    // the sup/argmax reduction — must hold on any layout
+    "stats_ks")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
