@@ -807,9 +807,72 @@ object Aggregates extends QueryGroup {
         (col("dm") > lit(1.358) * sqrt(lit(n1 + n2) / (n1 * n2))).as("reject_05"))
   }
 
+  /** Mergeable DETERMINISTIC quantile summaries — the quantile face
+    * of the [[aggSketchMerge]] incremental-aggregation pattern (HLL
+    * answers distinct counts; this answers percentiles) with a
+    * provable rank-error bound instead of a probabilistic one: each
+    * data-defined shard (ship month) keeps every k-th value of its
+    * sorted population plus its max, each sample carrying its EXACT
+    * in-shard rank (a GK-style ε-summary with ε = k/n_s — public
+    * knowledge, Greenwald–Khanna 2001). A quantile query touches only
+    * the merged summaries, never the corpus: the per-sample rank
+    * increments accumulate across shards in value order, giving every
+    * sample a lower bound L on its global rank that undercounts by
+    * < k per shard, so answering rank target t with the first sample
+    * at L ≥ t is within (k−1)·shards ranks of exact — the err_bound
+    * column, asserted tight-side in KernelSpec against the exact
+    * ranks.
+    *
+    * Shape at scale: summaries build under shard-partitioned windows
+    * (corpus-linear, no global sort); the merge runs entirely on the
+    * sketch-sized sample relation — its cross-shard cumulative uses
+    * the same two-phase bucketed rank as [[statsKs]] (fixed price
+    * buckets, driver-collected offsets), no single-partition
+    * exchange. In production k scales with n_s so the summary is
+    * fixed-size per shard and the nightly job persists one summary
+    * row-group per shard, merged at query time. Every step is
+    * rank-arithmetic on exact integers ⇒ hash-exact. */
+  def aggQuantileMerge(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val k = 50
+    val base = Tables.lineitem(s, dir).select(
+      date_format(col("l_shipdate"), "yyyy-MM").as("shard"),
+      Num.d2(col("l_extendedprice")).as("v"))
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard").orderBy("v")).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("shard")))
+    val samples = ranked
+      .filter(col("rn") % k === 0 || col("rn") === col("ns"))
+      .withColumn("incr", col("rn") - coalesce(lag("rn", 1).over(
+        Window.partitionBy("shard").orderBy("rn")), lit(0L)))
+      .withColumn("b", floor(col("v") / 1000).cast("int"))
+      .select("shard", "rn", "v", "incr", "b")
+      .cache()
+    val counts = samples.groupBy("b").agg(sum("incr").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val n = counts.map(_._2).sum
+    val nShards = samples.select("shard").distinct().count()
+    val byB = Window.partitionBy("b").orderBy("v", "shard", "rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = samples
+      .join(broadcast(offsets.toDF("b", "off")), "b")
+      .withColumn("lrank", col("off") + sum("incr").over(byB))
+    val qt = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      .map(q => (q, math.ceil(q * n).toLong)).toDF("q", "target_rank")
+    merged.join(broadcast(qt), col("lrank") >= col("target_rank"))
+      .groupBy("q", "target_rank").agg(min("v").as("est"))
+      .select(col("q"), col("target_rank"), col("est"),
+        lit(n).as("n"), lit(nShards).as("n_shards"),
+        lit((k - 1) * nShards).as("err_bound"))
+      .orderBy("q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
     "stats_ks" -> (statsKs _),
+    "agg_quantile_merge" -> (aggQuantileMerge _),
     "stats_ttest" -> (statsTtest _),
     "stats_anova" -> (statsAnova _),
     "stats_chi2" -> (statsChi2 _),
@@ -917,6 +980,45 @@ object Aggregates extends QueryGroup {
       FROM a ORDER BY l_returnflag""",
     // identical decimal moments, identical left-associated double
     // arithmetic — bit-exact on both engines
+    // summaries + merge restated verbatim on plain windows: sample
+    // (rank, value) pairs are tie-insensitive (the value AT a rank is
+    // well-defined under ORDER BY v even when row_number tie
+    // assignment differs), increments/cumulatives are exact integers
+    "agg_quantile_merge" -> """
+      WITH base AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS shard,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        FROM lineitem),
+      ranked AS (
+        SELECT shard, v,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT) AS ns
+        FROM base),
+      samples AS (
+        SELECT shard, rn, v FROM ranked WHERE rn % 50 = 0 OR rn = ns),
+      inc AS (
+        SELECT shard, rn, v,
+          rn - COALESCE(LAG(rn) OVER (PARTITION BY shard ORDER BY rn),
+            0) AS incr
+        FROM samples),
+      lw AS (
+        SELECT shard, rn, v,
+          SUM(incr) OVER (ORDER BY v, shard, rn ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS lrank
+        FROM inc),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+      sh AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS ns FROM base),
+      qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+        AS DOUBLE) AS q),
+      qt AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS target_rank
+        FROM qs, n)
+      SELECT qt.q, qt.target_rank, MIN(lw.v) AS est,
+        n.n AS n, sh.ns AS n_shards,
+        CAST(49 * sh.ns AS BIGINT) AS err_bound
+      FROM qt, lw, n, sh WHERE lw.lrank >= qt.target_rank
+      GROUP BY qt.q, qt.target_rank, n.n, sh.ns
+      ORDER BY qt.q""",
     // plain windowed CDF mirror of the two-phase bucketed rank: the
     // cumulative counts are identical integers, the ratios
     // integer-over-integer doubles, the sup location tie-broken to

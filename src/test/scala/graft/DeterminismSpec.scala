@@ -268,7 +268,10 @@ class DeterminismSpec extends SparkSpec {
     "pipeline_dpo",
     // driver-collected bucket offsets + within-bucket CDF windows +
     // the sup/argmax reduction — must hold on any layout
-    "stats_ks")
+    "stats_ks",
+    // shard-partitioned stride sampling + the merged rank cumulative —
+    // sample (rank, value) pairs and estimates must hold on any layout
+    "agg_quantile_merge")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -981,6 +981,29 @@ class KernelSpec extends SparkSpec {
       "confirmed report diverges from the exact contamination set")
   }
 
+  test("agg_quantile_merge: every estimate honors the (k-1)*shards rank-error guarantee") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("agg_quantile_merge")(spark, sf001).collect()
+    assert(est.length == 6, "one row per declared quantile")
+    val vals = graft.core.Tables.lineitem(spark, sf001)
+      .select(graft.core.Num.d2(col("l_extendedprice")).as("v"))
+    vals.cache()
+    est.foreach { r =>
+      val t = r.getAs[Long]("target_rank")
+      val e = r.getAs[java.math.BigDecimal]("est")
+      val bound = r.getAs[Long]("err_bound")
+      // two-sided guarantee against EXACT ranks: the estimate's true
+      // rank reaches the target, and the count strictly below it
+      // cannot overshoot the target by the advertised bound
+      val le = vals.filter(col("v") <= lit(e)).count()
+      val lt = vals.filter(col("v") < lit(e)).count()
+      assert(le >= t, s"rank(est)=$le below target $t at q=${r.getDouble(0)}")
+      assert(lt < t + bound,
+        s"est overshoots: $lt strictly-below vs target $t + bound $bound")
+    }
+    vals.unpersist()
+  }
+
   test("chunkCorpus windows are exactly the windows chunk_documents digests") {
     import org.apache.spark.sql.functions._
     // no-drift pin between the retrieval corpus (search_hybrid_chunks)
