@@ -608,7 +608,53 @@ object Search extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Late-interaction multi-vector scoring (the ColBERT MaxSim family
+    * — public knowledge: Khattab & Zaharia 2020): a document is a BAG
+    * of token vectors, not one pooled vector, and relevance is
+    * Σ over query tokens of the max dot product against any document
+    * token — fine-grained term matching that single-vector cosine
+    * blurs away. Fixture convention: 4 consecutive embedding rows
+    * form one multi-vector doc (`vec_id div 4`), the first two docs
+    * are the queries. This face is the EXACT kernel (the sim_topk
+    * discipline — brute force IS the oracle); the scale path runs
+    * each query token through the persisted IVF probe and MaxSim-
+    * reduces over retrieved candidates only, exactly as the hybrid
+    * vector arm rides scan_sai_ann.
+    *
+    * Float discipline: per-pair dots round to 6 dp (the fdot
+    * float-mirror), the per-query-token maxima sum as DECIMAL(38,6)
+    * (order-free — the stats_anova quantized-term discipline), so the
+    * whole face is hash-exact. Shape: query tokens broadcast (8
+    * rows), one corpus-linear pass over doc tokens, two keyed
+    * aggregates + the per-query top-k window — no shuffle carries
+    * more than (docs × query tokens) rows. */
+  def searchMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.embeddings(s, dir)
+      .select(expr("vec_id div 4").as("doc"),
+        pmod(col("vec_id"), lit(4)).cast("int").as("tok"),
+        col("embedding"))
+    val q = tok.filter(col("doc") < 2)
+      .select(col("doc").as("query_doc"), col("tok").as("q_tok"),
+        col("embedding").as("qvec"))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tok.crossJoin(broadcast(q))
+      .filter(col("doc") =!= col("query_doc"))
+      .withColumn("dot",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .groupBy(col("query_doc"), col("doc").as("doc_id"), col("q_tok"))
+      .agg(max("dot").as("m"))
+      .groupBy("query_doc", "doc_id")
+      .agg(round(sum(col("m").cast("decimal(38,6)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select("query_doc", "doc_id", "score", "rk")
+      .orderBy("query_doc", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_maxsim" -> (searchMaxsim _),
     "search_fuzzy" -> (searchFuzzy _),
     "search_bm25" -> (searchBm25 _),
     "search_match_all" -> (searchMatchAll _),
@@ -807,6 +853,36 @@ object Search extends QueryGroup {
       WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
+    // the MaxSim reduction stated directly: the fdot float-mirror per
+    // pair, 6-dp rounding, per-query-token MAX, DECIMAL(38,6)
+    // order-free sum of the maxima
+    "search_maxsim" -> """
+      WITH tok AS (
+        SELECT vec_id // 4 AS doc, CAST(vec_id % 4 AS INTEGER) AS tok,
+          embedding
+        FROM embeddings),
+      q AS (
+        SELECT doc AS query_doc, tok AS q_tok, embedding AS qvec
+        FROM tok WHERE doc < 2),
+      d AS (
+        SELECT q.query_doc, t.doc AS doc_id, q.q_tok,
+          MAX(ROUND(list_aggregate(list_transform(
+            range(1, len(t.embedding) + 1),
+            i -> CAST(t.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6))
+            AS m
+        FROM tok t, q WHERE t.doc <> q.query_doc
+        GROUP BY q.query_doc, t.doc, q.q_tok),
+      sc AS (
+        SELECT query_doc, doc_id,
+          ROUND(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+        FROM d GROUP BY query_doc, doc_id),
+      r AS (
+        SELECT query_doc, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_doc
+                             ORDER BY score DESC, doc_id ASC) AS rk
+        FROM sc)
+      SELECT query_doc, doc_id, score, rk FROM r WHERE rk <= 8
+      ORDER BY query_doc, rk""",
     // the trigram prefilter is recall-lossless pruning (padded
     // boundaries) — the end-to-end answer is the plain edit-distance
     // scan over the vocabulary, stated directly

@@ -1058,4 +1058,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(uf) == rows(pre),
       "under-filled probe diverges from the exact pre-fetch answer")
   }
+
+  test("search_maxsim equals a from-scratch Scala MaxSim over the raw vectors") {
+    // independent reimplementation: same float-multiply/double-accumulate
+    // kernel, same 6-dp roundings, plain Scala collections throughout
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.core.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val byDoc = vecs.groupBy(_._1 / 4).view.mapValues(_.values.toSeq).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      // float multiply, double accumulate — the fdot kernel verbatim
+      while (i < a.length) { s += (a(i) * b(i)).toDouble; i += 1 }
+      s
+    }
+    val expected = (for {
+      qd <- Seq(0L, 1L); (d, toks) <- byDoc if d != qd
+    } yield {
+      val score = BigDecimal(byDoc(qd).map(qv =>
+        BigDecimal(r6(toks.map(tv => r6(dot(tv, qv))).max))).sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (qd, d, score)
+    }).groupBy(_._1).flatMap { case (qd, ss) =>
+      ss.sortBy(t => (-t._3, t._2)).take(8).zipWithIndex
+        .map { case ((_, d, sc), i) => (qd, d, sc, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("search_maxsim")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3).toLong))
+      .toSet
+    assert(got == expected,
+      s"maxsim diverges: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+  }
 }

@@ -271,7 +271,10 @@ class DeterminismSpec extends SparkSpec {
     "stats_ks",
     // shard-partitioned stride sampling + the merged rank cumulative —
     // sample (rank, value) pairs and estimates must hold on any layout
-    "agg_quantile_merge")
+    "agg_quantile_merge",
+    // two stacked aggregates (per-token max, decimal maxima sum) +
+    // the top-k window — must hold on any layout
+    "search_maxsim")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
