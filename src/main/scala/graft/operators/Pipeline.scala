@@ -419,13 +419,54 @@ object Pipeline extends QueryGroup {
       .orderBy("pair_id")
   }
 
+  /** Right-to-be-forgotten COMPACTION over the packed training layout
+    * — the GDPR-article-17 face every training-data pipeline needs
+    * and most bolt on too late: when a deletion request lands, the
+    * tombstoned conversations must leave the packed shards, and every
+    * surviving conversation placed after a hole SHIFTS DOWN in its
+    * shard — this face is the write-amplification audit a forget job
+    * plans its rewrites from. Tombstones are a deterministic
+    * conversation slice (conv % 23 = 5 — the deletion-request batch);
+    * placement before and after comes from the SAME [[TextOps.
+    * packFrom]] prefix-sum the SFT pack runs (at [[SftSeqLen]]), so
+    * forget semantics CANNOT drift from pack semantics. One row per
+    * affected conversation: `purge` rows (the holes, new placement
+    * NULL) and `move` rows (old → new token start); untouched
+    * conversations — everything placed before the first hole of its
+    * shard — are suppressed, because the job rewrites nothing there.
+    * Shape: the render aggregate + two shard-keyed prefix sums + one
+    * conv-keyed join; corpus-linear, no driver state. Fully
+    * SQL-expressible ⇒ hash-exact (render chain + both placements
+    * restated under the pack mirror). */
+  def pipelineForget(s: SparkSession, dir: String): DataFrame = {
+    val convs = sftRender(s, dir).select("conv_id", "conv_words").distinct()
+      .select(col("conv_id").as("doc_id"),
+        pmod(col("conv_id"), lit(8)).as("shard"),
+        col("conv_words").as("n_tokens"))
+    val before = TextOps.packFrom(convs, SftSeqLen)
+      .select(col("doc_id"), col("shard"),
+        col("tok_start").as("old_tok_start"))
+    val after = TextOps.packFrom(convs.filter(!(col("doc_id") % 23 === 5)),
+        SftSeqLen)
+      .select(col("doc_id"), col("tok_start").as("new_tok_start"))
+    before.join(after, Seq("doc_id"), "left")
+      .withColumn("action",
+        when(col("new_tok_start").isNull, lit("purge"))
+          .when(col("new_tok_start") =!= col("old_tok_start"), lit("move"))
+          .otherwise(lit("keep")))
+      .filter(col("action") =!= "keep")
+      .select("action", "shard", "doc_id", "old_tok_start", "new_tok_start")
+      .orderBy("shard", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
     "pipeline_sft" -> (pipelineSft _),
     "pipeline_multimodal" -> (pipelineMultimodal _),
     "sft_render" -> (sftRender _),
     "sft_pack_masked" -> (sftPackMasked _),
-    "pipeline_dpo" -> (pipelineDpo _)
+    "pipeline_dpo" -> (pipelineDpo _),
+    "pipeline_forget" -> (pipelineForget _)
   )
 
   /** pipeline_pretrain has no SQL form (semantic dedup candidates are
@@ -585,6 +626,34 @@ object Pipeline extends QueryGroup {
         md5(string_agg(CAST(doc_id AS VARCHAR), ','
           ORDER BY n_tokens DESC, doc_id)) AS docs_md5
       FROM f GROUP BY shard, bin ORDER BY shard, bin""",
+    // the render chain + BOTH placements (full and tombstone-filtered)
+    // restated under the pack mirror; the action tri-state and the
+    // keep-suppression stated directly
+    "pipeline_forget" -> s"""
+      WITH r AS (SELECT * FROM ($SftRenderOracle)),
+      convs AS (
+        SELECT DISTINCT conv_id AS doc_id, conv_id % 8 AS shard,
+          conv_words AS n_tokens FROM r),
+      b AS (
+        SELECT doc_id, shard,
+          CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+            AS BIGINT) AS old_tok_start
+        FROM convs),
+      a AS (
+        SELECT doc_id,
+          CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+            AS BIGINT) AS new_tok_start
+        FROM convs WHERE doc_id % 23 <> 5),
+      j AS (
+        SELECT b.doc_id, b.shard, b.old_tok_start, a.new_tok_start,
+          CASE WHEN a.doc_id IS NULL THEN 'purge'
+               WHEN a.new_tok_start <> b.old_tok_start THEN 'move'
+               ELSE 'keep' END AS action
+        FROM b LEFT JOIN a ON a.doc_id = b.doc_id)
+      SELECT action, shard, doc_id, old_tok_start, new_tok_start
+      FROM j WHERE action <> 'keep' ORDER BY shard, doc_id""",
     // the render + preference rule restated verbatim: same 4-slot
     // derivation, same 12-word truncation and <|role|> segments, the
     // quality kernel over the FULL word array, ties to slot 2

@@ -274,7 +274,10 @@ class DeterminismSpec extends SparkSpec {
     "agg_quantile_merge",
     // two stacked aggregates (per-token max, decimal maxima sum) +
     // the top-k window — must hold on any layout
-    "search_maxsim")
+    "search_maxsim",
+    // two shard-keyed prefix sums + the action tri-state join — hole
+    // and shift placement must hold on any layout
+    "pipeline_forget")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -148,6 +148,40 @@ class PipelineSpec extends SparkSpec {
       r.getAs[String]("rejected_md5")), "all pairs rendered identically")
   }
 
+  test("pipeline_forget: holes match the tombstone slice and every move shifts down") {
+    val rows = graft.operators.Pipeline.pipelineForget(spark, sf001).collect()
+    assert(rows.nonEmpty, "no affected conversations — tombstone slice empty")
+    val (purged, moved) = rows.partition(_.getAs[String]("action") == "purge")
+    // every hole is a tombstoned conversation and vice versa
+    purged.foreach(r => assert(r.getAs[Long]("doc_id") % 23 == 5,
+      s"purged conv ${r.getAs[Long]("doc_id")} is not in the tombstone slice"))
+    val convs = graft.operators.Pipeline.sftRender(spark, sf001)
+      .select("conv_id").distinct().collect().map(_.getLong(0))
+    assert(purged.length == convs.count(_ % 23 == 5),
+      "purge rows != tombstoned conversations present in the render")
+    moved.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 23 != 5,
+        "a tombstoned conversation survived as a move")
+      assert(r.getAs[Long]("new_tok_start") < r.getAs[Long]("old_tok_start"),
+        "a move shifted up — compaction can only close holes")
+    }
+    // shift arithmetic: a survivor's shift equals the tokens of the
+    // holes placed before it in its shard
+    val holes = purged.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("old_tok_start"))).toSeq
+    val widths = graft.operators.Pipeline.sftRender(spark, sf001)
+      .select("conv_id", "conv_words").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    moved.foreach { r =>
+      val expectedShift = holes.collect {
+        case (sh, d, _) if sh == r.getAs[Long]("shard") &&
+          d < r.getAs[Long]("doc_id") => widths(d)
+      }.sum
+      assert(r.getAs[Long]("old_tok_start") - r.getAs[Long]("new_tok_start")
+        == expectedShift, s"wrong shift for conv ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("pipeline_multimodal manifest conserves the independently-derived kept set") {
     import org.apache.spark.sql.functions._
     import graft.core.Tables
