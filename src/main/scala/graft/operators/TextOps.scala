@@ -1445,6 +1445,69 @@ object TextOps extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-family evaluation — the "which tokenizer" audit every
+    * pretraining effort runs before committing a vocab: all FOUR
+    * frozen-artifact encoders (word BPE, byte BPE, unigram-LM,
+    * WordPiece) over the SAME held-out slice (doc_id % 5 = 0, the
+    * frozen faces' slice), one report row per family with the three
+    * numbers that decide the choice — fertility (tokens per
+    * whitespace word), compression (bytes per token), and the
+    * unknown-word count (WordPiece's [UNK] path; byte BPE is 0 by
+    * CONSTRUCTION — no out-of-alphabet case exists). One corpus-
+    * linear pass computes all four encodings per row, one global
+    * aggregate (exact integer sums), and the 4-row report assembles
+    * driver-side from the single collected row (bounded state).
+    * Declared no-oracle (the encoders are the adjudicated iterative
+    * UDFs); BpeSpec pins the report totals EQUAL the per-doc frozen
+    * faces' sums — the no-drift gate — plus the structural facts
+    * (byte BPE never UNKs, every fertility positive). */
+  def tokenizeEval(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val w = Text.words(col("text"))
+    val wcnt = bpeCountUdf(bpeMergesFrozen(s, dir))
+    val bcnt = bpeBytesCountUdf(bpeBytesMergesFrozen(s, dir))
+    val uvocab = s.read.parquet(unigramVocabPath(s, dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ucnt = udf { (text: String) =>
+      var n = 0L
+      graft.functions.Bpe.pretokenize(text)
+        .foreach(t => n += graft.functions.Unigram.segment(t, uvocab).length)
+      n
+    }
+    val wpcnt = wordpieceCountUdf(
+      s.read.parquet(wordpieceVocabPath(s, dir)).collect()
+        .map(_.getString(0)).toSet)
+    val m = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(
+        size(w).cast("long").as("ws"),
+        octet_length(col("text")).cast("long").as("nb"),
+        wcnt(w).as("t_bpe"), bcnt(col("text")).as("t_bytebpe"),
+        ucnt(col("text")).as("t_unigram"), wpcnt(w).as("wp"))
+      .agg(
+        count(lit(1)).as("n_docs"), sum("ws").as("ws_words"),
+        sum("nb").as("n_bytes"), sum("t_bpe").as("s_bpe"),
+        sum("t_bytebpe").as("s_bytebpe"), sum("t_unigram").as("s_unigram"),
+        sum(col("wp._1")).as("s_wp"), sum(col("wp._2")).as("s_unk"))
+      .collect()(0)
+    val (nDocs, wsW, nB) =
+      (m.getAs[Long]("n_docs"), m.getAs[Long]("ws_words"), m.getAs[Long]("n_bytes"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(
+      ("bpe_word", m.getAs[Long]("s_bpe"), 0L),
+      ("bpe_byte", m.getAs[Long]("s_bytebpe"), 0L),
+      ("unigram_lm", m.getAs[Long]("s_unigram"), 0L),
+      ("wordpiece", m.getAs[Long]("s_wp"), m.getAs[Long]("s_unk")))
+      .map { case (fam, toks, unk) =>
+        (fam, nDocs, wsW, nB, toks,
+          r6(toks.toDouble / wsW), r6(nB.toDouble / toks), unk)
+      }
+      .toDF("family", "n_docs", "ws_words", "n_bytes", "n_tokens",
+        "fertility", "bytes_per_token", "unk_words")
+      .orderBy("family")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> (textEntropy _),
     "text_ngram_topk" -> (textNgramTopk _),
@@ -1477,6 +1540,7 @@ object TextOps extends QueryGroup {
     "tokenize_unigram_frozen" -> (tokenizeUnigramFrozen _),
     "tokenize_wordpiece" -> (tokenizeWordpiece _),
     "tokenize_wordpiece_frozen" -> (tokenizeWordpieceFrozen _),
+    "tokenize_eval" -> (tokenizeEval _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "dedup_exact" -> (dedupExact _),
     "text_stats" -> (textStats _),

@@ -298,4 +298,29 @@ class BpeSpec extends SparkSpec {
       .filter(_._1 % 5 == 0).toMap
     assert(rows == liveCounts, "frozen-encode counts diverged from live")
   }
+
+  test("tokenize_eval report totals equal the per-doc frozen faces' sums") {
+    val report = SparkEntry.queries("tokenize_eval")(spark, sf001)
+      .collect().map(r => r.getAs[String]("family") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("unk_words"))).toMap
+    assert(report.keySet ==
+      Set("bpe_word", "bpe_byte", "unigram_lm", "wordpiece"))
+    // no-drift: the one-report numbers must be exactly the sums of the
+    // standalone frozen faces over the same held-out slice
+    def sumCol(q: String, c: String): Long =
+      SparkEntry.queries(q)(spark, sf001).collect()
+        .map(_.getAs[Long](c)).sum
+    assert(report("bpe_word")._1 == sumCol("tokenize_bpe_frozen", "bpe_tokens"))
+    assert(report("bpe_byte")._1 ==
+      sumCol("tokenize_bpe_bytes_frozen", "bpe_byte_tokens"))
+    assert(report("unigram_lm")._1 ==
+      sumCol("tokenize_unigram_frozen", "uni_pieces"))
+    assert(report("wordpiece")._1 ==
+      sumCol("tokenize_wordpiece_frozen", "wp_tokens"))
+    assert(report("wordpiece")._2 ==
+      sumCol("tokenize_wordpiece_frozen", "n_unk_words"))
+    // structural facts: byte BPE cannot UNK; every family tokenizes
+    assert(report("bpe_byte")._2 == 0L)
+    assert(report.values.forall(_._1 > 0L))
+  }
 }
