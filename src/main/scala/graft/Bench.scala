@@ -87,7 +87,8 @@ object Bench {
       "sim_pq_delta",
       "dedup_delta", "dedup_delta_near", "dedup_cluster",
       "tokenize_bpe_frozen", "tokenize_bpe_bytes", "tokenize_bpe_bytes_frozen",
-      "tokenize_wordpiece_frozen", "sim_topk_graph", "scan_sai_ann_memtable",
+      "tokenize_wordpiece_frozen", "tokenize_unigram_frozen",
+      "sim_topk_graph", "scan_sai_ann_memtable",
       "compact_ann_purge", "scan_sai_ann_tombstone", "stream_ann_memtable",
       "agg_sketch_merge", "agg_sketch_intersect",
       "compact_generations", "scan_snapshot", "batch_apply",

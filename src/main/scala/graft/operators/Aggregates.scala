@@ -869,9 +869,96 @@ object Aggregates extends QueryGroup {
       .orderBy("q")
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC location
+    * test next to [[statsTtest]]'s parametric one and [[statsKs]]'s
+    * shape test: ranks replace values, so outliers and non-normality
+    * cannot distort the decision. Average ranks over the pooled 'A' ∪
+    * 'N' populations come from the SAME two-phase bucketed rank
+    * statsKs runs (per-value counts, driver-collected bucket offsets,
+    * within-bucket windows only); the rank-sum R₁ accumulates as
+    * DECIMAL(38,1) — every term c₁·avgrank is an exact multiple of
+    * 0.5, so the cross-value sum is order-free and exact — and the
+    * tie-corrected normal approximation (σ² with the Σ(t³−t) tie
+    * term) assembles from exact ingredients in identically-associated
+    * IEEE doubles ⇒ hash-exact, sqrt included. */
+  def statsMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val pv = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_returnflag").as("g"), Num.d2(col("l_extendedprice")).as("v"))
+      .groupBy("v").agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g") === "N", 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+      .withColumn("b", floor(col("v") / 1000).cast("int"))
+    val counts = pv.groupBy("b")
+      .agg(sum("c").as("t"), sum("c1").as("t1"), sum("c2").as("t2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val n1 = counts.map(_._3).sum.toDouble
+    val n2 = counts.map(_._4).sum.toDouble
+    val n = n1 + n2
+    val byB = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = pv.join(broadcast(offsets.toDF("b", "off")), "b")
+      .withColumn("prev", col("off") + sum("c").over(byB) - col("c"))
+      .withColumn("avgrank", col("prev") + (col("c") + 1L) / lit(2.0))
+      .agg(
+        sum((col("c1").cast("double") * col("avgrank")).cast("decimal(38,1)"))
+          .cast("double").as("r1"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+    val u = col("r1") - lit(n1 * (n1 + 1) / 2.0)
+    val z = (u - lit(n1 * n2 / 2.0)) /
+      sqrt(lit(n1 * n2 / 12.0) *
+        (lit(n + 1.0) - col("tie").cast("double") / lit(n * (n - 1.0))))
+    d.select(
+      lit(n1.toLong).as("n1"), lit(n2.toLong).as("n2"),
+      col("r1"), u.as("u_stat"),
+      round(z, 6).as("z_stat"),
+      (abs(z) > 1.96).as("reject_05"))
+  }
+
+  /** Exponentially-decayed event counts per type — the trending /
+    * freshness aggregate a serving layer keeps next to raw counts
+    * (half-life 7 days: last week's click counts as half of this
+    * week's). Weights are EXACT powers of two from a driver-built
+    * halving table ((k, 0.5ᵏ), k ≤ 1200 weeks ≈ 23 years — a fixed
+    * bounded domain joined broadcast, never computed through `pow`,
+    * whose libm rounding is not pinned across engines); each term
+    * cnt·2⁻ᵏ is an exact double, quantized to 6 dp and summed as
+    * DECIMAL(38,6) (order-free — the stats_anova discipline) ⇒
+    * hash-exact. Shape: one corpus aggregate to (type, day), the
+    * 1-row reference-day cross join (unhinted — AQE broadcasts on
+    * measured size), the broadcast weight join, one aggregate per
+    * type. */
+  def aggDecay(s: SparkSession, dir: String): DataFrame = {
+    val sp = s; import sp.implicits._
+    val byDay = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val g = byDay.agg(max("day").as("ref_day"))
+    val wts = Iterator.iterate(1.0)(_ * 0.5).take(1201).toSeq
+      .zipWithIndex.map { case (w, k) => (k, w) }
+    byDay.crossJoin(g)
+      .withColumn("k", expr("datediff(ref_day, day) div 7").cast("int"))
+      .join(broadcast(wts.toDF("k", "wt")), "k")
+      .withColumn("term", round(col("cnt") * col("wt"), 6).cast("decimal(38,6)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("raw_count"),
+        sum("term").cast("double").as("dsum"), max("k").as("max_halflives"))
+      .select(col("event_type"), col("n_days"), col("raw_count"),
+        round(col("dsum"), 6).as("decayed"), col("max_halflives"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
     "stats_ks" -> (statsKs _),
+    "stats_mannwhitney" -> (statsMannWhitney _),
+    "agg_decay" -> (aggDecay _),
     "agg_quantile_merge" -> (aggQuantileMerge _),
     "stats_ttest" -> (statsTtest _),
     "stats_anova" -> (statsAnova _),
@@ -980,6 +1067,66 @@ object Aggregates extends QueryGroup {
       FROM a ORDER BY l_returnflag""",
     // identical decimal moments, identical left-associated double
     // arithmetic — bit-exact on both engines
+    // pooled average ranks on the plain windowed mirror; R1 as
+    // DECIMAL(38,1) (every term an exact multiple of 0.5 — order-free),
+    // tie term exact integers, z assembled in identical association
+    "stats_mannwhitney" -> """
+      WITH li AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+      pv AS (
+        SELECT v,
+          SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS c1,
+          SUM(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS c2
+        FROM li GROUP BY v),
+      cc AS (SELECT v, c1, c2, c1 + c2 AS c FROM pv),
+      n AS (
+        SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2,
+          CAST(SUM(c1 + c2) AS DOUBLE) AS n FROM pv),
+      r AS (
+        SELECT v, c1, c2, c,
+          SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) - c AS prev
+        FROM cc),
+      a AS (
+        SELECT
+          CAST(SUM(CAST(CAST(c1 AS DOUBLE) * (prev + (c + 1) / 2.0)
+            AS DECIMAL(38,1))) AS DOUBLE) AS r1,
+          CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+        FROM r)
+      SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+        a.r1,
+        a.r1 - n.n1 * (n.n1 + 1) / 2.0 AS u_stat,
+        ROUND((a.r1 - n.n1 * (n.n1 + 1) / 2.0 - n.n1 * n.n2 / 2.0)
+          / sqrt(n.n1 * n.n2 / 12.0
+            * (n.n + 1.0 - CAST(a.tie AS DOUBLE) / (n.n * (n.n - 1.0)))), 6)
+          AS z_stat,
+        ABS((a.r1 - n.n1 * (n.n1 + 1) / 2.0 - n.n1 * n.n2 / 2.0)
+          / sqrt(n.n1 * n.n2 / 12.0
+            * (n.n + 1.0 - CAST(a.tie AS DOUBLE) / (n.n * (n.n - 1.0)))))
+          > 1.96 AS reject_05
+      FROM n, a""",
+    // the halving table restated as a RECURSIVE iterated-halving CTE
+    // (never pow — libm rounding is not pinned across engines); terms
+    // quantized + DECIMAL-summed order-free
+    "agg_decay" -> """
+      WITH RECURSIVE bd AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT MAX(day) AS ref_day FROM bd),
+      t(k, wt) AS (
+        SELECT 0, CAST(1.0 AS DOUBLE)
+        UNION ALL SELECT k + 1, wt * 0.5 FROM t WHERE k < 1200),
+      d AS (
+        SELECT bd.event_type, bd.cnt, t.k,
+          CAST(ROUND(bd.cnt * t.wt, 6) AS DECIMAL(38,6)) AS term
+        FROM bd, g, t
+        WHERE t.k = datediff('day', bd.day, g.ref_day) // 7)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(cnt) AS BIGINT) AS raw_count,
+        ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed,
+        CAST(MAX(k) AS INTEGER) AS max_halflives
+      FROM d GROUP BY event_type ORDER BY event_type""",
     // summaries + merge restated verbatim on plain windows: sample
     // (rank, value) pairs are tie-insensitive (the value AT a rank is
     // well-defined under ORDER BY v even when row_number tie

@@ -280,8 +280,49 @@ object Joins extends QueryGroup {
     "join_asof" -> (joinAsof _),
     "join_asof_fwd" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "scan_bucket_pruned" -> (scanBucketPruned _)
   )
+
+  /** Backward as-of join with a STALENESS TOLERANCE — the fourth
+    * as-of face (backward / forward / nearest / bounded-backward):
+    * each event takes the most recent order of its customer, but a
+    * match older than 30 days is DISCARDED (null), because a
+    * month-stale "most recent state" is not state — the
+    * merge_asof(tolerance=…) semantics every feature-store
+    * point-in-time join needs. Same union+window shape as
+    * [[joinAsof]] (one shuffle keyed on the customer, no per-pair
+    * blowup) carrying the as-of TIMESTAMP alongside the key so the
+    * tolerance test is one row-local comparison; equivalently the
+    * bounded lateral lookup — a stale latest order implies every
+    * earlier order is staler, so null-if-stale ≡ latest-within-
+    * tolerance, which is what the oracle states. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("pri"), col("o_orderkey").as("okey"),
+      lit(null).cast("long").as("event_id"))
+    val e = Tables.events(s, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("pri"), lit(null).cast("long").as("okey"),
+      col("event_id"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("pri").asc, col("okey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // timestamp-domain comparison (not floored seconds): the boundary
+    // is exact at any sub-second event time
+    val fresh = col("asof_t") >= col("t") - expr("INTERVAL 30 DAYS")
+    o.unionByName(e)
+      .withColumn("cand_okey", last("okey", ignoreNulls = true).over(w))
+      .withColumn("asof_t",
+        last(when(col("pri") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("pri") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(fresh, col("cand_okey")).as("asof_orderkey"),
+        when(fresh, col("t").cast("long") - col("asof_t").cast("long"))
+          .as("dt_s"))
+      .orderBy("event_id")
+  }
 
   /** Forward as-of join: each event matched to the EARLIEST order of
     * the same customer with o_orderdate >= ts (tiebreak: min
@@ -477,6 +518,18 @@ object Joins extends QueryGroup {
       FROM events e LEFT JOIN LATERAL (
         SELECT o_orderkey FROM orders
         WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+      ORDER BY e.event_id""",
+    // latest-within-tolerance lateral ≡ null-if-stale window (a stale
+    // latest order implies every earlier one is staler)
+    "join_asof_tolerance" -> """
+      SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+        (epoch_ms(e.ts) - epoch_ms(CAST(o.o_orderdate AS TIMESTAMP))) // 1000
+          AS dt_s
+      FROM events e LEFT JOIN LATERAL (
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+          AND CAST(o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 30 DAY
         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
       ORDER BY e.event_id""",
     "join_asof_nearest" -> """

@@ -277,7 +277,16 @@ class DeterminismSpec extends SparkSpec {
     "search_maxsim",
     // two shard-keyed prefix sums + the action tri-state join — hole
     // and shift placement must hold on any layout
-    "pipeline_forget")
+    "pipeline_forget",
+    // pooled average ranks from driver-collected offsets + the
+    // decimal rank-sum — must hold on any layout
+    "stats_mannwhitney",
+    // 1-row reference-day cross join + broadcast halving table +
+    // quantized decimal sums — must hold on any layout
+    "agg_decay",
+    // union+window as-of with the row-local tolerance null-out —
+    // must hold on any layout
+    "join_asof_tolerance")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

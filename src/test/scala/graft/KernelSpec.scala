@@ -1004,6 +1004,20 @@ class KernelSpec extends SparkSpec {
     vals.unpersist()
   }
 
+  test("agg_decay: halving-table domain covers the data span; decay only shrinks") {
+    val rows = SparkEntry.queries("agg_decay")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the fixed 1200-week domain is a documented bound, not a silent
+      // cap: the join would DROP rows past it, so pin the headroom
+      assert(r.getAs[Int]("max_halflives") < 1100,
+        s"data span ${r.getAs[Int]("max_halflives")} weeks approaches the halving-table bound")
+      assert(r.getAs[Double]("decayed") <= r.getAs[Long]("raw_count").toDouble,
+        "decayed total exceeds the raw count")
+      assert(r.getAs[Double]("decayed") > 0.0)
+    }
+  }
+
   test("chunkCorpus windows are exactly the windows chunk_documents digests") {
     import org.apache.spark.sql.functions._
     // no-drift pin between the retrieval corpus (search_hybrid_chunks)
