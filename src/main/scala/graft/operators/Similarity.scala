@@ -610,6 +610,41 @@ object Similarity extends QueryGroup {
       .orderBy("query_id", "rk")
   }
 
+  /** MULTI-PROBE sign-random-projection LSH (public knowledge: Lv et
+    * al. 2007) — the recall lever that does NOT cost another hash
+    * table: besides its own bucket, each query probes every bucket at
+    * Hamming distance 1 in the 4-bit SRP code (a near neighbor that
+    * landed across ONE hyperplane — the dominant miss mode — is
+    * recovered), 5 of 16 buckets per query. Probes explode on the
+    * BROADCAST query side only; each corpus vector still carries one
+    * bucket and the probe buckets are distinct, so candidates appear
+    * at most once and no dedup pass is needed — the corpus-side plan
+    * is byte-identical to [[simTopkLsh]]'s. Candidate supersets
+    * dominate: the probe set strictly contains the single-probe set,
+    * so per-query top-k scores dominate pointwise (asserted, with the
+    * recall ordering vs brute force, in DedupSimilaritySpec). Bucket
+    * membership is engine-defined ⇒ rows-only, the sim_topk_lsh
+    * declaration. */
+  def simTopkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", Vectors.lshBucket(col("embedding"), topkPlanes))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket").as("qb"))
+      .withColumn("probe",
+        explode(array((lit(0) +: (0 until 4).map(i => lit(1 << i))): _*)))
+      .withColumn("qbucket", col("qb").bitwiseXOR(col("probe")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id", "score", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Binary-quantization signatures: the sign bit of every coordinate,
     * packed 16 bits per word (4 words for 64 dims — SrpBucketsExpr
     * buckets are ints, ≤31 bits each) — 64 BITS of signature per
@@ -1802,6 +1837,7 @@ object Similarity extends QueryGroup {
     "sim_threshold_lsh" -> (simThresholdLsh _),
     "sim_threshold_lsh_tau08" -> (simThresholdLshTau08 _),
     "sim_topk_lsh" -> (simTopkLsh _),
+    "sim_topk_lsh_multiprobe" -> (simTopkLshMultiprobe _),
     "sim_topk_bq" -> (simTopkBq _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_graph" -> (simTopkGraph _),

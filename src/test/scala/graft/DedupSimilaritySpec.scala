@@ -1059,6 +1059,40 @@ class DedupSimilaritySpec extends SparkSpec {
       "under-filled probe diverges from the exact pre-fetch answer")
   }
 
+  test("multi-probe LSH dominates single-probe and never beats brute force") {
+    def byQuery(name: String): Map[Long, Seq[(Long, Double)]] =
+      SparkEntry.queries(name)(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(-_._3).toSeq.map(t => (t._2, t._3)))
+        .toMap
+    val brute = byQuery("sim_topk")
+    val single = byQuery("sim_topk_lsh")
+    val multi = byQuery("sim_topk_lsh_multiprobe")
+    assert(multi.nonEmpty)
+    // candidate-superset dominance: at every rank the multi-probe
+    // score is >= the single-probe score for the same query
+    single.foreach { case (q, sp) =>
+      val mp = multi.getOrElse(q, Seq.empty)
+      assert(mp.size >= sp.size, s"query $q lost candidates under multi-probe")
+      sp.map(_._2).zip(mp.map(_._2)).zipWithIndex.foreach { case ((ss, ms), i) =>
+        assert(ms >= ss, s"query $q rank ${i + 1}: multi $ms < single $ss")
+      }
+    }
+    // recall@10 vs the exact answer can only improve with more probes
+    def recall(got: Map[Long, Seq[(Long, Double)]]): Double = {
+      val per = brute.toSeq.map { case (q, b) =>
+        val g = got.getOrElse(q, Seq.empty).map(_._1).toSet
+        b.map(_._1).count(g) .toDouble / b.size
+      }
+      per.sum / per.size
+    }
+    val (rs, rm) = (recall(single), recall(multi))
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    // weak absolute floor only — the 50-vector sf0.001 pool makes
+    // recall@10 coarse; the ORDERING above is the real guarantee
+    assert(rm >= 0.3, s"multi-probe recall $rm unexpectedly low")
+  }
+
   test("search_maxsim equals a from-scratch Scala MaxSim over the raw vectors") {
     // independent reimplementation: same float-multiply/double-accumulate
     // kernel, same 6-dp roundings, plain Scala collections throughout

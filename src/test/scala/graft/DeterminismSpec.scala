@@ -286,7 +286,10 @@ class DeterminismSpec extends SparkSpec {
     "agg_decay",
     // union+window as-of with the row-local tolerance null-out —
     // must hold on any layout
-    "join_asof_tolerance")
+    "join_asof_tolerance",
+    // broadcast probe explode + banded candidate join + top-k window —
+    // must hold on any layout
+    "sim_topk_lsh_multiprobe")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
