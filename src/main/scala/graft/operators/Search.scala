@@ -653,8 +653,58 @@ object Search extends QueryGroup {
       .orderBy("query_doc", "rk")
   }
 
+  /** [[searchMaxsim]]'s SCALE PATH as a first-class query: each query
+    * TOKEN runs through the persisted IVF coarse quantizer
+    * ([[Similarity.ivfIndexPaths]] — the same standing index
+    * sim_topk_ivf probes), and MaxSim reduces over the retrieved
+    * candidates only — at 100 TB the probe opens nprobe cells per
+    * token instead of scanning the corpus, exactly how the hybrid
+    * vector arm rides its index. Approximation is one-sided BY
+    * CONSTRUCTION: a candidate pool only shrinks the per-token max
+    * and drops missing tokens' contributions, so every approximate
+    * pair score is ≤ its exact [[searchMaxsim]] score (asserted pair
+    * for pair, with the overlap floor, in DedupSimilaritySpec).
+    * Probe shape: token×centroid argmax on the broadcast 16-row
+    * centroid table, cell-partition-pruned candidate scan, the same
+    * two keyed aggregates + top-k window as the exact face. Cell
+    * membership is engine-defined ⇒ rows-only (the sim_topk_ivf
+    * declaration). */
+  def searchMaxsimIvf(s: SparkSession, dir: String): DataFrame = {
+    val (centPath, assignPath) = Similarity.ivfIndexPaths(s, dir)
+    val cents = s.read.parquet(centPath)
+    val assigned = s.read.parquet(assignPath)
+    val qtok = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("query_doc"),
+        pmod(col("vec_id"), lit(4)).cast("int").as("q_tok"),
+        col("embedding").as("qvec"))
+    val wCell = Window.partitionBy("query_doc", "q_tok")
+      .orderBy(col("cent_sim").desc, col("cent_cell").asc)
+    val probed = qtok.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", graft.functions.Vectors.fdot(col("qvec"), col("cent")))
+      .withColumn("cell_rk", row_number().over(wCell))
+      .filter(col("cell_rk") <= 4)
+      .select(col("query_doc"), col("q_tok"), col("qvec"),
+        col("cent_cell").as("cell"))
+    val wTop = Window.partitionBy("query_doc")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    assigned.join(broadcast(probed), "cell")
+      .withColumn("doc_id", expr("vec_id div 4"))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .withColumn("dot",
+        round(graft.functions.Vectors.fdot(col("embedding"), col("qvec")), 6))
+      .groupBy("query_doc", "doc_id", "q_tok").agg(max("dot").as("m"))
+      .groupBy("query_doc", "doc_id")
+      .agg(round(sum(col("m").cast("decimal(38,6)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 8)
+      .select("query_doc", "doc_id", "score", "rk")
+      .orderBy("query_doc", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_maxsim" -> (searchMaxsim _),
+    "search_maxsim_ivf" -> (searchMaxsimIvf _),
     "search_fuzzy" -> (searchFuzzy _),
     "search_bm25" -> (searchBm25 _),
     "search_match_all" -> (searchMatchAll _),

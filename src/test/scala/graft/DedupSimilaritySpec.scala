@@ -1093,6 +1093,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rm >= 0.3, s"multi-probe recall $rm unexpectedly low")
   }
 
+  test("search_maxsim_ivf: one-sided approximation of the exact MaxSim, with overlap") {
+    val exact = SparkEntry.queries("search_maxsim")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    val approx = SparkEntry.queries("search_maxsim_ivf")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(approx.nonEmpty, "IVF MaxSim returned nothing")
+    // dominance on the pairs both faces ranked: candidate pools only
+    // shrink per-token maxima and drop absent tokens
+    approx.foreach { case (qd, d, sc) =>
+      exact.get((qd, d)).foreach(ex =>
+        assert(sc <= ex + 1e-9, s"approx $sc > exact $ex for ($qd,$d)"))
+    }
+    // overlap@8 floor — weak by design at the 50-vector fixture; the
+    // dominance above is the provable guarantee
+    val overlap = approx.map(t => (t._1, t._2)).toSet
+      .intersect(exact.keySet).size.toDouble / exact.size
+    assert(overlap >= 0.25, s"IVF MaxSim overlap@8 $overlap vs exact")
+  }
+
   test("search_maxsim equals a from-scratch Scala MaxSim over the raw vectors") {
     // independent reimplementation: same float-multiply/double-accumulate
     // kernel, same 6-dp roundings, plain Scala collections throughout

@@ -289,7 +289,10 @@ class DeterminismSpec extends SparkSpec {
     "join_asof_tolerance",
     // broadcast probe explode + banded candidate join + top-k window —
     // must hold on any layout
-    "sim_topk_lsh_multiprobe")
+    "sim_topk_lsh_multiprobe",
+    // per-token cell probe + candidate-pool MaxSim reduction over the
+    // persisted IVF layout — must hold on any layout
+    "search_maxsim_ivf")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
