@@ -80,8 +80,68 @@ object Graph extends QueryGroup {
       .orderBy(col("rank_fp").desc, col("n_nationkey"))
   }
 
+  /** Triangle counting over the undirected nation trade graph — the
+    * clustering-structure face next to [[graphPagerank]]'s
+    * centrality: per-nation triangle participation via the
+    * DEGREE-ORDERED orientation algorithm (public knowledge — the
+    * standard MapReduce/GraphX scheme: orient every edge from its
+    * (degree, id)-smaller endpoint, build wedges only at the smaller
+    * endpoint, close them with a semi join). Each triangle is
+    * produced EXACTLY once (its order-minimal vertex owns the wedge),
+    * and the wedge count is Σ d_out(v)² with d_out bounded by
+    * √(2·|E|) under this orientation — the property that keeps the
+    * join tractable on skewed real graphs at 100 TB, where the naive
+    * E⋈E explodes on hubs. The edge aggregation is the one fact-sized
+    * stage (the graphPagerank shape: orderkey co-shuffle + broadcast
+    * dims); everything after runs on the ≤ N² nation-pair relation.
+    * Pure integer arithmetic ⇒ hash-exact. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val li  = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o   = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c   = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val und = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = orient.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      .join(orient.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
+        Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      orient.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"), "left_semi")
+    val part = tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v1").as("node")))
+      .unionAll(tri.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tris"))
+    nation.join(part, col("n_nationkey") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("tris"), lit(0L)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _)
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _)
   )
 
   // Same integer fixed-point recurrence as chained CTEs; every SUM is
@@ -100,6 +160,52 @@ object Graph extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the degree-ordered orientation restated verbatim: same
+    // (degree, id) total order, same wedge ownership, same closing
+    // semi join — pure integer arithmetic
+    "graph_triangles" -> """
+      WITH e0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey),
+      und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e0),
+      deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY n),
+      orient AS (
+        SELECT
+          CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+               THEN u0.a ELSE u0.b END AS u,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+               THEN u0.b ELSE u0.a END AS v,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND u0.a < u0.b)
+               THEN db.d ELSE da.d END AS dv
+        FROM und u0
+        JOIN deg da ON da.n = u0.a
+        JOIN deg db ON db.n = u0.b),
+      tri AS (
+        SELECT e1.u, e1.v AS v1, e2.v AS v2
+        FROM orient e1
+        JOIN orient e2 ON e1.u = e2.u
+          AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+        WHERE EXISTS (SELECT 1 FROM orient e3
+                      WHERE e3.u = e1.v AND e3.v = e2.v)),
+      part AS (
+        SELECT node, COUNT(*) AS tris FROM (
+          SELECT u AS node FROM tri
+          UNION ALL SELECT v1 AS node FROM tri
+          UNION ALL SELECT v2 AS node FROM tri)
+        GROUP BY node)
+      SELECT n.n_nationkey, n.n_name,
+        CAST(COALESCE(p.tris, 0) AS BIGINT) AS n_triangles
+      FROM nation n LEFT JOIN part p ON p.node = n.n_nationkey
+      ORDER BY n_triangles DESC, n.n_nationkey""",
     "graph_pagerank" -> s"""
       WITH e AS (
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst,

@@ -292,7 +292,10 @@ class DeterminismSpec extends SparkSpec {
     "sim_topk_lsh_multiprobe",
     // per-token cell probe + candidate-pool MaxSim reduction over the
     // persisted IVF layout — must hold on any layout
-    "search_maxsim_ivf")
+    "search_maxsim_ivf",
+    // degree-ordered wedge join + closing semi join — triangle
+    // ownership must hold on any layout
+    "graph_triangles")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
