@@ -883,4 +883,35 @@ class PlanSpec extends SparkSpec {
       .orderBy("query_id", "vec_rank").collect().map(_.toString).toSeq
     assert(got == exact, "pruned vector arm diverges from brute force")
   }
+
+  test("round-13 wave: bucketed-rank stats and the IVF MaxSim keep their plan shapes") {
+    // the two-phase bucketed rank exists precisely to avoid funneling
+    // DATA ROWS through one task: the only SinglePartition exchanges
+    // allowed are the 1-row combines of global aggregates (their
+    // child is always a keyless partial HashAggregate) — never a
+    // window/sort over the row stream
+    def rowFunnels(p: String): Seq[Int] = {
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange SinglePartition") &&
+          !lines.slice(i + 1, i + 3).exists(c =>
+            c.contains("partial_") || c.contains("HashAggregate(keys=[]")) => i
+      }
+    }
+    for (q <- Seq("stats_ks", "stats_mannwhitney", "agg_quantile_merge")) {
+      assert(rowFunnels(plan(q)).isEmpty,
+        s"$q funnels data rows through one task:\n${plan(q).take(1500)}")
+    }
+    // per-query top-k faces ride the WindowGroupLimit rewrite
+    for (q <- Seq("search_maxsim", "sim_topk_lsh_multiprobe"))
+      assert(plan(q).contains("WindowGroupLimit"), plan(q).take(1200))
+    // the IVF MaxSim probe must be dynamically partition-pruned to
+    // the probed cells, like sim_topk_ivf — never a full index scan
+    assert(plan("search_maxsim_ivf").toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the MaxSim probe:\n${plan("search_maxsim_ivf").take(1500)}")
+    // the DPO pivot is ONE aggregate — no join, no window
+    val dpo = plan("pipeline_dpo")
+    assert(!dpo.contains("SortMergeJoin") && !dpo.contains("WindowExec"),
+      s"pipeline_dpo grew a join/window:\n${dpo.take(1200)}")
+  }
 }
