@@ -778,6 +778,7 @@ object Aggregates extends QueryGroup {
         sum(when(col("g") === "A", 1L).otherwise(0L)).as("c1"),
         sum(when(col("g") === "N", 1L).otherwise(0L)).as("c2"))
       .withColumn("b", floor(col("v") / 1000).cast("int"))
+      .cache() // two consumers: the offsets collect and the CDF pass
     val counts = pv.groupBy("b")
       .agg(sum("c1").as("t1"), sum("c2").as("t2"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
@@ -891,6 +892,7 @@ object Aggregates extends QueryGroup {
         sum(when(col("g") === "N", 1L).otherwise(0L)).as("c2"))
       .withColumn("c", col("c1") + col("c2"))
       .withColumn("b", floor(col("v") / 1000).cast("int"))
+      .cache() // two consumers: the offsets collect and the rank pass
     val counts = pv.groupBy("b")
       .agg(sum("c").as("t"), sum("c1").as("t1"), sum("c2").as("t2"))
       .collect()
@@ -954,10 +956,48 @@ object Aggregates extends QueryGroup {
       .orderBy("event_type")
   }
 
+  /** Error-bounded sampled aggregation — the online-aggregation /
+    * BlinkDB-style face (public knowledge: Hellerstein et al. 1997,
+    * Agarwal et al. 2013): answer "what is the average order line
+    * worth, roughly, NOW" from a deterministic 5% content-hash sample
+    * with a CLT 95% confidence interval, instead of scanning 100 TB
+    * for the exact mean. The sample predicate is the engine's stable
+    * md5-bucket discipline (first 16 md5 bits of the row key, mod
+    * 20 = 0 — reproducible across runs and re-shards, the
+    * sample_stratified convention; at scale the sample is a
+    * MATERIALIZED 5% table this query reads instead of filtering the
+    * corpus). Moments ride the decimal discipline ([[statsTtest]]),
+    * the interval assembles in identically-associated doubles ⇒
+    * hash-exact; KernelSpec asserts the exact mean actually falls
+    * inside the interval and the expansion total's relative error is
+    * within the interval's relative width. */
+  def aggSampleEstimate(s: SparkSession, dir: String): DataFrame = {
+    val x = Num.d2(col("l_extendedprice"))
+    val m = Tables.lineitem(s, dir)
+      .filter(conv(substring(md5(concat_ws(":",
+        col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
+        .cast("int") % 20 === 0)
+      .agg(
+        count(lit(1)).as("n_sample"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+    val nf = col("n_sample").cast("double")
+    val mean = col("sx") / nf
+    val s2 = (col("sxx") - col("sx") * col("sx") / nf) / (nf - 1)
+    val half = lit(1.96) * sqrt(s2 / nf)
+    m.select(
+      col("n_sample"),
+      round(mean, 6).as("mean_est"),
+      round(mean - half, 6).as("ci95_lo"),
+      round(mean + half, 6).as("ci95_hi"),
+      round(col("sx") * 20, 2).as("est_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_regression" -> (statsRegression _),
     "stats_ks" -> (statsKs _),
     "stats_mannwhitney" -> (statsMannWhitney _),
+    "agg_sample_estimate" -> (aggSampleEstimate _),
     "agg_decay" -> (aggDecay _),
     "agg_quantile_merge" -> (aggQuantileMerge _),
     "stats_ttest" -> (statsTtest _),
@@ -1067,6 +1107,31 @@ object Aggregates extends QueryGroup {
       FROM a ORDER BY l_returnflag""",
     // identical decimal moments, identical left-associated double
     // arithmetic — bit-exact on both engines
+    // same md5-bucket sample predicate, same decimal moments, same
+    // identically-associated CLT interval
+    "agg_sample_estimate" -> """
+      WITH sm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sample,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM lineitem
+        WHERE CAST(concat('0x', substring(md5(concat_ws(':',
+            CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+            1, 4)) AS INTEGER) % 20 = 0),
+      q AS (
+        SELECT n_sample, sx,
+          sx / CAST(n_sample AS DOUBLE) AS mean,
+          (sxx - sx * sx / CAST(n_sample AS DOUBLE))
+            / (CAST(n_sample AS DOUBLE) - 1) AS s2,
+          CAST(n_sample AS DOUBLE) AS nf
+        FROM sm)
+      SELECT n_sample,
+        ROUND(mean, 6) AS mean_est,
+        ROUND(mean - 1.96 * sqrt(s2 / nf), 6) AS ci95_lo,
+        ROUND(mean + 1.96 * sqrt(s2 / nf), 6) AS ci95_hi,
+        ROUND(sx * 20, 2) AS est_total
+      FROM q""",
     // pooled average ranks on the plain windowed mirror; R1 as
     // DECIMAL(38,1) (every term an exact multiple of 0.5 — order-free),
     // tie term exact integers, z assembled in identical association

@@ -295,7 +295,10 @@ class DeterminismSpec extends SparkSpec {
     "search_maxsim_ivf",
     // degree-ordered wedge join + closing semi join — triangle
     // ownership must hold on any layout
-    "graph_triangles")
+    "graph_triangles",
+    // content-hash sample + decimal moments + CLT interval — must
+    // hold on any layout
+    "agg_sample_estimate")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

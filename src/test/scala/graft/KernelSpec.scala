@@ -1018,6 +1018,25 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("agg_sample_estimate: the interval covers the exact mean; expansion total is close") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("agg_sample_estimate")(spark, sf001).collect()(0)
+    val exact = graft.core.Tables.lineitem(spark, sf001)
+      .agg(sum(graft.core.Num.d2(col("l_extendedprice"))).cast("double").as("t"),
+        count(lit(1)).as("n")).collect()(0)
+    val exactMean = exact.getDouble(0) / exact.getLong(1)
+    assert(r.getAs[Long]("n_sample") > 100, "sample too small to mean anything")
+    assert(r.getAs[Double]("ci95_lo") <= exactMean &&
+      exactMean <= r.getAs[Double]("ci95_hi"),
+      s"exact mean $exactMean outside [${r.getAs[Double]("ci95_lo")}, ${r.getAs[Double]("ci95_hi")}]")
+    val relErr = math.abs(r.getAs[Double]("est_total") - exact.getDouble(0)) /
+      exact.getDouble(0)
+    // mean error is CI-bounded; the expansion total also carries the
+    // sampled-count noise — 10% is generous at the 6k-row fixture and
+    // deterministic (fixed hash, fixed fixture)
+    assert(relErr <= 0.10, s"expansion total off by ${relErr * 100}%")
+  }
+
   test("chunkCorpus windows are exactly the windows chunk_documents digests") {
     import org.apache.spark.sql.functions._
     // no-drift pin between the retrieval corpus (search_hybrid_chunks)
