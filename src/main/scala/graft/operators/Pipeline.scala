@@ -459,8 +459,58 @@ object Pipeline extends QueryGroup {
       .orderBy("shard", "doc_id")
   }
 
+  /** Fill-in-the-middle transformation (public knowledge: Bavarian et
+    * al. 2022) — the pretraining transform code models need: a
+    * deterministic half of eligible documents is rewritten as
+    * prefix/suffix/middle with sentinel markers so the model learns
+    * to infill, the rest pass through untouched (the FIM rate). Split
+    * points derive from the engine's stable md5-bucket discipline
+    * (reproducible across runs/re-shards — the same seed convention
+    * the shard/sample faces use), constrained so all three segments
+    * are non-empty word runs; transformed docs render in PSM or SPM
+    * order (a second hash bit — both orders appear in training, per
+    * the public recipe), `<|role|>`-style sentinels under the
+    * engine-wide whitespace-word convention so downstream pack faces
+    * compose. One row per document: mode (psm/spm/plain), the split
+    * widths, and the rendered string pinned via md5. Entirely
+    * ROW-LOCAL — no shuffle at any scale (the one exchange is the
+    * output sort). Fully SQL-expressible ⇒ hash-exact. */
+  def pretrainFim(s: SparkSession, dir: String): DataFrame = {
+    def h(seed: String) = conv(substring(md5(concat_ws(":",
+      lit(seed), col("doc_id"))), 1, 4), 16, 10).cast("int")
+    val base = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 1)
+      .withColumn("w", graft.functions.Text.words(col("text")))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("third", expr("n div 3"))
+      .withColumn("fim", col("n") >= 9 && h("fim0") % 10 < 5)
+      .withColumn("a", when(col("fim"), (h("fim1") % col("third")) + 1L))
+      .withColumn("b", when(col("fim"),
+        col("a") + 1L + (h("fim2") % col("third"))))
+      .withColumn("spm", h("fim3") % 2 === 1)
+    val pre = array_join(slice(col("w"), lit(1), col("a").cast("int")), " ")
+    val mid = array_join(slice(col("w"), (col("a") + 1L).cast("int"),
+      (col("b") - col("a")).cast("int")), " ")
+    val suf = array_join(slice(col("w"), (col("b") + 1L).cast("int"),
+      (col("n") - col("b")).cast("int")), " ")
+    base.select(
+      col("doc_id"),
+      when(!col("fim"), lit("plain"))
+        .when(col("spm"), lit("spm")).otherwise(lit("psm")).as("mode"),
+      col("n").as("n_words"),
+      col("a").as("pre_words"),
+      (col("b") - col("a")).as("mid_words"),
+      when(!col("fim"), md5(col("text")))
+        .when(col("spm"), md5(concat_ws(" ", lit("<|fim_suf|>"), suf,
+          lit("<|fim_pre|>"), pre, lit("<|fim_mid|>"), mid)))
+        .otherwise(md5(concat_ws(" ", lit("<|fim_pre|>"), pre,
+          lit("<|fim_suf|>"), suf, lit("<|fim_mid|>"), mid))).as("fim_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain" -> (pipelinePretrain _),
+    "pretrain_fim" -> (pretrainFim _),
     "pipeline_sft" -> (pipelineSft _),
     "pipeline_multimodal" -> (pipelineMultimodal _),
     "sft_render" -> (sftRender _),
@@ -626,6 +676,51 @@ object Pipeline extends QueryGroup {
         md5(string_agg(CAST(doc_id AS VARCHAR), ','
           ORDER BY n_tokens DESC, doc_id)) AS docs_md5
       FROM f GROUP BY shard, bin ORDER BY shard, bin""",
+    // the same md5-seeded split points, the same segment slices, both
+    // sentinel orders — rendering pinned via md5
+    "pretrain_fim" -> """
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents WHERE len(text) >= 1),
+      hs AS (
+        SELECT *, n // 3 AS third,
+          CAST(concat('0x', substring(md5('fim0:' ||
+            CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS h0,
+          CAST(concat('0x', substring(md5('fim1:' ||
+            CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS h1,
+          CAST(concat('0x', substring(md5('fim2:' ||
+            CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS h2,
+          CAST(concat('0x', substring(md5('fim3:' ||
+            CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS h3
+        FROM t),
+      f AS (
+        SELECT doc_id, text, w, n,
+          (n >= 9 AND h0 % 10 < 5) AS fim, h3 % 2 = 1 AS spm,
+          CASE WHEN n >= 9 AND h0 % 10 < 5
+               THEN (h1 % third) + 1 END AS a,
+          CASE WHEN n >= 9 AND h0 % 10 < 5
+               THEN (h1 % third) + 1 + 1 + (h2 % third) END AS b
+        FROM hs),
+      r AS (
+        SELECT doc_id,
+          CASE WHEN NOT fim THEN 'plain'
+               WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+          n AS n_words,
+          CAST(a AS BIGINT) AS pre_words,
+          CAST(b - a AS BIGINT) AS mid_words,
+          CASE WHEN NOT fim THEN md5(text)
+               WHEN spm THEN md5(concat_ws(' ', '<|fim_suf|>',
+                 array_to_string(w[b+1:n], ' '), '<|fim_pre|>',
+                 array_to_string(w[1:a], ' '), '<|fim_mid|>',
+                 array_to_string(w[a+1:b], ' ')))
+               ELSE md5(concat_ws(' ', '<|fim_pre|>',
+                 array_to_string(w[1:a], ' '), '<|fim_suf|>',
+                 array_to_string(w[b+1:n], ' '), '<|fim_mid|>',
+                 array_to_string(w[a+1:b], ' '))) END AS fim_md5
+        FROM f)
+      SELECT doc_id, mode, n_words, pre_words, mid_words, fim_md5
+      FROM r ORDER BY doc_id""",
     // the render chain + BOTH placements (full and tombstone-filtered)
     // restated under the pack mirror; the action tri-state and the
     // keep-suppression stated directly

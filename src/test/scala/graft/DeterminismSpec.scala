@@ -298,7 +298,10 @@ class DeterminismSpec extends SparkSpec {
     "graph_triangles",
     // content-hash sample + decimal moments + CLT interval — must
     // hold on any layout
-    "agg_sample_estimate")
+    "agg_sample_estimate",
+    // row-local md5-seeded splits + dual-order rendering — must hold
+    // on any layout
+    "pretrain_fim")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

@@ -182,6 +182,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pretrain_fim: segments tile every transformed doc; both orders appear; rate holds") {
+    val rows = graft.operators.Pipeline.pretrainFim(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val (fim, plain) = rows.partition(_.getAs[String]("mode") != "plain")
+    assert(fim.nonEmpty && plain.nonEmpty)
+    fim.foreach { r =>
+      val (n, a, m) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("pre_words"), r.getAs[Long]("mid_words"))
+      // all three segments non-empty and tiling the word array
+      assert(a >= 1 && m >= 1 && n - a - m >= 1,
+        s"degenerate split n=$n a=$a m=$m for doc ${r.getAs[Long]("doc_id")}")
+    }
+    plain.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("pre_words")), "plain row carries a split")
+    }
+    val modes = fim.map(_.getAs[String]("mode")).toSet
+    assert(modes == Set("psm", "spm"), s"missing a sentinel order: $modes")
+    // the FIM rate: about half of ELIGIBLE (>= 9 words) docs transform
+    val eligible = rows.count(_.getAs[Long]("n_words") >= 9)
+    assert(fim.length * 10 >= eligible * 3 && fim.length * 10 <= eligible * 7,
+      s"${fim.length} transformed of $eligible eligible — rate drifted")
+  }
+
   test("pipeline_multimodal manifest conserves the independently-derived kept set") {
     import org.apache.spark.sql.functions._
     import graft.core.Tables
