@@ -567,6 +567,53 @@ object Scans extends QueryGroup {
       col("user_id") === user && col("k").between(kLo, kHi))
   }
 
+  /** CQL `ALLOW FILTERING` planning semantics — the guard rail CQL
+    * puts between a user and an accidental cluster-wide scan: a
+    * SELECT is admitted without the clause only when every
+    * restriction is index-answerable (here, the REAL SAI postings of
+    * this layout — user_id and the k metadata column); any residual
+    * on an unindexed column (value, event_type) degrades the read to
+    * a filtering scan and REQUIRES the clause. One row per probe
+    * shape of the fixed six-predicate set: the chosen path, the
+    * required-clause verdict, and the estimated row count measured
+    * from the layout the decision would actually touch — postings
+    * counts for index paths (the planning input a coordinator reads),
+    * data counts for filtering paths (what the scan would pay).
+    * Postings are complete over the substrate by construction, so
+    * every count is SQL-stateable on the base table ⇒ hash-exact.
+    * Shape: six 1-row aggregates over postings/data unioned — pure
+    * planning-relation arithmetic, corpus touched only by the
+    * declared filtering probes. */
+  def scanAllowFiltering(s: SparkSession, dir: String): DataFrame = {
+    val root = saiEventsPath(s, dir)
+    val data = s.read.parquet(s"$root/data")
+    val idxU = s.read.parquet(s"$root/idx_user")
+    val idxK = s.read.parquet(s"$root/idx_k")
+    def probe(id: Int, pred: String, path: String, af: Boolean,
+        rows: DataFrame): DataFrame =
+      rows.agg(count(lit(1)).as("est_rows"))
+        .select(lit(id).as("probe_id"), lit(pred).as("predicate"),
+          lit(path).as("path"), lit(af).as("requires_allow_filtering"),
+          col("est_rows"))
+    probe(1, "user_id = 7", "sai_index", af = false,
+        idxU.filter(col("user_id") === 7))
+      .unionByName(probe(2, "k BETWEEN 80 AND 99", "sai_index", af = false,
+        idxK.filter(col("k").between(80, 99))))
+      .unionByName(probe(3, "user_id = 7 AND k BETWEEN 80 AND 99",
+        "sai_intersection", af = false,
+        idxU.filter(col("user_id") === 7).select("_gen", "event_id")
+          .join(idxK.filter(col("k").between(80, 99))
+            .select("_gen", "event_id"), Seq("_gen", "event_id"))))
+      .unionByName(probe(4, "value > 100.0", "full_scan", af = true,
+        data.filter(col("value") > 100.0)))
+      .unionByName(probe(5, "event_type = 'click'", "full_scan", af = true,
+        data.filter(col("event_type") === "click")))
+      .unionByName(probe(6, "user_id = 7 AND value > 100.0",
+        "sai_index_residual", af = true,
+        data.filter(col("user_id") === 7 && col("value") > 100.0)))
+      .orderBy("probe_id")
+  }
+
   /** SAI disjunction — the CQL 5.0 headline feature: `WHERE a = x OR
     * b = y` becomes legal once every disjunct is SAI-indexed (classic
     * CQL had no OR at all), executed as a postings UNION where
@@ -1617,6 +1664,7 @@ object Scans extends QueryGroup {
     "scan_manifest_pruned" -> (scanManifestPruned _),
     "scan_bloom_pruned" -> (scanBloomPruned _),
     "scan_sai" -> (scanSai _),
+    "scan_allow_filtering" -> (scanAllowFiltering _),
     "scan_sai_or" -> (scanSaiOr _),
     "scan_sai_contains" -> (scanSaiContains _),
     "scan_sai_ann" -> (scanSaiAnn _),
@@ -1711,6 +1759,38 @@ object Scans extends QueryGroup {
     // SAI index + generation layout are output-invisible: same
     // two-predicate filter on the original table (k extraction is the
     // source_json regexp, shared string)
+    // every est_rows stated on the base table: the postings are
+    // complete over the substrate by construction, so index-path
+    // counts equal base-table predicate counts
+    "scan_allow_filtering" -> """
+      SELECT CAST(1 AS INTEGER) AS probe_id, 'user_id = 7' AS predicate,
+        'sai_index' AS path, FALSE AS requires_allow_filtering,
+        CAST(count(*) AS BIGINT) AS est_rows
+      FROM events WHERE user_id = 7
+      UNION ALL
+      SELECT 2, 'k BETWEEN 80 AND 99', 'sai_index', FALSE, CAST(count(*) AS BIGINT)
+      FROM events
+      WHERE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
+        BETWEEN 80 AND 99
+      UNION ALL
+      SELECT 3, 'user_id = 7 AND k BETWEEN 80 AND 99', 'sai_intersection',
+        FALSE, CAST(count(*) AS BIGINT)
+      FROM events
+      WHERE user_id = 7
+        AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)
+          BETWEEN 80 AND 99
+      UNION ALL
+      SELECT 4, 'value > 100.0', 'full_scan', TRUE, CAST(count(*) AS BIGINT)
+      FROM events WHERE value > 100.0
+      UNION ALL
+      SELECT 5, 'event_type = ''click''', 'full_scan', TRUE,
+        CAST(count(*) AS BIGINT)
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 6, 'user_id = 7 AND value > 100.0', 'sai_index_residual', TRUE,
+        CAST(count(*) AS BIGINT)
+      FROM events WHERE user_id = 7 AND value > 100.0
+      ORDER BY probe_id""",
     "scan_sai" -> """
       SELECT event_id, user_id, event_type, value,
         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k

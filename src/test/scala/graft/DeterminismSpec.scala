@@ -301,7 +301,10 @@ class DeterminismSpec extends SparkSpec {
     "agg_sample_estimate",
     // row-local md5-seeded splits + dual-order rendering — must hold
     // on any layout
-    "pretrain_fim")
+    "pretrain_fim",
+    // six planning-relation counts over postings + data — must hold
+    // on any layout
+    "scan_allow_filtering")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)
