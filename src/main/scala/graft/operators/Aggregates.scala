@@ -993,7 +993,132 @@ object Aggregates extends QueryGroup {
       round(col("sx") * 20, 2).as("est_total"))
   }
 
+  /** Spearman rank correlation (tie-corrected: Pearson on average
+    * ranks) between l_quantity↔l_discount and l_quantity↔l_tax per
+    * return flag — the monotone-association statistic the Pearson
+    * [[statsCorr]] face can't see (rank-based, outlier-robust; the
+    * feature-screening statistic a curation pass runs on quality
+    * signals before training a filter model). Ranking normally costs
+    * a per-group SORT of the corpus; these columns have BOUNDED VALUE
+    * DOMAINS (50 quantities × 11 discounts × 9 taxes), so the engine
+    * ranks VALUES, not rows ([[statsKs]]'s bucketed-rank discipline):
+    * ONE map-side-combining aggregate to the ≤4 950-cell joint
+    * histogram per flag, marginal average ranks from cumulative
+    * counts over that bounded relation, moments assembled back on the
+    * histogram. Doubled ranks (2·avgRank = 2·below + ties + 1) keep
+    * every rank an INTEGER, so all Σ moments are exact decimal sums
+    * (HUGEINT in the mirror) and only the final Pearson formula runs
+    * in float64 with identical association — hash-exact. Nothing
+    * data-sized shuffles at any scale; Spearman's ρ is
+    * scale-invariant, so doubling cancels. */
+  def statsSpearman(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("g"),
+        Num.d2(col("l_quantity")).as("x"),
+        Num.d2(col("l_discount")).as("y"),
+        Num.d2(col("l_tax")).as("z"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // three marginal-rank consumers + the moment join
+    // 2× average rank of a value = 2·(rows strictly below) + ties + 1
+    // — integer by construction; the window runs over the bounded
+    // value domain (≤50 rows per flag), never row data.
+    def rank2(v: String) = {
+      val byV = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.groupBy(col("g"), col(v).as("v")).agg(sum("c").as("cv"))
+        .withColumn("cum", sum("cv").over(byV))
+        .select(col("g"), col("v").as(v),
+          (lit(2L) * (col("cum") - col("cv")) + col("cv") + 1L).as(s"r$v"))
+    }
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    def rho(srr: Column, sa: Column, sb: Column, saa: Column, sbb: Column,
+        n: Column): Column = {
+      val den = (n * saa - sa * sa) * (n * sbb - sb * sb)
+      when(den =!= 0, round((n * srr - sa * sb) / sqrt(den), 6))
+    }
+    val m = hist
+      .join(rank2("x"), Seq("g", "x"))
+      .join(rank2("y"), Seq("g", "y"))
+      .join(rank2("z"), Seq("g", "z"))
+      .groupBy("g")
+      .agg(
+        sum("c").cast("double").as("n"),
+        sum(dec(col("c")) * dec(col("rx"))).cast("double").as("sx"),
+        sum(dec(col("c")) * dec(col("ry"))).cast("double").as("sy"),
+        sum(dec(col("c")) * dec(col("rz"))).cast("double").as("sz"),
+        sum(dec(col("c")) * (dec(col("rx")) * dec(col("rx")))).cast("double").as("sxx"),
+        sum(dec(col("c")) * (dec(col("ry")) * dec(col("ry")))).cast("double").as("syy"),
+        sum(dec(col("c")) * (dec(col("rz")) * dec(col("rz")))).cast("double").as("szz"),
+        sum(dec(col("c")) * (dec(col("rx")) * dec(col("ry")))).cast("double").as("sxy"),
+        sum(dec(col("c")) * (dec(col("rx")) * dec(col("rz")))).cast("double").as("sxz"))
+    m.select(col("g").as("l_returnflag"),
+        col("n").cast("long").as("n"),
+        rho(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"),
+          col("n")).as("rho_qty_disc"),
+        rho(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"),
+          col("n")).as("rho_qty_tax"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005, public): the
+    * fixed-size mergeable frequency summary a streaming/telemetry
+    * layer keeps where exact per-key counts won't fit — d=4 hash rows
+    * × w=256 buckets = 1 024 counters at ANY corpus size, merged by
+    * cell-wise addition (the commutative counter-column discipline).
+    * Hashes are the engine's md5-anchored universal affine family
+    * (the [[Dedup]] MinHash constants' construction), so the sketch
+    * is deterministic and the DuckDB mirror states the SAME cells —
+    * hash-exact, estimate column included. The probe face estimates
+    * the 40-key user_id head and reports est − exact: the CM
+    * guarantee est ≥ exact makes the error column a per-row oracle
+    * (KernelSpec asserts it non-negative and bounded). Scale: the
+    * build is one map-side-combining aggregate onto 1 024 cells; the
+    * probe broadcasts the sketch into the 40-row key relation. */
+  /** The CM sketch's 4-row affine family — disjoint from the MinHash
+    * family's (j+1) seeds; interpolated verbatim into the oracle's
+    * `aff` VALUES (precomputed: the raw products overflow DuckDB's
+    * INT32 literals). */
+  private val CmP = 2147483647L // 2^31 − 1, the MinHash family's prime
+  private[graft] val CmAffine: IndexedSeq[(Long, Long)] =
+    (0 until 4).map(j =>
+      ((2654435761L * (j + 3)) % CmP, (1013904223L * (j + 3)) % CmP))
+      .toIndexedSeq
+
+  def aggCountMin(s: SparkSession, dir: String): DataFrame = {
+    val p = CmP
+    val h = pmod(conv(substring(md5(concat_ws(":", lit("cm"),
+      col("user_id"))), 1, 15), 16, 10).cast("long"), lit(p))
+    def bucket(j: Int): Column = {
+      val (a, b) = CmAffine(j)
+      pmod(lit(a) * col("h") + lit(b), lit(p)) % 256
+    }
+    val cells = (0 until 4).map(j =>
+      struct(lit(j).as("row_id"), bucket(j).as("bkt")))
+    val sketch = Tables.events(s, dir)
+      .select(h.as("h"))
+      .select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.row_id").as("row_id"), col("cell.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val probe = Tables.events(s, dir)
+      .filter(col("user_id") < 40)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .withColumn("h", h)
+      .select(col("user_id"), col("exact_n"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("row_id"), bucket(j).as("bkt"))): _*)).as("cell"))
+      .select(col("user_id"), col("exact_n"),
+        col("cell.row_id").as("row_id"), col("cell.bkt").as("bkt"))
+    probe.join(broadcast(sketch), Seq("row_id", "bkt"))
+      .groupBy("user_id")
+      .agg(max("exact_n").as("exact_n"), min("cnt").as("cm_est"))
+      .select(col("user_id"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overcount"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_spearman" -> (statsSpearman _),
+    "agg_count_min" -> (aggCountMin _),
     "stats_regression" -> (statsRegression _),
     "stats_ks" -> (statsKs _),
     "stats_mannwhitney" -> (statsMannWhitney _),
@@ -1041,6 +1166,79 @@ object Aggregates extends QueryGroup {
       FROM lineitem"""
 
   val oracles: Map[String, String] = Map(
+    // bounded joint value histogram → integer doubled ranks (2·below
+    // + ties + 1) → HUGEINT-exact moments; the final Pearson formula
+    // is the only float step, identically associated in both engines
+    "stats_spearman" -> """
+      WITH h AS (
+        SELECT l_returnflag AS g,
+          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+          CAST(l_discount AS DECIMAL(18,2)) AS y,
+          CAST(l_tax AS DECIMAL(18,2)) AS z,
+          CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2, 3, 4),
+      rx AS (
+        SELECT g, x, 2 * (SUM(cv) OVER (PARTITION BY g ORDER BY x) - cv)
+          + cv + 1 AS rx
+        FROM (SELECT g, x, SUM(c) AS cv FROM h GROUP BY 1, 2)),
+      ry AS (
+        SELECT g, y, 2 * (SUM(cv) OVER (PARTITION BY g ORDER BY y) - cv)
+          + cv + 1 AS ry
+        FROM (SELECT g, y, SUM(c) AS cv FROM h GROUP BY 1, 2)),
+      rz AS (
+        SELECT g, z, 2 * (SUM(cv) OVER (PARTITION BY g ORDER BY z) - cv)
+          + cv + 1 AS rz
+        FROM (SELECT g, z, SUM(c) AS cv FROM h GROUP BY 1, 2)),
+      m AS (
+        SELECT g,
+          CAST(SUM(c) AS DOUBLE) AS n,
+          CAST(SUM(CAST(c AS HUGEINT) * rx) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(c AS HUGEINT) * ry) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(c AS HUGEINT) * rz) AS DOUBLE) AS sz,
+          CAST(SUM(CAST(c AS HUGEINT) * (CAST(rx AS HUGEINT) * rx)) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(c AS HUGEINT) * (CAST(ry AS HUGEINT) * ry)) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(c AS HUGEINT) * (CAST(rz AS HUGEINT) * rz)) AS DOUBLE) AS szz,
+          CAST(SUM(CAST(c AS HUGEINT) * (CAST(rx AS HUGEINT) * ry)) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(c AS HUGEINT) * (CAST(rx AS HUGEINT) * rz)) AS DOUBLE) AS sxz
+        FROM h
+        JOIN rx USING (g, x) JOIN ry USING (g, y) JOIN rz USING (g, z)
+        GROUP BY g)
+      SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
+          THEN ROUND((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        END AS rho_qty_disc,
+        CASE WHEN (n * sxx - sx * sx) * (n * szz - sz * sz) <> 0
+          THEN ROUND((n * sxz - sx * sz) /
+            sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 6)
+        END AS rho_qty_tax
+      FROM m ORDER BY l_returnflag""",
+    // the same 4×256 deterministic cells stated relationally: CM
+    // estimate = MIN over rows of the probed bucket's total
+    "agg_count_min" -> s"""
+      WITH aff(row_id, a, b) AS (VALUES ${CmAffine.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")}),
+      e AS (
+        SELECT user_id,
+          CAST(concat('0x', substring(md5('cm:' ||
+            CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 2147483647 AS h
+        FROM events),
+      sketch AS (
+        SELECT row_id, (a * h + b) % 2147483647 % 256 AS bkt,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM e, aff GROUP BY 1, 2),
+      probe AS (
+        SELECT user_id, h, CAST(count(*) AS BIGINT) AS exact_n
+        FROM e WHERE user_id < 40 GROUP BY 1, 2)
+      SELECT p.user_id, p.exact_n, MIN(s.cnt) AS cm_est,
+        MIN(s.cnt) - p.exact_n AS overcount
+      FROM probe p
+      JOIN aff ON true
+      JOIN sketch s ON s.row_id = aff.row_id
+        AND s.bkt = (aff.a * p.h + aff.b) % 2147483647 % 256
+      GROUP BY p.user_id, p.exact_n
+      ORDER BY p.user_id""",
     // same key aggregate + 1-row stats cross join; the two divisions
     // are identically-associated exact doubles in both engines
     "stats_skew" -> """

@@ -16,15 +16,17 @@ import graft.functions.Text
   */
 object Dedup extends QueryGroup {
 
-  private val NumHashes = 16
-  private val Bands = 4 // 4 rows per band
+  private[graft] val NumHashes = 16
+  private[graft] val Bands = 4 // 4 rows per band
   /** Modulus of dedup_near's universal affine MinHash family — 2³¹−1
-    * (prime), so a_j·h < 2⁶² stays BIGINT-exact in Spark AND DuckDB. */
-  private val MinhashP = 2147483647L
+    * (prime), so a_j·h < 2⁶² stays BIGINT-exact in Spark AND DuckDB.
+    * private[graft]: split_leakage_safe runs the SAME family (shared
+    * kernel constants, shared oracle interpolation — no drift). */
+  private[graft] val MinhashP = 2147483647L
   /** (a_j, b_j) of component j — fixed multiplicative-hash constants,
     * interpolated verbatim into the DuckDB oracle's `aff` VALUES so
     * the two engines run the SAME family by construction. */
-  private val MinhashAffine: IndexedSeq[(Long, Long)] =
+  private[graft] val MinhashAffine: IndexedSeq[(Long, Long)] =
     (0 until NumHashes).map(j =>
       ((2654435761L * (j + 1)) % MinhashP,
         (1013904223L * (j + 1)) % MinhashP)).toIndexedSeq

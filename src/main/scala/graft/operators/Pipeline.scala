@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -508,7 +508,122 @@ object Pipeline extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Masked-language-model pretraining transform — [[pretrainFim]]'s
+    * sibling for the BERT objective (Devlin et al. 2018, public):
+    * 15% of positions are selected per document, and a selected
+    * position is replaced by `[MASK]` (80%), by a random token (10% —
+    * drawn deterministically from the document's own words, so the
+    * transform is self-contained), or kept (10%); the label stream
+    * carries (position, original token) for every selected position.
+    * Every decision derives from md5(seed:doc_id:pos), so the DuckDB
+    * mirror states the SAME masked sequence — hash-exact. The whole
+    * transform is ONE row-local array `transform` (no explode, no
+    * shuffle, whole-stage codegen): at 100 TB it is a map-only pass
+    * at parquet scan speed. */
+  def pretrainMlm(s: SparkSession, dir: String): DataFrame = {
+    def ph(seed: String, i: Column) = conv(substring(md5(concat_ws(":",
+      lit(seed), col("doc_id"), i)), 1, 4), 16, 10).cast("int")
+    def sel(i: Column) = ph("mlm0", i) % 100 < 15
+    val base = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 1)
+      .withColumn("w", graft.functions.Text.words(col("text")))
+      .withColumn("n", size(col("w")))
+    val maskedArr = transform(col("w"), (x: Column, i: Column) => {
+      val act = ph("mlm1", i) % 10
+      when(!sel(i), x)
+        .when(act < 8, lit("[MASK]"))
+        .when(act === 8,
+          element_at(col("w"), (ph("mlm2", i) % col("n")) + 1))
+        .otherwise(x)
+    })
+    val labelArr = filter(
+      transform(col("w"), (x: Column, i: Column) =>
+        when(sel(i), concat_ws("@", i, x))),
+      (x: Column) => x.isNotNull)
+    base.select(
+      col("doc_id"),
+      col("n").cast("long").as("n_words"),
+      size(labelArr).cast("long").as("n_masked"),
+      md5(array_join(maskedArr, " ")).as("masked_md5"),
+      md5(array_join(labelArr, " ")).as("labels_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-safe train/holdout split — the step between curation and
+    * training that [[pipelinePretrain]] assumes and every serious
+    * data pipeline runs: a deterministic 20% content-hash holdout,
+    * then every train document that is a NEAR-DUPLICATE of any
+    * holdout document (3-gram Jaccard ≥ 0.6 — [[Dedup.dedupNear]]'s
+    * exact definition, via its md5-affine MinHash bands: shared
+    * kernel constants, so the two operators cannot drift) is PURGED —
+    * otherwise the held-out loss is measured on near-copies of
+    * training data and overstates the model. Identical text implies
+    * identical signature, so exact duplicates are subsumed. Corpus =
+    * the planted near-dup fixture ([[Dedup.withPlanted]]), so both
+    * verdicts carry traffic across the split boundary. Hash-exact:
+    * split, signature, banding, and the Jaccard verify all mirror in
+    * DuckDB verbatim. Scale: the split is a stateless hash predicate;
+    * bands are the standing dedup index (persisted in production,
+    * [[Dedup.dedupDeltaNear]]'s layout); the candidate join is
+    * band-bucketed (never all-pairs) with the 20% holdout side the
+    * small probe; the purge is an id anti-join. */
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val base = Dedup.withPlanted(s, dir)
+      .withColumn("holdout",
+        conv(substring(md5(concat_ws(":", lit("split"), col("doc_id"))),
+          1, 4), 16, 10).cast("int") % 5 === 0)
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("sh", Text.shingles(col("w"), 3))
+      .select("doc_id", "holdout", "sh")
+      .localCheckpoint() // three consumers: sig, shingle verify, output
+    val exploded = base
+      .select(col("doc_id"), col("holdout"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("holdout"),
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(Dedup.MinhashP)).as("h"))
+    val aggs = (0 until Dedup.NumHashes).map { j =>
+      val (a, b) = Dedup.MinhashAffine(j)
+      min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MinhashP))).as(s"mh$j")
+    }
+    val sig = exploded.groupBy("doc_id", "holdout").agg(aggs.head, aggs.tail: _*)
+    val rows = Dedup.NumHashes / Dedup.Bands
+    val bandCols = (0 until Dedup.Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws(",", (b * rows until (b + 1) * rows)
+          .map(j => col(s"mh$j")): _*).as("band_val"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("holdout"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("holdout"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_val").as("band_val"))
+    val cand = banded.filter(!col("holdout")).as("a")
+      .join(banded.filter(col("holdout")).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("holdout_id"))
+      .distinct()
+    val shd = base.withColumn("shd", array_distinct(col("sh")))
+      .select("doc_id", "shd")
+    val leaky = cand
+      .join(shd.select(col("doc_id").as("train_id"), col("shd").as("sha")), "train_id")
+      .join(shd.select(col("doc_id").as("holdout_id"), col("shd").as("shb")), "holdout_id")
+      .filter(round(Text.jaccard(col("sha"), col("shb")), 6) >= 0.6)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("leak", lit(true))
+    base.select("doc_id", "holdout")
+      .join(leaky, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("holdout"), lit("holdout"))
+          .when(col("leak"), lit("purged"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pretrain_mlm" -> (pretrainMlm _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "pipeline_pretrain" -> (pipelinePretrain _),
     "pretrain_fim" -> (pretrainFim _),
     "pipeline_sft" -> (pipelineSft _),
@@ -568,6 +683,98 @@ object Pipeline extends QueryGroup {
       ORDER BY conv_id, span_idx"""
 
   val oracles: Map[String, String] = Map(
+    // the same md5(seed:doc_id:pos) decisions stated over
+    // range(0, n): identical masked sequence and label stream
+    "pretrain_mlm" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents WHERE len(text) >= 1),
+      d AS (
+        SELECT doc_id, n,
+          list_transform(range(0, n), i -> CASE
+            WHEN NOT (CAST(concat('0x', substring(md5('mlm0:' ||
+                CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                1, 4)) AS INTEGER) % 100 < 15) THEN w[i + 1]
+            WHEN CAST(concat('0x', substring(md5('mlm1:' ||
+                CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                1, 4)) AS INTEGER) % 10 < 8 THEN '[MASK]'
+            WHEN CAST(concat('0x', substring(md5('mlm1:' ||
+                CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                1, 4)) AS INTEGER) % 10 = 8
+              THEN w[(CAST(concat('0x', substring(md5('mlm2:' ||
+                CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                1, 4)) AS INTEGER) % n) + 1]
+            ELSE w[i + 1] END) AS mw,
+          [CAST(i AS VARCHAR) || '@' || w[i + 1] FOR i IN range(0, n)
+            IF CAST(concat('0x', substring(md5('mlm0:' ||
+              CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+              1, 4)) AS INTEGER) % 100 < 15] AS lab
+        FROM t)
+      SELECT doc_id, n AS n_words,
+        CAST(len(lab) AS BIGINT) AS n_masked,
+        md5(array_to_string(mw, ' ')) AS masked_md5,
+        -- DuckDB's array_to_string([]) is NULL, Spark's array_join is
+        -- '' — coalesce so a zero-selection doc hashes md5('') in both
+        md5(coalesce(array_to_string(lab, ' '), '')) AS labels_md5
+      FROM d ORDER BY doc_id""",
+    // dedup_near's signature/band/verify CTEs verbatim (same
+    // interpolated affine family), restricted to cross-split pairs
+    "split_leakage_safe" -> s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               substring(text, instr(text, ' ') + 1) AS text
+        FROM documents WHERE doc_id < 20),
+      split AS (
+        SELECT doc_id, text,
+          CAST(concat('0x', substring(md5('split:' ||
+            CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 5 = 0
+            AS holdout
+        FROM corpus),
+      sh AS (
+        SELECT doc_id, holdout,
+          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           FOR i IN range(1, len(w)-1)] AS sh
+        FROM (SELECT doc_id, holdout, string_split(text, ' ') AS w
+              FROM split)
+        WHERE len(w) >= 3),
+      aff(c, a, b) AS (VALUES ${Dedup.MinhashAffine.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")}),
+      hx AS (
+        SELECT doc_id, holdout,
+          CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+            % ${Dedup.MinhashP} AS h
+        FROM (SELECT doc_id, holdout, unnest(sh) AS g FROM sh)),
+      sig AS (
+        SELECT doc_id, holdout, c, MIN((a * h + b) % ${Dedup.MinhashP}) AS minh
+        FROM hx, aff
+        GROUP BY doc_id, holdout, c),
+      band AS (
+        SELECT doc_id, holdout, c // 4 AS band_idx,
+          string_agg(CAST(minh AS VARCHAR), ',' ORDER BY c) AS band_val
+        FROM sig GROUP BY doc_id, holdout, c // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS holdout_id
+        FROM band a
+        JOIN band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE NOT a.holdout AND b.holdout),
+      shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+      leaky AS (
+        SELECT DISTINCT c.train_id AS doc_id
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.train_id
+        JOIN shd b ON b.doc_id = c.holdout_id
+        WHERE ROUND(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE) /
+          (len(a.shd) + len(b.shd) - len(list_intersect(a.shd, b.shd))), 6)
+          >= 0.6)
+      SELECT s.doc_id,
+        CASE WHEN s.holdout THEN 'holdout'
+             WHEN l.doc_id IS NOT NULL THEN 'purged'
+             ELSE 'train' END AS split
+      FROM split s LEFT JOIN leaky l ON s.doc_id = l.doc_id
+      ORDER BY s.doc_id""",
     // the stage mirrors chained verbatim: the clip float-mirror, the
     // shared re-encode + per-bit pHash CTEs, the md5 shard manifest
     "pipeline_multimodal" -> s"""

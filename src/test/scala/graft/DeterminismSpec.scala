@@ -304,7 +304,11 @@ class DeterminismSpec extends SparkSpec {
     "pretrain_fim",
     // six planning-relation counts over postings + data — must hold
     // on any layout
-    "scan_allow_filtering")
+    "scan_allow_filtering",
+    // round-13 closing wave: bounded-domain rank moments, the 1 024-cell
+    // sketch aggregate, the row-local MLM transform, and the banded
+    // cross-split purge are all partition-perturbable shapes
+    "stats_spearman", "agg_count_min", "pretrain_mlm", "split_leakage_safe")
 
   for (name <- names) test(s"$name is partitioning-insensitive") {
     val fn = SparkEntry.queries(name)

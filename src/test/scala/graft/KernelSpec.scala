@@ -1037,6 +1037,66 @@ class KernelSpec extends SparkSpec {
     assert(relErr <= 0.10, s"expansion total off by ${relErr * 100}%")
   }
 
+  test("stats_spearman: value-rank path equals row-level average ranks; sign sanity") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("stats_spearman")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("rho_qty_disc"), r.getAs[Double]("rho_qty_tax"))).toMap
+    // independent row-level reference: avg-rank windows over raw rows
+    // (the O(n log n) textbook form the bounded-domain path replaces)
+    def rk(v: String) = {
+      val w = Window.partitionBy("g").orderBy(v)
+      (rank().over(w) * 2 + count(lit(1)).over(
+        Window.partitionBy("g", v)) - 1).cast("double")
+    }
+    val rows = graft.core.Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag").as("g"),
+        graft.core.Num.d2(col("l_quantity")).as("x"),
+        graft.core.Num.d2(col("l_discount")).as("y"))
+      .withColumn("rx", rk("x")).withColumn("ry", rk("y"))
+    val ref = rows.groupBy("g").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .collect().map { r =>
+        val (n, sx, sy, sxx, syy, sxy) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        r.getString(0) -> (n * sxy - sx * sy) /
+          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      }.toMap
+    got.foreach { case (g, (rhoQd, _)) =>
+      assert(math.abs(rhoQd - ref(g)) < 1e-5,
+        s"flag $g: bounded-domain rho $rhoQd != row-rank reference ${ref(g)}")
+    }
+    got.values.foreach { case (a, b) =>
+      assert(math.abs(a) <= 1.0 && math.abs(b) <= 1.0, "rho out of [-1, 1]")
+    }
+  }
+
+  test("agg_count_min: estimates never undercount and cover every probe key") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_count_min")(spark, sf001).collect()
+    assert(rows.nonEmpty, "no probe keys under user_id < 40")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CM undercounted key ${r.getAs[Long]("user_id")}: " +
+          s"est ${r.getAs[Long]("cm_est")} < exact ${r.getAs[Long]("exact_n")}")
+      assert(r.getAs[Long]("cm_est") ==
+        r.getAs[Long]("exact_n") + r.getAs[Long]("overcount"))
+    }
+    // the sketch is 1024 cells at ANY corpus size; with n events and
+    // w=256 buckets the expected per-row collision mass is n/256 —
+    // min over 4 rows should keep the worst estimate within a loose
+    // multiple of that on the fixture (deterministic, fixed hashes)
+    val n = graft.core.Tables.events(spark, sf001).count()
+    val worst = rows.map(_.getAs[Long]("overcount")).max
+    assert(worst <= math.max(8L, 8L * n / 256),
+      s"worst overcount $worst implausibly large for n=$n")
+  }
+
   test("chunkCorpus windows are exactly the windows chunk_documents digests") {
     import org.apache.spark.sql.functions._
     // no-drift pin between the retrieval corpus (search_hybrid_chunks)

@@ -237,4 +237,57 @@ class PipelineSpec extends SparkSpec {
     assert(manifest.map(_.getLong(1)).sum <= feed.count() - plants,
       "a planted re-encode survived perceptual dedup")
   }
+
+  test("pretrain_mlm: selection rate near 15%, labels only at selected positions, deterministic") {
+    val rows = graft.operators.Pipeline.pretrainMlm(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val words = rows.map(_.getAs[Long]("n_words")).sum
+    val masked = rows.map(_.getAs[Long]("n_masked")).sum
+    val rate = masked.toDouble / words
+    assert(rate > 0.10 && rate < 0.20,
+      s"selection rate $rate far from the 15% target over $words positions")
+    // determinism: a second plan build yields byte-identical digests
+    val again = graft.operators.Pipeline.pretrainMlm(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // a doc with zero selected positions must keep its text verbatim:
+    // its masked_md5 equals md5(text)
+    val plain = graft.operators.Pipeline.pretrainMlm(spark, sf001)
+      .filter(col("n_masked") === 0).select("doc_id", "masked_md5")
+      .join(graft.core.Tables.documents(spark, sf001), "doc_id")
+      .withColumn("want", md5(col("text")))
+    plain.collect().foreach(r =>
+      assert(r.getAs[String]("masked_md5") == r.getAs[String]("want"),
+        s"doc ${r.getAs[Long]("doc_id")}: unselected doc was rewritten"))
+  }
+
+  test("split_leakage_safe: no surviving train doc is a near-dup of any holdout doc") {
+    val split = graft.operators.Pipeline.splitLeakageSafe(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = split.size
+    val holdout = split.count(_._2 == "holdout")
+    assert(holdout > 0 && holdout < n / 2,
+      s"holdout fraction ${holdout.toDouble / n} not a minority split")
+    assert(split.values.exists(_ == "purged"),
+      "no doc purged — the planted cross-split near-dups missed")
+    // ground truth: dedup_near's verified pairs on the same planted
+    // corpus; any pair crossing the split must have lost its train arm
+    graft.operators.Dedup.dedupNear(spark, sf001).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (split(a), split(b)) match {
+        case ("holdout", sb) if sb != "holdout" =>
+          assert(sb == "purged", s"train doc $b near-dups holdout doc $a but survived")
+        case (sa, "holdout") if sa != "holdout" =>
+          assert(sa == "purged", s"train doc $a near-dups holdout doc $b but survived")
+        case _ => ()
+      }
+    }
+    // a purged doc must have a REASON: it near-dups some holdout doc
+    val pairs = graft.operators.Dedup.dedupNear(spark, sf001).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    split.collect { case (id, "purged") => id }.foreach { id =>
+      assert(pairs.getOrElse(id, Set.empty).exists(split(_) == "holdout"),
+        s"doc $id purged without a holdout near-dup witness")
+    }
+  }
 }
