@@ -839,12 +839,17 @@ object Aggregates extends QueryGroup {
     val base = Tables.lineitem(s, dir).select(
       date_format(col("l_shipdate"), "yyyy-MM").as("shard"),
       Num.d2(col("l_extendedprice")).as("v"))
+    // rn and the last-row marker share ONE window spec, so the planner
+    // evaluates both in a single Window operator over a single
+    // (shard, v) sort — a count() window (different spec) or a
+    // per-shard count join would each add a full extra pass of the
+    // corpus for what is just "is this the shard's final row".
+    val byShard = Window.partitionBy("shard").orderBy("v")
     val ranked = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("shard").orderBy("v")).cast("long"))
-      .withColumn("ns", count(lit(1)).over(Window.partitionBy("shard")))
+      .withColumn("rn", row_number().over(byShard).cast("long"))
+      .withColumn("is_last", lead("v", 1).over(byShard).isNull)
     val samples = ranked
-      .filter(col("rn") % k === 0 || col("rn") === col("ns"))
+      .filter(col("rn") % k === 0 || col("is_last"))
       .withColumn("incr", col("rn") - coalesce(lag("rn", 1).over(
         Window.partitionBy("shard").orderBy("rn")), lit(0L)))
       .withColumn("b", floor(col("v") / 1000).cast("int"))
@@ -1108,7 +1113,12 @@ object Aggregates extends QueryGroup {
           struct(lit(j).as("row_id"), bucket(j).as("bkt"))): _*)).as("cell"))
       .select(col("user_id"), col("exact_n"),
         col("cell.row_id").as("row_id"), col("cell.bkt").as("bkt"))
-    probe.join(broadcast(sketch), Seq("row_id", "bkt"))
+    // no broadcast hint over the aggregated sketch (the repo-wide
+    // PlanSpec guard): the 1 024-cell relation is broadcast-sized by
+    // construction and AQE's runtime size check picks the broadcast
+    // join on its own — a forced hint over an aggregate is the
+    // driver-OOM anti-pattern when the estimate is ever wrong
+    probe.join(sketch, Seq("row_id", "bkt"))
       .groupBy("user_id")
       .agg(max("exact_n").as("exact_n"), min("cnt").as("cm_est"))
       .select(col("user_id"), col("exact_n"), col("cm_est"),
