@@ -914,4 +914,35 @@ class PlanSpec extends SparkSpec {
     assert(!dpo.contains("SortMergeJoin") && !dpo.contains("WindowExec"),
       s"pipeline_dpo grew a join/window:\n${dpo.take(1200)}")
   }
+
+  test("round-13 closing wave: spearman scans once, mlm is map-only, count-min/split never go all-pairs") {
+    def scansOf(p: String, table: String): Int =
+      p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains(table))
+    // stats_spearman's whole corpus contact is ONE joint-histogram
+    // aggregate, cached: every lineitem FileScan in the plan print is
+    // the cached histogram's child (InMemoryTableScan re-prints it) —
+    // a lineitem scan OUTSIDE the cache would mean the bounded-domain
+    // rank discipline regressed to row-level ranking
+    val sp = plan("stats_spearman")
+    val spIms = sp.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(spIms >= 3, s"histogram cache not reused across rank branches:\n${sp.take(1500)}")
+    assert(scansOf(sp, "lineitem") <= spIms,
+      s"stats_spearman reads lineitem outside the cached histogram:\n${sp.take(1500)}")
+    // pretrain_mlm is a row-local array transform: the only exchange
+    // in the plan is the output orderBy's range partitioning
+    val mlm = plan("pretrain_mlm")
+    assert(mlm.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"pretrain_mlm grew a shuffle beyond the output sort:\n${mlm.take(1500)}")
+    assert(!mlm.contains("WindowExec") && !mlm.contains("Generate"),
+      s"pretrain_mlm exploded or windowed the corpus:\n${mlm.take(1500)}")
+    // the CM sketch build + probe touch events exactly twice (sketch,
+    // probe) — and nothing in the wave is allowed a cartesian product
+    assert(scansOf(plan("agg_count_min"), "events") == 2,
+      s"agg_count_min scan count changed:\n${plan("agg_count_min").take(1500)}")
+    for (q <- Seq("agg_count_min", "split_leakage_safe", "stats_spearman")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew an all-pairs join:\n${p.take(1500)}")
+    }
+  }
 }
