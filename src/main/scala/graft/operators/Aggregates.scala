@@ -1065,6 +1065,16 @@ object Aggregates extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** The CM sketch's 4-row affine family — disjoint from the MinHash
+    * family's (j+1) seeds; interpolated verbatim into the oracle's
+    * `aff` VALUES (precomputed: the raw products overflow DuckDB's
+    * INT32 literals). */
+  private val CmP = 2147483647L // 2^31 − 1, the MinHash family's prime
+  private[graft] val CmAffine: IndexedSeq[(Long, Long)] =
+    (0 until 4).map(j =>
+      ((2654435761L * (j + 3)) % CmP, (1013904223L * (j + 3)) % CmP))
+      .toIndexedSeq
+
   /** Count–Min sketch (Cormode & Muthukrishnan 2005, public): the
     * fixed-size mergeable frequency summary a streaming/telemetry
     * layer keeps where exact per-key counts won't fit — d=4 hash rows
@@ -1078,17 +1088,7 @@ object Aggregates extends QueryGroup {
     * guarantee est ≥ exact makes the error column a per-row oracle
     * (KernelSpec asserts it non-negative and bounded). Scale: the
     * build is one map-side-combining aggregate onto 1 024 cells; the
-    * probe broadcasts the sketch into the 40-row key relation. */
-  /** The CM sketch's 4-row affine family — disjoint from the MinHash
-    * family's (j+1) seeds; interpolated verbatim into the oracle's
-    * `aff` VALUES (precomputed: the raw products overflow DuckDB's
-    * INT32 literals). */
-  private val CmP = 2147483647L // 2^31 − 1, the MinHash family's prime
-  private[graft] val CmAffine: IndexedSeq[(Long, Long)] =
-    (0 until 4).map(j =>
-      ((2654435761L * (j + 3)) % CmP, (1013904223L * (j + 3)) % CmP))
-      .toIndexedSeq
-
+    * probe reads the sketch through AQE's runtime broadcast. */
   def aggCountMin(s: SparkSession, dir: String): DataFrame = {
     val p = CmP
     val h = pmod(conv(substring(md5(concat_ws(":", lit("cm"),
