@@ -1065,14 +1065,16 @@ object Aggregates extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
-  /** The CM sketch's 4-row affine family — disjoint from the MinHash
-    * family's (j+1) seeds; interpolated verbatim into the oracle's
-    * `aff` VALUES (precomputed: the raw products overflow DuckDB's
-    * INT32 literals). */
+  /** The CM sketch's 4-row affine family — seeds (j+17) start past
+    * the MinHash family's 1..16, so the two families are disjoint in
+    * fact, not just in name (seeds 3..6 would REPRODUCE MinHash
+    * components 2..5 — review-caught); interpolated verbatim into the
+    * oracle's `aff` VALUES (precomputed: the raw products overflow
+    * DuckDB's INT32 literals). */
   private val CmP = 2147483647L // 2^31 − 1, the MinHash family's prime
   private[graft] val CmAffine: IndexedSeq[(Long, Long)] =
     (0 until 4).map(j =>
-      ((2654435761L * (j + 3)) % CmP, (1013904223L * (j + 3)) % CmP))
+      ((2654435761L * (j + 17)) % CmP, (1013904223L * (j + 17)) % CmP))
       .toIndexedSeq
 
   /** Count–Min sketch (Cormode & Muthukrishnan 2005, public): the

@@ -63,6 +63,39 @@ object Dedup extends QueryGroup {
     * planted-recall-tested (VERDICT r12 next #5). One crypto hash per
     * shingle, not one per (component, shingle): the 16-md5 form this
     * replaces measured 4× slower at ×100 with identical shape. */
+  /** The md5-affine MinHash BAND construction — the one definition
+    * [[dedupNear]] and [[graft.operators.Pipeline.splitLeakageSafe]]
+    * share, so the two operators cannot drift (sharing only the
+    * CONSTANTS would leave the base-hash/banding shape free to
+    * diverge): one md5 base hash per shingle fanned into
+    * [[NumHashes]] components by [[MinhashAffine]], comma-joined into
+    * [[Bands]] band keys. `carry` columns (the doc id, plus any split
+    * flags) ride through signature aggregation into the band rows.
+    * The signature is localCheckpoint'ed: every caller consumes the
+    * band relation at least twice (self-join sides / split arms). */
+  private[graft] def minhashBandsMd5(base: DataFrame, carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
+    val exploded = base.select(cs :+ explode(col("sh")).as("g"): _*)
+      .select(cs :+
+        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
+          lit(MinhashP)).as("h"): _*)
+    val aggs = (0 until NumHashes).map { j =>
+      val (a, b) = MinhashAffine(j)
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"mh$j")
+    }
+    val sig = exploded.groupBy(cs: _*).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val rows = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws(",", (b * rows until (b + 1) * rows)
+          .map(j => col(s"mh$j")): _*).as("band_val"))
+    }
+    sig.select(cs :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(cs :+ col("bk.band_idx").as("band_idx") :+
+        col("bk.band_val").as("band_val"): _*)
+  }
+
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
     // Materialize the shingle arrays once: three downstream branches
     // (signature, both sides of the verify join) would otherwise each
@@ -73,26 +106,7 @@ object Dedup extends QueryGroup {
       .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "sh")
       .localCheckpoint()
-    val exploded = base.select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(MinhashP)).as("h"))
-    val aggs = (0 until NumHashes).map { j =>
-      val (a, b) = MinhashAffine(j)
-      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"mh$j")
-    }
-    val sig = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
-    val rows = NumHashes / Bands
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        concat_ws(",", (b * rows until (b + 1) * rows)
-          .map(j => col(s"mh$j")): _*).as("band_val"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_idx").as("band_idx"),
-        col("bk.band_val").as("band_val"))
+    val banded = minhashBandsMd5(base, Seq("doc_id"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&

@@ -577,27 +577,10 @@ object Pipeline extends QueryGroup {
       .withColumn("sh", Text.shingles(col("w"), 3))
       .select("doc_id", "holdout", "sh")
       .localCheckpoint() // three consumers: sig, shingle verify, output
-    val exploded = base
-      .select(col("doc_id"), col("holdout"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), col("holdout"),
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"),
-          lit(Dedup.MinhashP)).as("h"))
-    val aggs = (0 until Dedup.NumHashes).map { j =>
-      val (a, b) = Dedup.MinhashAffine(j)
-      min(pmod(lit(a) * col("h") + lit(b), lit(Dedup.MinhashP))).as(s"mh$j")
-    }
-    val sig = exploded.groupBy("doc_id", "holdout").agg(aggs.head, aggs.tail: _*)
-    val rows = Dedup.NumHashes / Dedup.Bands
-    val bandCols = (0 until Dedup.Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        concat_ws(",", (b * rows until (b + 1) * rows)
-          .map(j => col(s"mh$j")): _*).as("band_val"))
-    }
-    val banded = sig
-      .select(col("doc_id"), col("holdout"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("holdout"),
-        col("bk.band_idx").as("band_idx"), col("bk.band_val").as("band_val"))
+    // the SAME band construction as dedup_near — one shared definition
+    // ([[Dedup.minhashBandsMd5]]), not a re-statement, so the purge
+    // semantics and dedup_near's verdicts cannot drift
+    val banded = Dedup.minhashBandsMd5(base, Seq("doc_id", "holdout"))
     val cand = banded.filter(!col("holdout")).as("a")
       .join(banded.filter(col("holdout")).as("b"),
         col("a.band_idx") === col("b.band_idx") &&

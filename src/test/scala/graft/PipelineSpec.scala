@@ -270,8 +270,11 @@ class PipelineSpec extends SparkSpec {
     assert(split.values.exists(_ == "purged"),
       "no doc purged — the planted cross-split near-dups missed")
     // ground truth: dedup_near's verified pairs on the same planted
-    // corpus; any pair crossing the split must have lost its train arm
-    graft.operators.Dedup.dedupNear(spark, sf001).collect().foreach { r =>
+    // corpus (collected ONCE — it is one of the suite's expensive
+    // operators); any pair crossing the split must have lost its
+    // train arm
+    val nearPairs = graft.operators.Dedup.dedupNear(spark, sf001).collect()
+    nearPairs.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       (split(a), split(b)) match {
         case ("holdout", sb) if sb != "holdout" =>
@@ -282,7 +285,7 @@ class PipelineSpec extends SparkSpec {
       }
     }
     // a purged doc must have a REASON: it near-dups some holdout doc
-    val pairs = graft.operators.Dedup.dedupNear(spark, sf001).collect()
+    val pairs = nearPairs
       .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     split.collect { case (id, "purged") => id }.foreach { id =>

@@ -939,10 +939,12 @@ class PlanSpec extends SparkSpec {
       s"pretrain_mlm exploded or windowed the corpus:\n${mlm.take(1500)}")
     // the CM sketch build + probe touch events exactly twice (sketch,
     // probe) — and nothing in the wave is allowed a cartesian product
-    assert(scansOf(plan("agg_count_min"), "events") == 2,
-      s"agg_count_min scan count changed:\n${plan("agg_count_min").take(1500)}")
-    for (q <- Seq("agg_count_min", "split_leakage_safe", "stats_spearman")) {
-      val p = plan(q)
+    val cm = plan("agg_count_min")
+    assert(scansOf(cm, "events") == 2,
+      s"agg_count_min scan count changed:\n${cm.take(1500)}")
+    for ((q, p) <- Seq("agg_count_min" -> cm,
+        "split_leakage_safe" -> plan("split_leakage_safe"),
+        "stats_spearman" -> sp)) {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q grew an all-pairs join:\n${p.take(1500)}")
     }
