@@ -90,7 +90,7 @@ object Bench {
       "tokenize_wordpiece_frozen", "tokenize_unigram_frozen",
       "sim_topk_graph", "scan_sai_ann_memtable",
       "compact_ann_purge", "scan_sai_ann_tombstone", "stream_ann_memtable",
-      "agg_sketch_merge", "agg_sketch_intersect",
+      "agg_sketch_merge", "agg_sketch_intersect", "agg_quantile_merge",
       "compact_generations", "scan_snapshot", "batch_apply",
       "sink_shards", "text_quality_model", "pipeline_pretrain")
       .filter(SparkEntry.queries.contains)
@@ -126,6 +126,24 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         name -> (dt, n)
       }
+    val benchStart = System.nanoTime()
+    def sinceStart: Double = (System.nanoTime() - benchStart) / 1e9
+    // Host-health canary (VERDICT r13 next #8): one stats_ks run BEFORE
+    // the suite, recorded in the receipt itself, so the driver can
+    // deflate epoch-scale host degradation (documented 2×–50× swings on
+    // this VM) without trusting ledger prose. ~3.6 s at sf0.1 means a
+    // quiet box; 2× that means a degraded epoch and the totals that
+    // follow are inflated by the HOST, not the plans.
+    val canarySec: Double =
+      if (args.isEmpty && SparkEntry.queries.contains("stats_ks")) {
+        val t0 = System.nanoTime()
+        try { materialize(SparkEntry.queries("stats_ks")(spark, sfDir)); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] canary failed: ${e.getMessage}") }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
+      } else -1.0
     val (prewarmSec, prewarmFailed) =
       if (args.isEmpty) prewarm(sfDir) else (0.0, 0)
     val results0 = runSuite(sfDir)
@@ -169,7 +187,41 @@ object Bench {
       case (name, (t, n)) if n >= 0 && t > 5.0 &&
         snap.get(name).exists(s => s > 0 && t > 10 * s) => name -> t
     }
-    val results = results0 ++ stalled.keys.flatMap { name =>
+    def f3(x: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    def qsJson(rs: Map[String, (Double, Long)]): String = rs
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val canaryPart = if (canarySec >= 0) s""","canary_sec":${f3(canarySec)}""" else ""
+    // Partial receipt (VERDICT r13 "What's wrong" #2): round 13's
+    // driver bench died at rc=124 mid re-time pass with ZERO parseable
+    // output — the metric line only printed after sf0.1 + re-times +
+    // the full ×10 chain. Flush the sf0.1 metric line (with the full
+    // per-query map) the moment the primary suite finishes, BEFORE the
+    // re-time pass and the ×10 chain: if the driver timeout kills the
+    // process later, this is the last line and it parses. On a clean
+    // exit the final full/brief lines below supersede it under the
+    // last-line protocol; "partial":true keeps the two states
+    // distinguishable in scrollback.
+    if (args.isEmpty) {
+      val t0 = results0.values.map(_._1).sum
+      val f0 = results0.values.count(_._2 < 0)
+      println(s"""{"metric":"total","value":$t0,"unit":"sec","failed":$f0,"queries":${qsJson(results0)},"prewarm_sec":${f3(prewarmSec)},"prewarm_failed":$prewarmFailed$canaryPart,"partial":true,"sf":"$sfDir"}""")
+      Console.flush()
+    }
+    // Re-time budget cap (VERDICT r13 "What's wrong" #2b): the stall
+    // gate exists for ISOLATED transient stalls (one GC pause, one
+    // contending process). When many lines stall simultaneously the
+    // problem is the host epoch, not the queries — re-timing them all
+    // just doubles the overrun on a box that will mis-time the re-runs
+    // too (r13: 7+ re-times fired, then rc=124). Keep the originals,
+    // record the degradation, and let the canary field tell the story.
+    val stallCap = 3
+    val epochDegraded = stalled.size > stallCap
+    if (epochDegraded)
+      System.err.println(s"[bench] ${stalled.size} lines stalled (cap $stallCap) - " +
+        "epoch-wide host degradation; skipping re-times, keeping originals")
+    val results = if (epochDegraded) results0 else results0 ++ stalled.keys.flatMap { name =>
       System.err.println(s"[bench] re-timing stalled line $name " +
         s"(${results0(name)._1} s vs snapshot ${snap(name)} s)")
       val t0 = System.nanoTime()
@@ -191,18 +243,27 @@ object Bench {
     // it; see BASELINE.md) and on a full-suite run; SPARK_GRAFT_X10_DIR
     // overrides, "none" disables.
     val x10Dir = sys.env.getOrElse("SPARK_GRAFT_X10_DIR", "/tmp/graft_scale/sf1")
+    // Wall-clock budget (VERDICT r13 next #2): SPARK_GRAFT_BENCH_BUDGET_SEC
+    // caps the whole run. The ×10 chain historically costs ~1.6–2.4×
+    // the sf0.1 chain, so skip it when the projected finish would blow
+    // the budget — a receipt missing x10_total_sec is degraded; a
+    // receipt the driver's timeout zeroed entirely is useless.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+    val x10Projected = 2.5 * sinceStart
+    val x10OverBudget = budgetSec.exists(b => sinceStart + x10Projected > b)
+    if (x10OverBudget)
+      System.err.println(s"[bench] skipping x10 suite: ${f3(sinceStart)} s elapsed + " +
+        s"~${f3(x10Projected)} s projected exceeds budget ${budgetSec.get} s")
     val x10Results =
-      if (args.isEmpty && x10Dir != "none" &&
+      if (args.isEmpty && x10Dir != "none" && !x10OverBudget &&
           new java.io.File(s"$x10Dir/lineitem.parquet").exists()) {
         System.err.println(s"[bench] running x10 suite at $x10Dir")
         Some((prewarm(x10Dir), runSuite(x10Dir)))
       } else None
-    // Locale.ROOT: the f-interpolator honors the JVM default locale,
-    // and a comma-decimal locale would corrupt the JSON
-    val qs = results
-      .map { case (k, (v, _)) =>
-        s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
-      .mkString("{", ",", "}")
+    // Locale.ROOT (via f3): the f-interpolator honors the JVM default
+    // locale, and a comma-decimal locale would corrupt the JSON
+    val qs = qsJson(results)
     // Output rows per query, for output-normalized scale-up analysis
     // (time/row separates output-driven growth from plan growth).
     // Env-gated and printed BEFORE the metric lines so the driver's
@@ -222,8 +283,6 @@ object Bench {
     // would report a misleadingly GOOD scale-up ratio — the one number
     // the x10 suite exists to measure. Zero means every query returned.
     val failed = results.values.count(_._2 < 0)
-    def f3(x: Double) =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val x10Part = x10Results.map { case ((pw, pwF), r) =>
       val t = f3(r.values.map(_._1).sum)
       val x10Failed = r.values.count(_._2 < 0)
@@ -233,10 +292,15 @@ object Bench {
       s""","prewarm_sec":${f3(prewarmSec)},"prewarm_failed":$prewarmFailed"""
     // Stalled lines: original (pre-re-time) seconds, so the anomaly is
     // in the ledger even though the map carries the re-timed value.
-    val stalledPart =
-      if (stalled.isEmpty) ""
-      else stalled.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-        .mkString(""","stalled":{""", ",", "}")
+    val stalledPart = {
+      val body =
+        if (stalled.isEmpty) ""
+        else stalled.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+          .mkString(""","stalled":{""", ",", "}")
+      // stall_epoch: true = the cap fired and the per-query map carries
+      // the ORIGINAL (degraded-host) times, not re-timed ones.
+      body + (if (epochDegraded) s""","stall_epoch":true""" else "")
+    }
     // Stable-core subtotal (VERDICT r11 next #8): the subtotal over
     // queries present in BOTH this run and the snapshot separates gate
     // drift caused by new-operator mix from real regressions on the
@@ -247,9 +311,9 @@ object Bench {
       else s""","overlap_total_sec":${f3(ov.values.map(_._1).sum)},"overlap_n":${ov.size},"overlap_snapshot_sec":${f3(ov.keys.map(snap).sum)}"""
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$pwPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$pwPart$canaryPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
     val brief =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$pwPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$pwPart$canaryPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -448,6 +448,22 @@ object Search extends QueryGroup {
   def searchHybridChunks(s: SparkSession, dir: String): DataFrame =
     hybridChunksOf(s, dir, Tables.documents(s, dir), restrictVec = false)
 
+  /** Guarded chunk-key packing: doc_id·2²⁰ + chunk_id. The 2²⁰/2⁴³
+    * bounds were stated but never asserted (ADVICE r12): a doc with
+    * ≥2²⁰ windows or a doc_id ≥2⁴³ would silently corrupt packed
+    * keys. Fail fast inline — the conditional folds into the same
+    * codegen projection, so the bounded-pool path pays nothing.
+    * Package-visible so KernelSpec can pin the overflow behavior. */
+  private[graft] def packedChunkKey(docId: Column, chunkId: Column): Column = {
+    val pack = 1L << 20
+    when(chunkId < pack && docId < (1L << 43) &&
+        chunkId >= 0 && docId >= 0,
+        docId * pack + chunkId)
+      .otherwise(raise_error(concat(
+        lit("chunk-id packing overflow: doc_id="), docId.cast("string"),
+        lit(" chunk_id="), chunkId.cast("string"))))
+  }
+
   /** The chunk-granularity fusion over ANY (doc_id, text) corpus —
     * the one definition [[searchHybridChunks]] (raw corpus) and
     * [[pipelineRagChunks]] (curated corpus, vector arm id-restricted)
@@ -455,18 +471,9 @@ object Search extends QueryGroup {
   private def hybridChunksOf(s: SparkSession, dir: String,
       docs: DataFrame, restrictVec: Boolean): DataFrame = {
     val pack = 1L << 20
-    // The 2²⁰/2⁴³ bounds were stated but never asserted (ADVICE r12):
-    // a doc with ≥2²⁰ windows or a doc_id ≥2⁴³ would silently corrupt
-    // packed keys. Fail fast inline — the conditional folds into the
-    // same codegen projection, so the bounded-pool path pays nothing.
-    val packed = when(col("chunk_id") < pack && col("doc_id") < (1L << 43) &&
-        col("chunk_id") >= 0 && col("doc_id") >= 0,
-        col("doc_id") * pack + col("chunk_id"))
-      .otherwise(raise_error(concat(
-        lit("chunk-id packing overflow: doc_id="), col("doc_id").cast("string"),
-        lit(" chunk_id="), col("chunk_id").cast("string"))))
     val chunks = TextOps.chunkCorpus(docs)
-      .select(packed.as("doc_id"), col("chunk_text").as("text"))
+      .select(packedChunkKey(col("doc_id"), col("chunk_id")).as("doc_id"),
+        col("chunk_text").as("text"))
     val wDedup = Window.partitionBy("query_id", "doc_id")
       .orderBy("chunk_rank")
     val wDoc = Window.partitionBy("query_id").orderBy("chunk_rank")

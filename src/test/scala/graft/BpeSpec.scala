@@ -273,6 +273,16 @@ class BpeSpec extends SparkSpec {
     }
     // the [UNK] rule: an out-of-alphabet char kills the WHOLE word
     assert(WordPiece.encode("§bogus§", vocab) == Vector(WordPiece.Unk))
+    // the '#'-collision rule (ADVICE r12): a literal '#' would be
+    // ambiguous with the ## continuation marker, so such words are
+    // [UNK] on encode and excluded from training — a trained vocab
+    // must never contain a piece with '#' beyond the marker prefix
+    assert(WordPiece.encode("a#b", vocab) == Vector(WordPiece.Unk))
+    assert(WordPiece.encode("#", vocab) == Vector(WordPiece.Unk))
+    val hashVocab = WordPiece.train(
+      Seq("a#b" -> 100L, "ab" -> 5L, "ba" -> 3L), 32)
+    assert(hashVocab.forall(p => !p.stripPrefix("##").contains('#')),
+      s"training leaked a '#' piece: $hashVocab")
     // a word that IS a piece encodes to exactly itself
     val whole = vocab.find(p => !p.startsWith("##") && p.length > 2 && p != WordPiece.Unk)
     whole.foreach(p => assert(WordPiece.encode(p, vocab) == Vector(p)))

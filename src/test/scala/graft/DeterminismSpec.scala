@@ -319,4 +319,28 @@ class DeterminismSpec extends SparkSpec {
     }
     assert(run("1") == run("4"))
   }
+
+  test("agg_quantile_merge survives cache eviction between planning collect and output pass") {
+    // the r13 driver flake class: an operator that driver-collects
+    // planning state (bucket offsets, n) from a relation and then
+    // re-reads that relation for the output pass must produce the
+    // SAME rows even when every cached/persisted block is dropped
+    // between the two runs — a `.cache()`-backed sample relation
+    // could re-evaluate under eviction and let the collected state
+    // drift from the final pass; the persisted-parquet summary
+    // artifact pins one materialization for both.
+    val fn = SparkEntry.queries("agg_quantile_merge")
+    def run(parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try fn(spark, sf001).collect().toSeq.map(_.toString)
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val first = run("1")
+    // simulate full eviction: drop every persisted block and clear
+    // the SQL cache before the re-read
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    assert(run("32") == first,
+      "agg_quantile_merge output drifted across eviction + repartitioning")
+  }
 }

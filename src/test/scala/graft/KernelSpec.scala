@@ -1041,10 +1041,25 @@ class KernelSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val got = SparkEntry.queries("stats_spearman")(spark, sf001)
-      .collect().map(r => r.getString(0) ->
-        (r.getAs[Double]("rho_qty_disc"), r.getAs[Double]("rho_qty_tax"))).toMap
+      .collect().map { r =>
+        // boxed read: the den==0 degenerate-variance branch yields a
+        // NULL rho, and an unboxing getAs[Double] would NPE opaquely
+        // on a future fixture instead of failing with a message
+        // (ADVICE r13)
+        def d(c: String): Double = {
+          val v = r.getAs[java.lang.Double](c)
+          assert(v != null, s"flag ${r.getString(0)}: $c is NULL " +
+            "(degenerate variance on this fixture?)")
+          v.doubleValue()
+        }
+        r.getString(0) -> (d("rho_qty_disc"), d("rho_qty_tax"))
+      }.toMap
     // independent row-level reference: avg-rank windows over raw rows
-    // (the O(n log n) textbook form the bounded-domain path replaces)
+    // (the O(n log n) textbook form the bounded-domain path replaces).
+    // BOTH rho channels get the full reference — the DuckDB oracle
+    // mirrors the same stated computation, so a shared z-channel
+    // moment mixup (sxz/szz) would pass the oracle hash; only an
+    // independently-derived rho_qty_tax catches it (ADVICE r13).
     def rk(v: String) = {
       val w = Window.partitionBy("g").orderBy(v)
       (rank().over(w) * 2 + count(lit(1)).over(
@@ -1053,23 +1068,34 @@ class KernelSpec extends SparkSpec {
     val rows = graft.core.Tables.lineitem(spark, sf001)
       .select(col("l_returnflag").as("g"),
         graft.core.Num.d2(col("l_quantity")).as("x"),
-        graft.core.Num.d2(col("l_discount")).as("y"))
+        graft.core.Num.d2(col("l_discount")).as("y"),
+        graft.core.Num.d2(col("l_tax")).as("z"))
       .withColumn("rx", rk("x")).withColumn("ry", rk("y"))
+      .withColumn("rz", rk("z"))
     val ref = rows.groupBy("g").agg(
         count(lit(1)).cast("double").as("n"),
-        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum("rx").as("sx"), sum("ry").as("sy"), sum("rz").as("sz"),
         sum(col("rx") * col("rx")).as("sxx"),
         sum(col("ry") * col("ry")).as("syy"),
-        sum(col("rx") * col("ry")).as("sxy"))
+        sum(col("rz") * col("rz")).as("szz"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rz")).as("sxz"))
       .collect().map { r =>
-        val (n, sx, sy, sxx, syy, sxy) = (r.getDouble(1), r.getDouble(2),
-          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
-        r.getString(0) -> (n * sxy - sx * sy) /
-          math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        val n = r.getDouble(1)
+        def g(i: Int) = r.getDouble(i)
+        def pearson(sab: Double, sa: Double, sb: Double,
+            saa: Double, sbb: Double): Double =
+          (n * sab - sa * sb) /
+            math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+        r.getString(0) -> (
+          pearson(g(8), g(2), g(3), g(5), g(6)),
+          pearson(g(9), g(2), g(4), g(5), g(7)))
       }.toMap
-    got.foreach { case (g, (rhoQd, _)) =>
-      assert(math.abs(rhoQd - ref(g)) < 1e-5,
-        s"flag $g: bounded-domain rho $rhoQd != row-rank reference ${ref(g)}")
+    got.foreach { case (g, (rhoQd, rhoQt)) =>
+      assert(math.abs(rhoQd - ref(g)._1) < 1e-5,
+        s"flag $g: bounded-domain rho_qty_disc $rhoQd != row-rank reference ${ref(g)._1}")
+      assert(math.abs(rhoQt - ref(g)._2) < 1e-5,
+        s"flag $g: bounded-domain rho_qty_tax $rhoQt != row-rank reference ${ref(g)._2}")
     }
     got.values.foreach { case (a, b) =>
       assert(math.abs(a) <= 1.0 && math.abs(b) <= 1.0, "rho out of [-1, 1]")
@@ -1111,5 +1137,24 @@ class KernelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
     assert(corpus == digests,
       s"chunk corpus drifted from chunk_documents: ${(corpus.keySet diff digests.keySet).take(3)} / ${(digests.keySet diff corpus.keySet).take(3)}")
+  }
+
+  test("packedChunkKey: exact pack/unpack in bounds, raise_error beyond them") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    def pk(doc: Long, chunk: Long): Long =
+      Seq((doc, chunk)).toDF("d", "c")
+        .select(graft.operators.Search.packedChunkKey(col("d"), col("c")))
+        .collect()(0).getLong(0)
+    // in-bounds keys pack and unpack exactly at the corners
+    for ((d, c) <- Seq((0L, 0L), (1L, (1L << 20) - 1), ((1L << 43) - 1, 7L))) {
+      val k = pk(d, c)
+      assert(k / (1L << 20) == d && k % (1L << 20) == c, s"($d,$c) -> $k")
+    }
+    // out-of-bounds inputs must FAIL, not silently corrupt a
+    // neighboring document's key space (the bound the scaladoc
+    // states: <2^20 windows/doc, doc_id < 2^43 — ADVICE r12)
+    for ((d, c) <- Seq((0L, 1L << 20), (1L << 43, 0L), (-1L, 0L), (0L, -1L)))
+      assertThrows[Exception] { pk(d, c) }
   }
 }
