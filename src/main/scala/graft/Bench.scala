@@ -11,6 +11,59 @@ import org.apache.spark.sql.SparkSession
   * finds the metric even when a build tool (sbt) appends trailing
   * lines. The full JSON is also written to `target/bench_last.json`.
   */
+/** Shared timing kernel for [[Bench]] and [[TimeQuery]]. */
+object BenchKit {
+  /** Honest materialization (VERDICT r8 #5): `.count()` lets Catalyst
+    * prune every column the count doesn't need. Touch EVERY output
+    * column with one codegen xxhash64 per row (maps → map_entries:
+    * hash over MapType is rejected by Spark), summed so nothing
+    * short-circuits; the count rides the same single pass. */
+  def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, map_entries, xxhash64}
+    import org.apache.spark.sql.types.MapType
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => map_entries(col(f.name))
+        case _          => col(f.name)
+      }
+    }
+    df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)"), count(lit(1)))  // xor: overflow-free under ANSI
+      .collect()(0).getLong(1)
+  }
+}
+
+/** Times queries IN ARGUMENT ORDER in one JVM, repeats allowed —
+  * `TimeQuery q q` prints a cold then a steady line, isolating
+  * read-path cost from one-time layout builds (BuildOnce makes the
+  * second construction reuse the persisted artifact). Diagnostic aid
+  * for ledger work; the round receipt remains [[Bench]], whose map
+  * order and prewarm pass decide build accounting. */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    args.zipWithIndex.foreach { case (name, i) =>
+      val t0 = System.nanoTime()
+      val n = BenchKit.materialize(SparkEntry.queries(name)(spark, sfDir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      println(f"[timequery] $i $name ${dt}%.3f s ($n rows) $sfDir")
+    }
+    spark.stop()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,19 +105,8 @@ object Bench {
     // with one codegen xxhash64 per row (maps → map_entries: hash over
     // MapType is rejected by Spark), summed so nothing short-circuits;
     // the count rides the same single pass.
-    import org.apache.spark.sql.functions.{col, count, expr, lit, map_entries, xxhash64}
-    import org.apache.spark.sql.types.MapType
-    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
-      val cols = df.schema.fields.map { f =>
-        f.dataType match {
-          case _: MapType => map_entries(col(f.name))
-          case _          => col(f.name)
-        }
-      }
-      df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
-        .agg(expr("bit_xor(h)"), count(lit(1)))  // xor: overflow-free under ANSI
-        .collect()(0).getLong(1)
-    }
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      BenchKit.materialize(df)
     // One-time persisted layouts (sorted/z-ordered copies, bloom +
     // SAI postings, IVF indexes, sketch tables, the BPE vocab,
     // pipeline shard trees) are NIGHTLY-JOB cost, not query cost: a

@@ -48,8 +48,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Artifact-path substitution (VERDICT r13 next #6): the
+    // index-backed oracles read the engine's own persisted
+    // StableStore parquet; their SQL carries `__..._PATH__` tokens
+    // that only Verify — which knows the dir it just ran — can
+    // resolve. Substitution happens here so the dumped JSON is
+    // directly runnable by the driver's DuckDB.
+    val subs = graft.operators.Similarity.oracleArtifactSubs(spark, sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v0) =>
+        val v = subs.foldLeft(v0) { case (acc, (tok, p)) => acc.replace(tok, p) }
+        s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1,0 +1,55 @@
+package graft.core
+
+/** Cross-JVM persisted artifact store — the "nightly index" shape for
+  * layouts that must outlive one Spark session: the DuckDB oracle
+  * reads these directories (VERDICT r13 next #6: hash-exact faces
+  * over persisted index artifacts), so unlike [[RunId]] scratch they
+  * are NOT deleted at JVM exit and live at a path derivable from the
+  * (prefix, input-fingerprint) key alone.
+  *
+  * Publication is write-once and atomic: the build writes into a
+  * JVM-private temp dir, then a directory rename publishes it; a
+  * concurrent builder that loses the race discards its copy. This is
+  * only sound because every stored build is DETERMINISTIC in its
+  * inputs (fixed seeds/init, quantized sums) — the loser's copy is
+  * value-identical to the winner's, so readers never observe a
+  * partial or divergent artifact. Keys embed a format version
+  * (`prefix` convention: `name_v1`) so a layout change in a later
+  * build cannot be poisoned by an old artifact, and the input
+  * fingerprint (file names, lengths, mtimes) so regenerated testdata
+  * invalidates naturally.
+  */
+object StableStore {
+  private val root =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stable"
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def rmRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmRec)
+    f.delete(): Unit
+  }
+
+  /** Directory for (prefix, key), building it at most once across
+    * JVMs. `build` receives a temp path to write into; the `_DONE`
+    * marker is created after the build returns, so the published dir
+    * is complete by construction. */
+  def getOrBuild(prefix: String, key: String)(build: String => Unit): String = {
+    val target = new java.io.File(s"$root/${prefix}_${md5(key)}")
+    if (new java.io.File(target, "_DONE").exists()) return target.getPath
+    target.getParentFile.mkdirs()
+    val tmp = new java.io.File(
+      s"$root/.build_${target.getName}_${RunId.id}")
+    build(tmp.getPath)
+    if (!new java.io.File(tmp, "_DONE").createNewFile())
+      throw new IllegalStateException(s"cannot mark $tmp complete")
+    // atomic publish; losing the race to an equivalent winner is fine
+    if (!tmp.renameTo(target)) rmRec(tmp)
+    if (!new java.io.File(target, "_DONE").exists())
+      throw new IllegalStateException(s"artifact publish failed for $target")
+    target.getPath
+  }
+}
