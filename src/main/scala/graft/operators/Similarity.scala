@@ -29,6 +29,24 @@ object Similarity extends QueryGroup {
   // collide, and smaller candidate sets are cheaper).
   private val topkPlanes = Vectors.hyperplanes(nbits = 4, dim = 64)
 
+  private val lshPlanesDirs =
+    new graft.core.BuildOnce[String, String]
+
+  /** The 4 SRP hyperplanes persisted as parquet — corpus-independent
+    * (fixed seed/dim), so the key is just the generator parameters.
+    * Persisting them is what makes [[simTopkLsh]] and
+    * [[simTopkLshMultiprobe]] hash-exact oracled: DuckDB reads the
+    * same plane floats and replays the sign test, so engine and
+    * oracle agree on every bucket bit (VERDICT r13 next #6). */
+  private[graft] def lshPlanesPath(s: SparkSession): String =
+    lshPlanesDirs.getOrElseUpdate("topk",
+      graft.core.StableStore.getOrBuild("lsh_planes_v1", "4|64|42") { tmp =>
+        s.createDataFrame(topkPlanes.zipWithIndex
+            .map { case (p, i) => (i, p) }.toIndexedSeq)
+          .toDF("plane_id", "plane")
+          .write.mode("overwrite").parquet(tmp)
+      })
+
   /** Filtered vector search: top-10 cosine neighbors restricted to a
     * metadata predicate (label ∈ {1,3,5}) — the retrieval shape every
     * RAG/search stack needs. The predicate PRE-filters the candidate
@@ -617,9 +635,12 @@ object Similarity extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH-bucketed top-k: candidates share the query's 8-bit
+  /** LSH-bucketed top-k: candidates share the query's 4-bit
     * sign-random-projection bucket; exact rerank inside the bucket.
-    * Approximate by design — recall vs simTopk measured in tests. */
+    * Approximate by design — recall vs simTopk measured in tests.
+    * Hash-exact oracled since round 14: the fixed hyperplanes persist
+    * ([[lshPlanesPath]]) and DuckDB replays the sign test + bucket
+    * join + rerank over the same plane floats. */
   def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .withColumn("bucket", Vectors.lshBucket(col("embedding"), topkPlanes))
@@ -649,9 +670,9 @@ object Similarity extends QueryGroup {
     * is byte-identical to [[simTopkLsh]]'s. Candidate supersets
     * dominate: the probe set strictly contains the single-probe set,
     * so per-query top-k scores dominate pointwise (asserted, with the
-    * recall ordering vs brute force, in DedupSimilaritySpec). Bucket
-    * membership is engine-defined ⇒ rows-only, the sim_topk_lsh
-    * declaration. */
+    * recall ordering vs brute force, in DedupSimilaritySpec).
+    * Hash-exact oracled since round 14 via the same persisted-planes
+    * mirror as [[simTopkLsh]] (the probe explode is plain SQL). */
   def simTopkLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .withColumn("bucket", Vectors.lshBucket(col("embedding"), topkPlanes))
@@ -1910,7 +1931,8 @@ object Similarity extends QueryGroup {
       "__IVF_CENTROIDS_PATH__" -> ivfCent,
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
       "__IVF_DELTA_ASSIGNED_PATH__" -> deltaAssign,
-      "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5))
+      "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5),
+      "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2033,6 +2055,69 @@ object Similarity extends QueryGroup {
             i -> CAST(a.embedding[i] * p.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
         FROM assigned a JOIN probed p ON a.cell = p.cell
         WHERE a.vec_id <> p.query_id),
+      r AS (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_topk_lsh" -> """
+      WITH planes AS (
+        SELECT plane_id, plane
+        FROM read_parquet('__LSH_TOPK_PLANES_PATH__/*.parquet')),
+      b AS (
+        SELECT e.vec_id,
+          CAST(SUM(CASE WHEN
+            list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] * p.plane[i] AS DOUBLE)), 'sum') >= 0
+            THEN (1 << p.plane_id) ELSE 0 END) AS INTEGER) AS bucket
+        FROM embeddings e, planes p GROUP BY e.vec_id),
+      v AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN b USING (vec_id)),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+        FROM v WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, v.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+            i -> CAST(v.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM v JOIN q ON v.bucket = q.qbucket
+        WHERE v.vec_id <> q.query_id),
+      r AS (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_topk_lsh_multiprobe" -> """
+      WITH planes AS (
+        SELECT plane_id, plane
+        FROM read_parquet('__LSH_TOPK_PLANES_PATH__/*.parquet')),
+      b AS (
+        SELECT e.vec_id,
+          CAST(SUM(CASE WHEN
+            list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] * p.plane[i] AS DOUBLE)), 'sum') >= 0
+            THEN (1 << p.plane_id) ELSE 0 END) AS INTEGER) AS bucket
+        FROM embeddings e, planes p GROUP BY e.vec_id),
+      v AS (
+        SELECT e.vec_id, e.embedding, b.bucket
+        FROM embeddings e JOIN b USING (vec_id)),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qvec,
+          CAST(xor(bucket, pr.probe) AS INTEGER) AS qbucket
+        FROM v, (SELECT CAST(unnest([0, 1, 2, 4, 8]) AS INTEGER)
+                 AS probe) pr
+        WHERE vec_id < 5),
+      d AS (
+        SELECT q.query_id, v.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+            i -> CAST(v.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM v JOIN q ON v.bucket = q.qbucket
+        WHERE v.vec_id <> q.query_id),
       r AS (
         SELECT query_id, vec_id, score,
           ROW_NUMBER() OVER (PARTITION BY query_id
