@@ -718,8 +718,11 @@ object Similarity extends QueryGroup {
     * Sign-bit Hamming is monotone in angle in expectation (the SRP
     * guarantee), so the shortlist concentrates the true neighbors;
     * DedupSimilaritySpec measures recall vs the exact top-k and pins
-    * the structural invariants. Declared no-oracle (the shortlist is
-    * engine-defined, the LSH/IVF family declaration). At 100 TB the
+    * the structural invariants. Hash-exact oracled since round 14:
+    * identity-plane sign bits, XOR-popcount Hamming, the rank-50
+    * shortlist cut, and the exact rescore are all total-order
+    * deterministic and restate directly in DuckDB — no artifact
+    * needed, the signature IS sign(embedding[i]). At 100 TB the
     * sig relation IS the resident index (8 bytes/vector); the float
     * corpus is touched only for shortlist ids. The shortlist broadcast
     * is k-BOUNDED by construction (queries × Shortlist rows,
@@ -2124,6 +2127,52 @@ object Similarity extends QueryGroup {
                              ORDER BY score DESC, vec_id ASC) AS rk
         FROM d)
       SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_topk_bq" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+          CAST(list_aggregate(list_transform(range(1, 17),
+            i -> CASE WHEN embedding[i] >= 0
+                 THEN (1 << (i - 1)) ELSE 0 END), 'sum') AS INTEGER) AS w1,
+          CAST(list_aggregate(list_transform(range(1, 17),
+            i -> CASE WHEN embedding[16 + i] >= 0
+                 THEN (1 << (i - 1)) ELSE 0 END), 'sum') AS INTEGER) AS w2,
+          CAST(list_aggregate(list_transform(range(1, 17),
+            i -> CASE WHEN embedding[32 + i] >= 0
+                 THEN (1 << (i - 1)) ELSE 0 END), 'sum') AS INTEGER) AS w3,
+          CAST(list_aggregate(list_transform(range(1, 17),
+            i -> CASE WHEN embedding[48 + i] >= 0
+                 THEN (1 << (i - 1)) ELSE 0 END), 'sum') AS INTEGER) AS w4
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qvec,
+          w1 AS qw1, w2 AS qw2, w3 AS qw3, w4 AS qw4
+        FROM s WHERE vec_id < 5),
+      h AS (
+        SELECT q.query_id, s.vec_id,
+          CAST(bit_count(xor(s.w1, q.qw1)) + bit_count(xor(s.w2, q.qw2)) +
+               bit_count(xor(s.w3, q.qw3)) + bit_count(xor(s.w4, q.qw4))
+            AS INTEGER) AS hamming
+        FROM s, q WHERE s.vec_id <> q.query_id),
+      sl AS (
+        SELECT query_id, vec_id, hamming,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY hamming ASC, vec_id ASC) AS hrk
+        FROM h),
+      d AS (
+        SELECT sl.query_id, sl.vec_id, sl.hamming,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS score
+        FROM sl
+        JOIN embeddings e ON sl.vec_id = e.vec_id
+        JOIN q ON sl.query_id = q.query_id
+        WHERE sl.hrk <= 50),
+      r AS (
+        SELECT query_id, vec_id, hamming, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, hamming, score, rk FROM r
       WHERE rk <= 10 ORDER BY query_id, rk""",
     "sim_index_delta" -> """
       SELECT CAST(cell AS BIGINT) AS cell,
