@@ -673,9 +673,10 @@ object Search extends QueryGroup {
     * for pair, with the overlap floor, in DedupSimilaritySpec).
     * Probe shape: token×centroid argmax on the broadcast 16-row
     * centroid table, cell-partition-pruned candidate scan, the same
-    * two keyed aggregates + top-k window as the exact face. Cell
-    * membership is engine-defined ⇒ rows-only (the sim_topk_ivf
-    * declaration). */
+    * two keyed aggregates + top-k window as the exact face.
+    * Hash-exact oracled since round 14 (the sim_topk_ivf discipline):
+    * DuckDB replays the per-token probe and the MaxSim reduce over
+    * the same persisted centroid/assignment parquet. */
   def searchMaxsimIvf(s: SparkSession, dir: String): DataFrame = {
     val (centPath, assignPath) = Similarity.ivfIndexPaths(s, dir)
     val cents = s.read.parquet(centPath)
@@ -929,6 +930,50 @@ object Search extends QueryGroup {
             AS m
         FROM tok t, q WHERE t.doc <> q.query_doc
         GROUP BY q.query_doc, t.doc, q.q_tok),
+      sc AS (
+        SELECT query_doc, doc_id,
+          ROUND(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+        FROM d GROUP BY query_doc, doc_id),
+      r AS (
+        SELECT query_doc, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_doc
+                             ORDER BY score DESC, doc_id ASC) AS rk
+        FROM sc)
+      SELECT query_doc, doc_id, score, rk FROM r WHERE rk <= 8
+      ORDER BY query_doc, rk""",
+    // the IVF probe replayed over the engine's own persisted
+    // centroid/assignment parquet (the sim_topk_ivf discipline —
+    // hash-exact since r14); the MaxSim reduce mirrors search_maxsim
+    "search_maxsim_ivf" -> """
+      WITH cents AS (
+        SELECT cent_cell, cent
+        FROM read_parquet('__IVF_CENTROIDS_PATH__/*.parquet')),
+      assigned AS (
+        SELECT vec_id, embedding, CAST(cell AS BIGINT) AS cell
+        FROM read_parquet('__IVF_ASSIGNED_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      q AS (
+        SELECT vec_id // 4 AS query_doc, CAST(vec_id % 4 AS INTEGER) AS q_tok,
+          embedding AS qvec
+        FROM embeddings WHERE vec_id < 8),
+      probed AS (
+        SELECT query_doc, q_tok, qvec, cell FROM (
+          SELECT q.query_doc, q.q_tok, q.qvec,
+            CAST(c.cent_cell AS BIGINT) AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.query_doc, q.q_tok ORDER BY
+              list_aggregate(list_transform(range(1, len(q.qvec) + 1),
+                i -> CAST(q.qvec[i] * c.cent[i] AS DOUBLE)), 'sum') DESC,
+              c.cent_cell ASC) AS cell_rk
+          FROM q, cents c)
+        WHERE cell_rk <= 4),
+      d AS (
+        SELECT p.query_doc, a.vec_id // 4 AS doc_id, p.q_tok,
+          MAX(ROUND(list_aggregate(list_transform(
+            range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] * p.qvec[i] AS DOUBLE)), 'sum'), 6)) AS m
+        FROM assigned a JOIN probed p ON a.cell = p.cell
+        WHERE a.vec_id // 4 <> p.query_doc
+        GROUP BY p.query_doc, (a.vec_id // 4), p.q_tok),
       sc AS (
         SELECT query_doc, doc_id,
           ROUND(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
