@@ -216,7 +216,9 @@ object Similarity extends QueryGroup {
     * 53 s — the same occupancy economics as sim_threshold_lsh_tau08).
     *
     * Approximate by design (a vector with no band collisions gets no
-    * rows): declared no-oracle; the spec pins the guaranteed part —
+    * rows) yet DETERMINISTIC given the planes — hash-exact oracled
+    * since round 14 via the persisted-band-planes DuckDB mirror
+    * ([[thresholdBandsPath]]); the spec pins the guaranteed part —
     * planted exact copies (ids at +2^40, the collision-proof offset)
     * collide in EVERY band, so each planted pair must recover its
     * twin at rank 1 with score 1.0 in both directions. */
@@ -556,19 +558,49 @@ object Similarity extends QueryGroup {
     * tail recall that the τ=0.8 regime doesn't need (measured: at
     * ×100 the fixed-64 bands made candidate verify, not output, the
     * cost — 300 s for 2 k output rows). */
-  private[graft] def thresholdBands(n: Long, occupancy: Int): Seq[Seq[Seq[Float]]] = {
-    val nbits = math.max(8,
+  /** Band width for a corpus of n vectors at the given target bucket
+    * occupancy — factored out so [[oracleArtifactSubs]] resolves the
+    * SAME width the engine will use (a drifted copy of this formula
+    * would silently point the oracle at the wrong planes). */
+  private[graft] def thresholdNbits(n: Long, occupancy: Int): Int =
+    math.max(8,
       math.ceil(math.log(n.toDouble / occupancy) / math.log(2.0)).toInt)
+
+  private[graft] def bandsForNbits(nbits: Int): Seq[Seq[Seq[Float]]] =
     thresholdBandCache.getOrElseUpdate(nbits,
       (0 until 8).map(b => Vectors.hyperplanes(nbits, dim = 64, seed = 101L + b)))
-  }
+
+  private[graft] def thresholdBands(n: Long, occupancy: Int): Seq[Seq[Seq[Float]]] =
+    bandsForNbits(thresholdNbits(n, occupancy))
+
+  private val thresholdBandsDirs =
+    new graft.core.BuildOnce[Int, String]
+
+  /** The 8×nbits SRP band planes persisted as parquet (band, plane_id,
+    * plane) — corpus-independent given nbits (fixed seeds 101..108),
+    * so the key is just the width. DuckDB reads these to replay the
+    * band bucket computation of the threshold/knn LSH faces. */
+  private[graft] def thresholdBandsPath(s: SparkSession, nbits: Int): String =
+    thresholdBandsDirs.getOrElseUpdate(nbits,
+      graft.core.StableStore.getOrBuild("lsh_bands_v1", s"8|$nbits|64|101") { tmp =>
+        val rows = bandsForNbits(nbits).zipWithIndex.flatMap {
+          case (planes, b) => planes.zipWithIndex.map {
+            case (p, i) => (b, i, p) }
+        }
+        s.createDataFrame(rows.toIndexedSeq)
+          .toDF("band", "plane_id", "plane")
+          .write.mode("overwrite").parquet(tmp)
+      })
 
   /** LSH-bucketed threshold similarity — the scale path for
     * [[simThreshold]] (VERDICT r2 #3). Banded bucket-equality joins
     * replace the all-pairs crossJoin: per band, candidates are pairs
     * inside one of 256 buckets (~n²/256 per band, linear per bucket),
     * then the exact cosine verifies every candidate, so precision is
-    * 1.0 and only recall is approximate. Declared no-oracle;
+    * 1.0 and only recall is approximate. Hash-exact oracled since
+    * round 14: the band planes persist ([[thresholdBandsPath]]) and
+    * DuckDB replays the sign-bit banding, the distinct pair join, and
+    * the exact verify over the same plane floats;
     * DedupSimilaritySpec measures agreement against the exact bounded
     * kernel (subset property + recall floor). */
   def simThresholdLsh(s: SparkSession, dir: String): DataFrame =
@@ -584,7 +616,8 @@ object Similarity extends QueryGroup {
     * pairwise cosine ≈0.51, FIXTURES-measured), so the variant plants
     * one exact copy per 100 vectors (ids +2^40) — scale-proportional
     * ground truth that rides ScaleGen's per-copy transforms unchanged.
-    * Declared no-oracle like its τ=0.35 sibling (LSH candidate set);
+    * Hash-exact oracled since round 14 like its τ=0.35 sibling (the
+    * persisted-band-planes mirror, planted corpus restated in SQL);
     * DedupSimilaritySpec asserts the planted pairs are recovered. */
   def simThresholdLshTau08(s: SparkSession, dir: String): DataFrame =
     thresholdLshCore(s, dir, tau = 0.8, plantPairs = true)
@@ -1935,7 +1968,26 @@ object Similarity extends QueryGroup {
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
       "__IVF_DELTA_ASSIGNED_PATH__" -> deltaAssign,
       "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5),
-      "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s))
+      "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s),
+      "__LSH_BANDS_T35_PATH__" -> {
+        // the same corpus counts the engine faces use: raw for τ=0.35,
+        // +1% planted copies for τ=0.8 and the knn join
+        val base = Tables.embeddings(s, dir)
+        val n = base.count()
+        thresholdBandsPath(s, thresholdNbits(n, occupancy = 64))
+      },
+      "__LSH_BANDS_T08_PATH__" -> {
+        val base = Tables.embeddings(s, dir)
+        val n = base.count() +
+          base.filter(pmod(col("vec_id"), lit(100)) === 0).count()
+        thresholdBandsPath(s, thresholdNbits(n, occupancy = 4))
+      },
+      "__LSH_BANDS_KNN_PATH__" -> {
+        val base = Tables.embeddings(s, dir)
+        val n = base.count() +
+          base.filter(pmod(col("vec_id"), lit(100)) === 0).count()
+        thresholdBandsPath(s, thresholdNbits(n, occupancy = 8))
+      })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2174,6 +2226,100 @@ object Similarity extends QueryGroup {
         FROM d)
       SELECT query_id, vec_id, hamming, score, rk FROM r
       WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_threshold_lsh" -> """
+      WITH planes AS (
+        SELECT band, plane_id, plane
+        FROM read_parquet('__LSH_BANDS_T35_PATH__/*.parquet')),
+      b AS (
+        SELECT e.vec_id, p.band,
+          CAST(SUM(CASE WHEN
+            list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] * p.plane[i] AS DOUBLE)), 'sum') >= 0
+            THEN (1 << p.plane_id) ELSE 0 END) AS INTEGER) AS bucket
+        FROM embeddings e, planes p GROUP BY e.vec_id, p.band),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c
+          ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      d AS (
+        SELECT cand.id_a, cand.id_b,
+          ROUND(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+            i -> CAST(ea.embedding[i] * eb.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS score
+        FROM cand
+        JOIN embeddings ea ON cand.id_a = ea.vec_id
+        JOIN embeddings eb ON cand.id_b = eb.vec_id)
+      SELECT id_a, id_b, score FROM d
+      WHERE score > 0.35 ORDER BY id_a, id_b""",
+    "sim_threshold_lsh_tau08" -> """
+      WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1099511627776 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 100 = 0),
+      planes AS (
+        SELECT band, plane_id, plane
+        FROM read_parquet('__LSH_BANDS_T08_PATH__/*.parquet')),
+      b AS (
+        SELECT v.vec_id, p.band,
+          CAST(SUM(CASE WHEN
+            list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+              i -> CAST(v.embedding[i] * p.plane[i] AS DOUBLE)), 'sum') >= 0
+            THEN (1 << p.plane_id) ELSE 0 END) AS INTEGER) AS bucket
+        FROM v, planes p GROUP BY v.vec_id, p.band),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c
+          ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      d AS (
+        SELECT cand.id_a, cand.id_b,
+          ROUND(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+            i -> CAST(ea.embedding[i] * eb.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS score
+        FROM cand
+        JOIN v ea ON cand.id_a = ea.vec_id
+        JOIN v eb ON cand.id_b = eb.vec_id)
+      SELECT id_a, id_b, score FROM d
+      WHERE score > 0.8 ORDER BY id_a, id_b""",
+    "sim_knn_join_lsh" -> """
+      WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1099511627776 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 100 = 0),
+      planes AS (
+        SELECT band, plane_id, plane
+        FROM read_parquet('__LSH_BANDS_KNN_PATH__/*.parquet')),
+      b AS (
+        SELECT v.vec_id, p.band,
+          CAST(SUM(CASE WHEN
+            list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+              i -> CAST(v.embedding[i] * p.plane[i] AS DOUBLE)), 'sum') >= 0
+            THEN (1 << p.plane_id) ELSE 0 END) AS INTEGER) AS bucket
+        FROM v, planes p GROUP BY v.vec_id, p.band),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c
+          ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      cands AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+      d AS (
+        SELECT cands.id_a, cands.id_b,
+          ROUND(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+            i -> CAST(ea.embedding[i] * eb.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS score
+        FROM cands
+        JOIN v ea ON cands.id_a = ea.vec_id
+        JOIN v eb ON cands.id_b = eb.vec_id),
+      r AS (
+        SELECT id_a, id_b, score,
+          ROW_NUMBER() OVER (PARTITION BY id_a
+                             ORDER BY score DESC, id_b ASC) AS rk
+        FROM d)
+      SELECT id_a, id_b, score, rk FROM r
+      WHERE rk <= 3 ORDER BY id_a, rk""",
     "sim_index_delta" -> """
       SELECT CAST(cell AS BIGINT) AS cell,
         CAST(SUM(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END) AS BIGINT)
