@@ -1051,22 +1051,23 @@ object Similarity extends QueryGroup {
     new graft.core.BuildOnce[String, String]
   private def ivfCodesPath(s: SparkSession, dir: String): String = {
     val cacheKey = ivfCacheKey(s, dir)
-    ivfCodesDirs.getOrElseUpdate(cacheKey, {
-      val (_, assignPath) = ivfIndexPaths(s, dir)
-      val path = RunId.scratchKeyed("ivf_codes", cacheKey)
-      def xd(x: org.apache.spark.sql.Column) = x.cast("double")
-      // same round-half-away int8 kernel as embeddingQuantize
-      s.read.parquet(assignPath)
-        .withColumn("_qscale", aggregate(col("embedding"), lit(0.0),
-          (acc, v) => greatest(acc, abs(xd(v)))))
-        .select(col("vec_id"), col("cell"),
-          col("_qscale").cast("float").as("scale"),
-          transform(col("embedding"), x =>
-            (signum(xd(x)) * floor(abs(xd(x)) / col("_qscale") * 127 + 0.5))
-              .cast("tinyint")).as("codes"))
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
+    ivfCodesDirs.getOrElseUpdate(cacheKey,
+      // StableStore (not RunId scratch) since r14: the DuckDB oracle
+      // reads the code table to replay the int8 ADC probe
+      graft.core.StableStore.getOrBuild("ivf_codes_v1", cacheKey) { tmp =>
+        val (_, assignPath) = ivfIndexPaths(s, dir)
+        def xd(x: org.apache.spark.sql.Column) = x.cast("double")
+        // same round-half-away int8 kernel as embeddingQuantize
+        s.read.parquet(assignPath)
+          .withColumn("_qscale", aggregate(col("embedding"), lit(0.0),
+            (acc, v) => greatest(acc, abs(xd(v)))))
+          .select(col("vec_id"), col("cell"),
+            col("_qscale").cast("float").as("scale"),
+            transform(col("embedding"), x =>
+              (signum(xd(x)) * floor(abs(xd(x)) / col("_qscale") * 127 + 0.5))
+                .cast("tinyint")).as("codes"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      })
   }
 
   /** IVF + int8 asymmetric-distance probe — the composed ANN that
@@ -1079,10 +1080,13 @@ object Similarity extends QueryGroup {
     * computing approx = scale/127 · Σ code_i·q_i → keep top-30 per
     * query by approx score → join float embeddings back for ONLY those
     * 30 and rerank exactly. Float vectors ride a per-candidate lookup
-    * join, never the probe scan. Declared no-oracle like sim_topk_ivf
-    * (candidate set is engine-defined); DedupSimilaritySpec asserts
-    * its overlap@10 with brute force matches sim_topk_ivf's at equal
-    * nprobe — i.e. the int8 detour costs no recall. */
+    * join, never the probe scan. Hash-exact oracled since round 14
+    * like sim_topk_ivf: the code table persists in StableStore and
+    * DuckDB replays the probe, the int8 approx ranking (scale/127 ·
+    * Σ code·q in the same double arithmetic), the 30-deep cut, and
+    * the exact rescore; DedupSimilaritySpec asserts its overlap@10
+    * with brute force matches sim_topk_ivf's at equal nprobe — i.e.
+    * the int8 detour costs no recall. */
   def simTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
     val (centPath, assignPath) = ivfIndexPaths(s, dir)
     val codes = s.read.parquet(ivfCodesPath(s, dir))
@@ -1967,6 +1971,7 @@ object Similarity extends QueryGroup {
       "__IVF_CENTROIDS_PATH__" -> ivfCent,
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
       "__IVF_DELTA_ASSIGNED_PATH__" -> deltaAssign,
+      "__IVF_CODES_PATH__" -> ivfCodesPath(s, dir),
       "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5),
       "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s),
       "__LSH_BANDS_T35_PATH__" -> {
@@ -2225,6 +2230,55 @@ object Similarity extends QueryGroup {
                              ORDER BY score DESC, vec_id ASC) AS rk
         FROM d)
       SELECT query_id, vec_id, hamming, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_topk_ivf_pq" -> """
+      WITH cents AS (
+        SELECT cent_cell, cent
+        FROM read_parquet('__IVF_CENTROIDS_PATH__/*.parquet')),
+      assigned AS (
+        SELECT vec_id, embedding, CAST(cell AS BIGINT) AS cell
+        FROM read_parquet('__IVF_ASSIGNED_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      codes AS (
+        SELECT vec_id, scale, codes, CAST(cell AS BIGINT) AS cell
+        FROM read_parquet('__IVF_CODES_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM assigned WHERE vec_id < 5),
+      probed AS (
+        SELECT query_id, qvec, cell FROM (
+          SELECT q.query_id, q.qvec, CAST(c.cent_cell AS BIGINT) AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              list_aggregate(list_transform(range(1, len(q.qvec) + 1),
+                i -> CAST(q.qvec[i] * c.cent[i] AS DOUBLE)), 'sum') DESC,
+              c.cent_cell ASC) AS cell_rk
+          FROM q, cents c)
+        WHERE cell_rk <= 5),
+      sv AS (
+        SELECT query_id, qvec, vec_id FROM (
+          SELECT p.query_id, p.qvec, k.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+              (CAST(k.scale AS DOUBLE) / 127) *
+              list_aggregate(list_transform(range(1, len(k.codes) + 1),
+                i -> CAST(k.codes[i] AS DOUBLE) * CAST(p.qvec[i] AS DOUBLE)),
+                'sum') DESC,
+              k.vec_id ASC) AS ark
+          FROM codes k JOIN probed p ON k.cell = p.cell
+          WHERE k.vec_id <> p.query_id)
+        WHERE ark <= 30),
+      d AS (
+        SELECT sv.query_id, sv.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * sv.qvec[i] AS DOUBLE)), 'sum'), 6)
+            AS score
+        FROM sv JOIN assigned e ON sv.vec_id = e.vec_id),
+      r AS (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, score, rk FROM r
       WHERE rk <= 10 ORDER BY query_id, rk""",
     "sim_threshold_lsh" -> """
       WITH planes AS (
