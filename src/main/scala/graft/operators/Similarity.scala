@@ -1234,16 +1234,36 @@ object Similarity extends QueryGroup {
   private val pqCodesDirs = new graft.core.BuildOnce[String, String]
   private def pqCodesPath(s: SparkSession, dir: String): String = {
     val cacheKey = ivfCacheKey(s, dir)
-    pqCodesDirs.getOrElseUpdate(cacheKey, {
-      val (centPath, assignPath) = ivfIndexPaths(s, dir)
-      val books = pqCodebooks(s, dir)
-      val path = RunId.scratchKeyed("pq_codes", cacheKey)
-      val centsF = s.read.parquet(centPath)
-        .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
-      pqEncode(s.read.parquet(assignPath), centsF, books)
-        .write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
+    pqCodesDirs.getOrElseUpdate(cacheKey,
+      // StableStore since r14: the ADC oracle reads the code table
+      graft.core.StableStore.getOrBuild("pq_codes_v1", cacheKey) { tmp =>
+        val (centPath, assignPath) = ivfIndexPaths(s, dir)
+        val books = pqCodebooks(s, dir)
+        val centsF = s.read.parquet(centPath)
+          .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
+        pqEncode(s.read.parquet(assignPath), centsF, books)
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      })
+  }
+
+  private val pqBooksDirs =
+    new graft.core.BuildOnce[String, String]
+
+  /** The trained PQ codebooks persisted as parquet (m, code, vec) —
+    * the frozen artifact the ADC oracle reads to rebuild each query's
+    * lookup table in DuckDB exactly as the driver does. */
+  private[graft] def pqBooksPath(s: SparkSession, dir: String): String = {
+    val cacheKey = ivfCacheKey(s, dir)
+    pqBooksDirs.getOrElseUpdate(cacheKey,
+      graft.core.StableStore.getOrBuild("pq_books_v1", cacheKey) { tmp =>
+        val rows = pqCodebooks(s, dir).zipWithIndex.flatMap {
+          case (book, m) => book.zipWithIndex.map {
+            case (c, j) => (m, j, c) }
+        }
+        s.createDataFrame(rows.toIndexedSeq)
+          .toDF("m", "code", "vec")
+          .write.mode("overwrite").parquet(tmp)
+      })
   }
 
   /** Encode any assigned (vec_id, cell, embedding) relation into PQ
@@ -1288,7 +1308,9 @@ object Similarity extends QueryGroup {
     * O(1) per subspace, codegen'd), never a float-vector read. Then
     * exact float rescore of the top-30 over-fetch restores the
     * ranking ADC blurred — floats ride a per-candidate lookup join,
-    * never the probe scan. Declared no-oracle like every IVF face;
+    * never the probe scan. Hash-exact oracled since round 14 (codes
+    * and codebooks persist; DuckDB rebuilds each query's LUT from the
+    * book parquet and replays the ADC rank, cut, and exact rescore);
     * DedupSimilaritySpec holds its brute-force overlap@10 to the
     * float IVF probe's at equal nprobe. */
   def simTopkPqAdc(s: SparkSession, dir: String): DataFrame = {
@@ -1972,6 +1994,8 @@ object Similarity extends QueryGroup {
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
       "__IVF_DELTA_ASSIGNED_PATH__" -> deltaAssign,
       "__IVF_CODES_PATH__" -> ivfCodesPath(s, dir),
+      "__PQ_CODES_PATH__" -> pqCodesPath(s, dir),
+      "__PQ_BOOKS_PATH__" -> pqBooksPath(s, dir),
       "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5),
       "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s),
       "__LSH_BANDS_T35_PATH__" -> {
@@ -2273,6 +2297,75 @@ object Similarity extends QueryGroup {
             i -> CAST(e.embedding[i] * sv.qvec[i] AS DOUBLE)), 'sum'), 6)
             AS score
         FROM sv JOIN assigned e ON sv.vec_id = e.vec_id),
+      r AS (
+        SELECT query_id, vec_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) AS rk
+        FROM d)
+      SELECT query_id, vec_id, score, rk FROM r
+      WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_topk_pq_adc" -> """
+      WITH cents AS (
+        SELECT cent_cell, cent
+        FROM read_parquet('__IVF_CENTROIDS_PATH__/*.parquet')),
+      assigned AS (
+        SELECT vec_id, embedding, CAST(cell AS BIGINT) AS cell
+        FROM read_parquet('__IVF_ASSIGNED_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      pq AS (
+        SELECT vec_id, codes, CAST(cell AS BIGINT) AS cell
+        FROM read_parquet('__PQ_CODES_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      books AS (
+        SELECT m, code, vec FROM read_parquet('__PQ_BOOKS_PATH__/*.parquet')),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM assigned WHERE vec_id < 5),
+      lut AS (
+        SELECT q.query_id, b.m, b.code,
+          list_aggregate(list_transform(range(1, 9),
+            j -> CAST(q.qvec[b.m * 8 + j] AS DOUBLE) *
+                 CAST(b.vec[j] AS DOUBLE)), 'sum') AS val
+        FROM q, books b),
+      probed AS (
+        SELECT query_id, qvec, cell, cent_sim FROM (
+          SELECT q.query_id, q.qvec, CAST(c.cent_cell AS BIGINT) AS cell,
+            list_aggregate(list_transform(range(1, len(q.qvec) + 1),
+              i -> CAST(q.qvec[i] * c.cent[i] AS DOUBLE)), 'sum') AS cent_sim,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              list_aggregate(list_transform(range(1, len(q.qvec) + 1),
+                i -> CAST(q.qvec[i] * c.cent[i] AS DOUBLE)), 'sum') DESC,
+              c.cent_cell ASC) AS cell_rk
+          FROM q, cents c)
+        WHERE cell_rk <= 5),
+      candm AS (
+        SELECT p.query_id, k.vec_id, p.cent_sim, mm.m,
+          CAST(k.codes[mm.m + 1] AS INTEGER) AS code
+        FROM pq k JOIN probed p ON k.cell = p.cell,
+             (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m) mm
+        WHERE k.vec_id <> p.query_id),
+      ap AS (
+        SELECT c.query_id, c.vec_id,
+          MAX(c.cent_sim) +
+            list_aggregate(list(l.val ORDER BY c.m), 'sum') AS approx
+        FROM candm c JOIN lut l
+          ON c.query_id = l.query_id AND c.m = l.m AND c.code = l.code
+        GROUP BY c.query_id, c.vec_id),
+      sv AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, vec_id ASC) AS ark
+          FROM ap)
+        WHERE ark <= 100),
+      d AS (
+        SELECT sv.query_id, sv.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6)
+            AS score
+        FROM sv
+        JOIN assigned e ON sv.vec_id = e.vec_id
+        JOIN q ON sv.query_id = q.query_id),
       r AS (
         SELECT query_id, vec_id, score,
           ROW_NUMBER() OVER (PARTITION BY query_id
