@@ -13,8 +13,14 @@ import graft.functions.Vectors
   * fn_vector / embedding_quantize (VERDICT r4/r5 #1): the oracle
   * reproduces DotProductExpr's accumulation exactly — FLOAT element
   * products, each cast to DOUBLE, summed left-to-right — so the float
-  * surface is deterministic across engines. The LSH/IVF variants stay
-  * declared no-oracle (candidate sets are engine-defined);
+  * surface is deterministic across engines. Since round 14 the
+  * LSH/IVF/PQ variants are hash-checked too: their planes, centroids,
+  * cell assignments, codes, and codebooks persist as
+  * [[graft.core.StableStore]] parquet that the DuckDB mirror reads,
+  * so "engine-defined" candidate sets become reproducible functions
+  * of shared artifacts. Only the iterative beam walks
+  * (sim_topk_graph, sim_graph_delta), the PCA eigensolver face, MMR,
+  * SemDeDup, and the delta/stream band admissions remain rows-only;
   * DedupSimilaritySpec measures their recall/agreement instead.
   *
   * Scale paths: the brute-force variant broadcasts the (small) query
@@ -2304,6 +2310,49 @@ object Similarity extends QueryGroup {
         FROM d)
       SELECT query_id, vec_id, score, rk FROM r
       WHERE rk <= 10 ORDER BY query_id, rk""",
+    "sim_recall_eval" -> """
+      WITH cents AS (
+        SELECT cent_cell, cent
+        FROM read_parquet('__IVF_CENTROIDS_PATH__/*.parquet')),
+      assigned AS (
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        FROM read_parquet('__IVF_ASSIGNED_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 50),
+      t AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, e.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ROUND(list_aggregate(list_transform(
+                range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6)
+              DESC, e.vec_id ASC) AS rk
+          FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        WHERE rk <= 10),
+      probed AS (
+        SELECT q.query_id, CAST(c.cent_cell AS BIGINT) AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            list_aggregate(list_transform(range(1, len(q.qvec) + 1),
+              i -> CAST(q.qvec[i] * c.cent[i] AS DOUBLE)), 'sum') DESC,
+            c.cent_cell ASC) AS cell_rk
+        FROM q, cents c),
+      ranked AS (
+        SELECT t.query_id, p.cell_rk
+        FROM assigned a
+        JOIN t ON a.vec_id = t.vec_id
+        JOIN probed p ON p.query_id = t.query_id AND p.cell = a.cell),
+      np(nprobe) AS (SELECT unnest([1, 2, 4, 8, 16])),
+      agg AS (
+        SELECT np.nprobe,
+          CAST(COUNT(*) AS BIGINT) AS n_truth,
+          CAST(SUM(CASE WHEN ranked.cell_rk <= np.nprobe
+                   THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM ranked, np GROUP BY np.nprobe)
+      SELECT CAST(nprobe AS INTEGER) AS nprobe, n_truth, hits,
+        ROUND(CAST(hits AS DOUBLE) / n_truth, 6) AS recall
+      FROM agg ORDER BY nprobe""",
     "sim_topk_pq_adc" -> """
       WITH cents AS (
         SELECT cent_cell, cent
