@@ -49,6 +49,8 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -80,6 +82,14 @@ object Bench {
       // NTZ casts in Tables.events are value-preserving only under a
       // UTC session zone — set it in code, not just in run scripts.
       .config("spark.sql.session.timeZone", "UTC")
+      // The degraded-epoch VM freezes for minutes at a time; local
+      // mode's heartbeat default (120 s) then REMOVES the driver
+      // executor and shuts the context down, zeroing the whole run
+      // (r14: a 131 s freeze mid ×100 failed 236 queries with
+      // "stopped SparkContext"). There is no remote executor to
+      // lose in local[*] — a long timeout only rides out the stall.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/IO once so the first timed query isn't charged

@@ -22,6 +22,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it
       // unless read as raw long (graft.core.Tables converts to µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Ride out multi-minute host freezes instead of letting the
+      // 120 s heartbeat default kill the local context (see Bench).
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
