@@ -187,16 +187,24 @@ object Bench {
     // this VM) without trusting ledger prose. ~3.6 s at sf0.1 means a
     // quiet box; 2× that means a degraded epoch and the totals that
     // follow are inflated by the HOST, not the plans.
-    val canarySec: Double =
-      if (args.isEmpty && SparkEntry.queries.contains("stats_ks")) {
+    // A FAILED canary records the -1.0 sentinel, not its elapsed time:
+    // a fast-fail wall time is indistinguishable from a healthy
+    // measurement and would let the driver deflate totals against a
+    // bogus denominator (ADVICE r14).
+    def timeCanary(): Double =
+      if (SparkEntry.queries.contains("stats_ks")) {
         val t0 = System.nanoTime()
-        try { materialize(SparkEntry.queries("stats_ks")(spark, sfDir)); () }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] canary failed: ${e.getMessage}") }
+        val ok = try {
+          materialize(SparkEntry.queries("stats_ks")(spark, sfDir)); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] canary failed: ${e.getMessage}")
+          false
+        }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        (System.nanoTime() - t0) / 1e9
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       } else -1.0
+    val canarySec: Double = if (args.isEmpty) timeCanary() else -1.0
     val (prewarmSec, prewarmFailed) =
       if (args.isEmpty) prewarm(sfDir) else (0.0, 0)
     val results0 = runSuite(sfDir)
@@ -314,6 +322,15 @@ object Bench {
         System.err.println(s"[bench] running x10 suite at $x10Dir")
         Some((prewarm(x10Dir), runSuite(x10Dir)))
       } else None
+    // End-of-suite canary (VERDICT r14 next #8): a SECOND stats_ks
+    // run at the same fixture after the last timed line, so epoch
+    // drift WITHIN a run is measurable — canary_sec ≈ canary_end_sec
+    // means the receipt's lines share one host epoch and per-line
+    // deflation against either is defensible; a large gap means the
+    // epoch changed mid-run and the totals straddle it.
+    val canaryEndSec: Double = if (args.isEmpty) timeCanary() else -1.0
+    val canaryEndPart =
+      if (canaryEndSec >= 0) s""","canary_end_sec":${f3(canaryEndSec)}""" else ""
     // Locale.ROOT (via f3): the f-interpolator honors the JVM default
     // locale, and a comma-decimal locale would corrupt the JSON
     val qs = qsJson(results)
@@ -364,9 +381,9 @@ object Bench {
       else s""","overlap_total_sec":${f3(ov.values.map(_._1).sum)},"overlap_n":${ov.size},"overlap_snapshot_sec":${f3(ov.keys.map(snap).sum)}"""
     }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$pwPart$canaryPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs$pwPart$canaryPart$canaryEndPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
     val brief =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$pwPart$canaryPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size}$pwPart$canaryPart$canaryEndPart$stalledPart$overlapPart$x10Part,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

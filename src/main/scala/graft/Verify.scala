@@ -58,7 +58,11 @@ object Verify {
     // that only Verify — which knows the dir it just ran — can
     // resolve. Substitution happens here so the dumped JSON is
     // directly runnable by the driver's DuckDB.
-    val subs = graft.operators.Similarity.oracleArtifactSubs(spark, sfDir)
+    val subs = graft.operators.Similarity.oracleArtifactSubs(spark, sfDir) ++
+      graft.operators.Aggregates.oracleArtifactSubs(spark, sfDir) ++
+      graft.operators.QualityModel.oracleArtifactSubs(spark, sfDir) ++
+      graft.operators.Ring.oracleArtifactSubs(spark, sfDir) ++
+      graft.operators.Pipeline.oracleArtifactSubs(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v0) =>
         val v = subs.foldLeft(v0) { case (acc, (tok, p)) => acc.replace(tok, p) }

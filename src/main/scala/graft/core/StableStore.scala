@@ -33,17 +33,42 @@ object StableStore {
     f.delete(): Unit
   }
 
+  /** Input fingerprint for a table directory under `dir` — file
+    * names, lengths, mtimes — so regenerated testdata invalidates the
+    * artifacts keyed on it. Shared by every getOrBuild caller whose
+    * artifact derives from one fixture table. */
+  def inputKey(s: org.apache.spark.sql.SparkSession, dir: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamped = fs.listStatus(p).collect {
+      case st if st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      } => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }.sorted
+    dir + "#" + stamped.mkString("|")
+  }
+
   /** Directory for (prefix, key), building it at most once across
     * JVMs. `build` receives a temp path to write into; the `_DONE`
     * marker is created after the build returns, so the published dir
-    * is complete by construction. */
+    * is complete by construction. A failed build's temp dir is
+    * removed before the exception propagates (ADVICE r14: otherwise
+    * partial `.build_*` dirs accumulate with no sweep); stale temp
+    * dirs from JVMs that died mid-build are swept lazily — any
+    * `.build_*` entry not owned by this run is fair game, because a
+    * LIVE builder's rename either already happened (target exists) or
+    * will fail and fall through to the target-exists check. */
   def getOrBuild(prefix: String, key: String)(build: String => Unit): String = {
     val target = new java.io.File(s"$root/${prefix}_${md5(key)}")
     if (new java.io.File(target, "_DONE").exists()) return target.getPath
     target.getParentFile.mkdirs()
+    sweepStale()
     val tmp = new java.io.File(
       s"$root/.build_${target.getName}_${RunId.id}")
-    build(tmp.getPath)
+    try build(tmp.getPath)
+    catch { case e: Throwable => rmRec(tmp); throw e }
     if (!new java.io.File(tmp, "_DONE").createNewFile())
       throw new IllegalStateException(s"cannot mark $tmp complete")
     // atomic publish; losing the race to an equivalent winner is fine
@@ -51,5 +76,18 @@ object StableStore {
     if (!new java.io.File(target, "_DONE").exists())
       throw new IllegalStateException(s"artifact publish failed for $target")
     target.getPath
+  }
+
+  /** Remove `.build_*` temp dirs older than a day — long enough that
+    * no live builder (bench layouts build in minutes) can still own
+    * one; a dead JVM's partials are the only entries that old. */
+  private def sweepStale(): Unit = {
+    val kids = new java.io.File(root).listFiles()
+    if (kids == null) return
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    kids.foreach { f =>
+      if (f.getName.startsWith(".build_") && f.lastModified() < cutoff)
+        rmRec(f)
+    }
   }
 }

@@ -839,47 +839,56 @@ object Aggregates extends QueryGroup {
   private val quantileSummariesBuilt =
     new graft.core.BuildOnce[String, String]
 
+  /** Sample stride of the quantile summaries — part of the artifact
+    * KEY (a k change is a format change; a stale k=50 artifact under
+    * a k=25 build would silently halve the error bound). */
+  private val QuantileSummaryK = 50
+
+  /** The persisted per-shard summary table behind [[aggQuantileMerge]]
+    * — published via [[graft.core.StableStore]] (write-once, atomic
+    * rename, cross-JVM) so (a) no concurrently-alive JVM can rewrite
+    * the path mid-read (the r13/r14 driver-only hash flake was
+    * consistent with exactly that: `RunId.scratchKeyed` +
+    * `mode("overwrite")` has a delete-then-write window any warm sbt
+    * or bench JVM touching the same sfDir could expose) and (b) the
+    * DuckDB oracle can `read_parquet` the SAME bytes instead of
+    * recomputing the corpus window chain — removing engine-vs-oracle
+    * tie-order as a failure class entirely. */
+  private[graft] def quantileSummariesPath(s: SparkSession, dir: String): String =
+    quantileSummariesBuilt.getOrElseUpdate(dir, {
+      val k = QuantileSummaryK
+      val key = s"k=$k|" + graft.core.StableStore.inputKey(s, dir, "lineitem.parquet")
+      graft.core.StableStore.getOrBuild("qsum_v1", key) { tmp =>
+        val base = Tables.lineitem(s, dir).select(
+          date_format(col("l_shipdate"), "yyyy-MM").as("shard"),
+          Num.d2(col("l_extendedprice")).as("v"))
+        // rn and the last-row marker share ONE window spec, so the
+        // planner evaluates both in a single Window operator over a
+        // single (shard, v) sort — a count() window (different spec)
+        // or a per-shard count join would each add a full extra pass
+        // of the corpus for what is just "is this the shard's final
+        // row". lead(lit(1)) is value-independent: lead("v") would
+        // also mark interior rows of a trailing NULL value block
+        // (ADVICE r13) — safe on this non-null fixture column but
+        // wrong in general.
+        val byShard = Window.partitionBy("shard").orderBy("v")
+        val ranked = base
+          .withColumn("rn", row_number().over(byShard).cast("long"))
+          .withColumn("is_last", lead(lit(1), 1).over(byShard).isNull)
+        ranked
+          .filter(col("rn") % k === 0 || col("is_last"))
+          .withColumn("incr", col("rn") - coalesce(lag("rn", 1).over(
+            Window.partitionBy("shard").orderBy("rn")), lit(0L)))
+          .withColumn("b", floor(col("v") / 1000).cast("int"))
+          .select("shard", "rn", "v", "incr", "b")
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
+
   def aggQuantileMerge(s: SparkSession, dir: String): DataFrame = {
     val sp = s; import sp.implicits._
-    val k = 50
-    // The per-shard summaries are a PERSISTED artifact, built once per
-    // (JVM, dir) — the nightly-job shape the scaladoc above documents
-    // and the [[aggSketchMerge]] precedent: ingest pays the one
-    // shard-partitioned corpus sort, every query is merge+read over
-    // the sketch-sized summary table. Reading the summary back from
-    // parquet also pins determinism: the driver-collected bucket
-    // offsets/n and the final merge pass consume the SAME materialized
-    // bytes — the previous `.cache()` could silently re-evaluate the
-    // sample relation when blocks evicted under full-suite memory
-    // pressure, letting collected planning state drift from the output
-    // pass (the r13 driver hash flake).
-    val path = quantileSummariesBuilt.getOrElseUpdate(dir, {
-      val p = graft.core.RunId.scratchKeyed("quantile_summaries", dir)
-      val base = Tables.lineitem(s, dir).select(
-        date_format(col("l_shipdate"), "yyyy-MM").as("shard"),
-        Num.d2(col("l_extendedprice")).as("v"))
-      // rn and the last-row marker share ONE window spec, so the planner
-      // evaluates both in a single Window operator over a single
-      // (shard, v) sort — a count() window (different spec) or a
-      // per-shard count join would each add a full extra pass of the
-      // corpus for what is just "is this the shard's final row".
-      // lead(lit(1)) is value-independent: lead("v") would also mark
-      // interior rows of a trailing NULL value block (ADVICE r13) —
-      // safe on this non-null fixture column but wrong in general.
-      val byShard = Window.partitionBy("shard").orderBy("v")
-      val ranked = base
-        .withColumn("rn", row_number().over(byShard).cast("long"))
-        .withColumn("is_last", lead(lit(1), 1).over(byShard).isNull)
-      ranked
-        .filter(col("rn") % k === 0 || col("is_last"))
-        .withColumn("incr", col("rn") - coalesce(lag("rn", 1).over(
-          Window.partitionBy("shard").orderBy("rn")), lit(0L)))
-        .withColumn("b", floor(col("v") / 1000).cast("int"))
-        .select("shard", "rn", "v", "incr", "b")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    val samples = s.read.parquet(path)
+    val k = QuantileSummaryK
+    val samples = s.read.parquet(quantileSummariesPath(s, dir))
     val counts = samples.groupBy("b").agg(sum("incr").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toSeq
@@ -1194,6 +1203,15 @@ object Aggregates extends QueryGroup {
     "agg_udaf" -> (aggUdaf _)
   )
 
+  /** Concrete artifact paths for this group's `__..._PATH__` oracle
+    * tokens (same contract as Similarity.oracleArtifactSubs; merged
+    * by [[graft.Verify]] at dump time). Calling the path function
+    * also guarantees the artifact is published before the SQL
+    * referencing it is dumped. */
+  private[graft] def oracleArtifactSubs(
+      s: SparkSession, dir: String): Map[String, String] = Map(
+    "__QSUM_PATH__" -> quantileSummariesPath(s, dir))
+
   private def statsOracleRow(c: String, v: String): String = s"""
       SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
@@ -1427,35 +1445,26 @@ object Aggregates extends QueryGroup {
         ROUND(CAST(SUM(term) AS DOUBLE), 6) AS decayed,
         CAST(MAX(k) AS INTEGER) AS max_halflives
       FROM d GROUP BY event_type ORDER BY event_type""",
-    // summaries + merge restated verbatim on plain windows: sample
-    // (rank, value) pairs are tie-insensitive (the value AT a rank is
-    // well-defined under ORDER BY v even when row_number tie
-    // assignment differs), increments/cumulatives are exact integers
+    // merge restated over the SAME published StableStore summary
+    // artifact the engine serves from (read_parquet of the identical
+    // bytes — no recompute of the corpus window chain, so engine-vs-
+    // oracle tie-order cannot diverge): n telescopes out of the incr
+    // column (per-shard increments sum to the shard population), the
+    // global cumulative over (v, shard, rn) equals the engine's
+    // bucketed off(b)+within-b form because b = floor(v/1000) is
+    // monotone in v; every step is exact integer rank arithmetic
     "agg_quantile_merge" -> """
-      WITH base AS (
-        SELECT strftime(l_shipdate, '%Y-%m') AS shard,
-          CAST(l_extendedprice AS DECIMAL(18,2)) AS v
-        FROM lineitem),
-      ranked AS (
-        SELECT shard, v,
-          CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v)
-            AS BIGINT) AS rn,
-          CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT) AS ns
-        FROM base),
-      samples AS (
-        SELECT shard, rn, v FROM ranked WHERE rn % 50 = 0 OR rn = ns),
-      inc AS (
-        SELECT shard, rn, v,
-          rn - COALESCE(LAG(rn) OVER (PARTITION BY shard ORDER BY rn),
-            0) AS incr
-        FROM samples),
+      WITH samples AS (
+        SELECT shard, rn, v, incr
+        FROM read_parquet('__QSUM_PATH__/*.parquet')),
       lw AS (
         SELECT shard, rn, v,
           SUM(incr) OVER (ORDER BY v, shard, rn ROWS BETWEEN UNBOUNDED
             PRECEDING AND CURRENT ROW) AS lrank
-        FROM inc),
-      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
-      sh AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS ns FROM base),
+        FROM samples),
+      n AS (SELECT CAST(SUM(incr) AS BIGINT) AS n FROM samples),
+      sh AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS ns
+        FROM samples),
       qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
         AS DOUBLE) AS q),
       qt AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS target_rank

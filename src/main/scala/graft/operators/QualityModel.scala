@@ -133,15 +133,40 @@ object QualityModel extends QueryGroup {
     } finally rdd.unpersist(blocking = false): Unit
   }
 
-  private def trainedWeights(s: SparkSession, dir: String, feat: DataFrame): Array[Double] =
-    weightCache.getOrElseUpdate(dir, train(feat))
+  /** The persisted model artifacts — features (doc_id, label, split,
+    * f) and trained weights (j, w) — published via
+    * [[graft.core.StableStore]] so the DuckDB oracle can score the
+    * SAME feature bytes against the SAME weight doubles the engine
+    * serves from (VERDICT r14 next #4: the TRAINING loop stays
+    * spec-gated — iterative GD is not SQL — but the SCORE is one dot
+    * product, which is). Parquet double round-trip is exact, so the
+    * read-back weights ARE the trained values. */
+  private[graft] def modelPaths(s: SparkSession, dir: String): (String, String) = {
+    val key = s"d=$Dim|it=$Iters|lr=$Lr|" +
+      graft.core.StableStore.inputKey(s, dir, "documents.parquet")
+    val featPath = graft.core.StableStore.getOrBuild("qmfeat_v1", key) { tmp =>
+      featurized(s, dir).write.mode("overwrite").parquet(tmp)
+    }
+    val wPath = graft.core.StableStore.getOrBuild("qmw_v1", key) { tmp =>
+      val wts = weightCache.getOrElseUpdate(dir,
+        train(s.read.parquet(featPath)))
+      s.createDataFrame(wts.toIndexedSeq.zipWithIndex
+          .map { case (w, j) => (j, w) })
+        .toDF("j", "w")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    (featPath, wPath)
+  }
 
   /** Score every doc with the trained model; report probability,
     * prediction, weak label and split so the holdout slice is
-    * directly auditable downstream. */
+    * directly auditable downstream. Reads features and weights from
+    * the published artifacts — the production shape (nightly train,
+    * score-time model load) and the oracle's shared ground. */
   def textQualityModel(s: SparkSession, dir: String): DataFrame = {
-    val feat = featurized(s, dir)
-    val wts = trainedWeights(s, dir, feat)
+    val (featPath, wPath) = modelPaths(s, dir)
+    val feat = s.read.parquet(featPath)
+    val wts = s.read.parquet(wPath).orderBy("j").collect().map(_.getDouble(1))
     val margin = aggregate(
       zip_with(col("f"), typedlit(wts.toIndexedSeq), (a, b) => a * b),
       lit(0.0), _ + _)
@@ -153,11 +178,40 @@ object QualityModel extends QueryGroup {
       .orderBy("doc_id")
   }
 
+  /** Artifact-path substitutions for [[oracles]] (merged by
+    * [[graft.Verify]] at dump time). */
+  private[graft] def oracleArtifactSubs(
+      s: SparkSession, dir: String): Map[String, String] = {
+    val (featPath, wPath) = modelPaths(s, dir)
+    Map("__QM_FEAT_PATH__" -> featPath, "__QM_W_PATH__" -> wPath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_model" -> (textQualityModel _))
 
-  /** No oracle: iterative learned pipeline (same declaration class as
-    * text_langid); QualityModelSpec holds the accuracy/determinism
-    * properties. */
-  val oracles: Map[String, String] = Map.empty
+  /** The TRAINING loop stays spec-gated (QualityModelSpec: holdout
+    * accuracy, partition-layout determinism) — iterative GD is not
+    * SQL — but scoring against the persisted artifacts is: the same
+    * left-to-right double dot product the kmeans_fit oracle uses
+    * (list_transform + list_aggregate 'sum' accumulates in doubles in
+    * index order, matching Spark's aggregate/zip_with fold), the same
+    * logistic + ROUND(…, 6) on both sides. Like the text_perplexity
+    * ln surface, the exp here is empirically engine-exact at 6
+    * decimals on these margins (|m| ≤ ~15; both libms are ≤1 ulp and
+    * the rounding grid is 10 orders coarser). */
+  val oracles: Map[String, String] = Map(
+    "text_quality_model" -> """
+      WITH wl AS (
+        SELECT list(w ORDER BY j) AS w
+        FROM read_parquet('__QM_W_PATH__/*.parquet')),
+      scored AS (
+        SELECT f.doc_id, f.label, f.split,
+          list_aggregate(list_transform(range(1, len(f.f) + 1),
+            i -> f.f[i] * wl.w[i]), 'sum') AS m
+        FROM read_parquet('__QM_FEAT_PATH__/*.parquet') f, wl)
+      SELECT doc_id,
+        ROUND(1.0 / (1.0 + exp(-m)), 6) AS prob,
+        CAST(1.0 / (1.0 + exp(-m)) >= 0.5 AS INTEGER) AS pred,
+        label, split
+      FROM scored ORDER BY doc_id""")
 }

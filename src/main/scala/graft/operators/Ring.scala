@@ -218,9 +218,94 @@ object Ring extends QueryGroup {
     "ring_multidc" -> (ringMultidc _)
   )
 
-  // No oracle: range bounds are murmur3-128 token values, which DuckDB
-  // cannot compute (same declaration as fn_token / scan_token_range).
-  // KernelSpec verifies the plan against an independent brute-force
-  // owner computation and a row-conservation law.
-  val oracles: Map[String, String] = Map.empty
+  private val tokenDirs = new graft.core.BuildOnce[String, String]
+
+  /** Persisted (key → Murmur3 token) relation — DuckDB has no
+    * murmur3-x64-128, so the token-family oracles (ring_*, fn_token,
+    * scan_token_range) read the engine's own published token table
+    * instead of recomputing the hash (VERDICT r14 next #4 stretch).
+    * The HASH KERNEL itself stays Guava-anchored in Murmur3Spec; what
+    * the oracle now hash-checks is everything downstream of it —
+    * bucket arithmetic, range predicates, counting joins — plus the
+    * kernel's cross-JVM determinism. */
+  private[graft] def tokenPath(s: SparkSession, dir: String,
+      table: String, keyCol: String): String =
+    tokenDirs.getOrElseUpdate(s"$dir|$table|$keyCol", {
+      val key = s"$table|$keyCol|" +
+        graft.core.StableStore.inputKey(s, dir, s"$table.parquet")
+      graft.core.StableStore.getOrBuild("cass_tokens_v1", key) { tmp =>
+        val t = table match {
+          case "orders" => Tables.orders(s, dir)
+          case "events" => Tables.events(s, dir)
+          case other => throw new IllegalArgumentException(
+            s"no token relation defined for table $other")
+        }
+        t.select(col(keyCol), CassTokenExpr.token(col(keyCol)).as("token"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
+
+  /** Artifact-path substitutions for the token-family oracles (merged
+    * by [[graft.Verify]] at dump time; Scans/ScalarFns share these). */
+  private[graft] def oracleArtifactSubs(
+      s: SparkSession, dir: String): Map[String, String] = Map(
+    "__TOK_ORDERS_PATH__" -> tokenPath(s, dir, "orders", "o_orderkey"),
+    "__TOK_EVENTS_PATH__" -> tokenPath(s, dir, "events", "event_id"))
+
+  /** The streaming-plan oracle shape shared by rebalance/decommission:
+    * the bounded ring plan interpolates as VALUES (pure function of
+    * the fixed vnode seeds — the MinhashAffine precedent), counts come
+    * from the persisted token relation. */
+  private def ringOracle(rs: Seq[(Long, Long, Int, Int)]): String = s"""
+      WITH moves(range_start, range_end, from_node, to_node) AS (
+        VALUES ${rs.map { case (a, b, f, t) => s"($a, $b, $f, $t)" }
+          .mkString(", ")}),
+      toks AS (
+        SELECT token FROM read_parquet('__TOK_EVENTS_PATH__/*.parquet')),
+      counts AS (
+        SELECT m.range_start, m.range_end, m.from_node, m.to_node,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM moves m JOIN toks t
+          ON t.token > m.range_start AND t.token <= m.range_end
+        GROUP BY m.range_start, m.range_end, m.from_node, m.to_node)
+      SELECT m.range_start, m.range_end, m.from_node, m.to_node,
+        COALESCE(c.n_rows, 0) AS n_rows
+      FROM moves m LEFT JOIN counts c
+        ON m.range_start = c.range_start AND m.range_end = c.range_end
+          AND m.from_node = c.from_node AND m.to_node = c.to_node
+      ORDER BY m.range_start, m.range_end"""
+
+  // The ring plans and NTS placement are bounded driver-side constants
+  // (KernelSpec additionally verifies them against an independent
+  // brute-force owner computation and a row-conservation law); the
+  // oracles restate the counting join over the persisted token
+  // relation, so the driver's hash now covers the data-dependent half.
+  val oracles: Map[String, String] = Map(
+    "ring_rebalance" -> ringOracle(movedRanges),
+    "ring_decommission" -> ringOracle(decommissionRanges),
+    "ring_multidc" -> {
+      val rows = multidcPlacement.flatMap { case (start, end, d1, d2) =>
+        wrapSpans(start, end).map { case (a, b) =>
+          s"($a, $b, ${d1(0)}, ${d1(1)}, ${d1(2)}, ${d2(0)}, ${d2(1)}, ${d2(2)})"
+        }
+      }
+      s"""
+      WITH moves(range_start, range_end, dc1_r1, dc1_r2, dc1_r3,
+                 dc2_r1, dc2_r2, dc2_r3) AS (
+        VALUES ${rows.mkString(", ")}),
+      toks AS (
+        SELECT token FROM read_parquet('__TOK_EVENTS_PATH__/*.parquet')),
+      counts AS (
+        SELECT m.range_start, m.range_end,
+          CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM (SELECT DISTINCT range_start, range_end FROM moves) m
+        JOIN toks t
+          ON t.token > m.range_start AND t.token <= m.range_end
+        GROUP BY m.range_start, m.range_end)
+      SELECT m.range_start, m.range_end, m.dc1_r1, m.dc1_r2, m.dc1_r3,
+        m.dc2_r1, m.dc2_r2, m.dc2_r3, COALESCE(c.n_rows, 0) AS n_rows
+      FROM moves m LEFT JOIN counts c
+        ON m.range_start = c.range_start AND m.range_end = c.range_end
+      ORDER BY m.range_start, m.range_end"""
+    })
 }

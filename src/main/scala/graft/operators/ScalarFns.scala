@@ -81,9 +81,10 @@ object ScalarFns extends QueryGroup {
   /** CQL token(pk): the real Murmur3Partitioner ring position
     * ([[graft.plans.CassTokenExpr]] — round 6 upgrade from the
     * xxhash64 stand-in; bigint keys hash over their 8-byte big-endian
-    * CQL serialization). DuckDB has no murmur3-x64-128 ⇒ still
-    * no-oracle; Murmur3Spec anchors the kernel against Guava's
-    * canonical murmur3_128 on the quirk-free domain. */
+    * CQL serialization). DuckDB has no murmur3-x64-128, so the oracle
+    * reads the engine's persisted token relation
+    * ([[Ring.tokenPath]], hash-exact since r15) while Murmur3Spec
+    * anchors the kernel against Guava's canonical murmur3_128. */
   def fnToken(s: SparkSession, dir: String): DataFrame = {
     val tok = graft.plans.CassTokenExpr.token(col("o_orderkey"))
     Tables.orders(s, dir)
@@ -276,7 +277,15 @@ object ScalarFns extends QueryGroup {
       SELECT event_id,
         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_value,
         '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS row_json
-      FROM events ORDER BY event_id"""
-    // fn_uuid, fn_token: no oracle (nondeterministic / engine-defined)
+      FROM events ORDER BY event_id""",
+    // fn_token: the murmur3 kernel stays Guava-anchored (Murmur3Spec);
+    // the oracle reads the engine's persisted token relation
+    // (Ring.tokenPath) and hash-checks the bucket arithmetic on top
+    "fn_token" -> """
+      SELECT o_orderkey, token,
+        ((token % 32) + 32) % 32 AS bucket
+      FROM read_parquet('__TOK_ORDERS_PATH__/*.parquet')
+      ORDER BY o_orderkey"""
+    // fn_uuid: no oracle (nondeterministic by definition)
   )
 }

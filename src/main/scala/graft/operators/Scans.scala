@@ -63,9 +63,11 @@ object Scans extends QueryGroup {
     * Murmur3Partitioner token ([[graft.plans.CassTokenExpr]],
     * SURVEY.md §2.A — round 6 upgrade from the xxhash64 stand-in), so
     * the selected keys are exactly the keys a Cassandra node owning
-    * (a, b] would serve. The bounds carve 1/16 of the ring; no DuckDB
-    * murmur3-128 ⇒ still declared no-oracle (Murmur3Spec anchors the
-    * hash against Guava's canonical murmur3_128 instead). */
+    * (a, b] would serve. The bounds carve 1/16 of the ring; DuckDB
+    * has no murmur3-128, so the oracle applies the same slice
+    * predicate to the persisted token relation ([[Ring.tokenPath]],
+    * hash-exact since r15; Murmur3Spec anchors the hash itself
+    * against Guava's canonical murmur3_128). */
   def scanTokenRange(s: SparkSession, dir: String): DataFrame = {
     val tok = graft.plans.CassTokenExpr.token(col("o_orderkey"))
     val span = Long.MaxValue >> 3 // 2^60 = one sixteenth of the ring
@@ -1988,7 +1990,15 @@ object Scans extends QueryGroup {
       FROM lineitem
       WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
         AND l_orderkey < 5000
-      GROUP BY l_returnflag ORDER BY l_returnflag"""
-    // scan_token_range: no oracle (xxhash64 bucketing is engine-defined)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the murmur3 kernel stays Guava-anchored (Murmur3Spec); the
+    // oracle applies the same (0, 2^60] ring-slice predicate to the
+    // engine's persisted token relation (Ring.tokenPath)
+    "scan_token_range" -> """
+      SELECT o.* FROM orders o
+      JOIN read_parquet('__TOK_ORDERS_PATH__/*.parquet') t
+        ON o.o_orderkey = t.o_orderkey
+      WHERE t.token > 0 AND t.token <= 1152921504606846975
+      ORDER BY o.o_orderkey"""
   )
 }

@@ -29,11 +29,22 @@ import graft.functions.Vectors
   */
 object Similarity extends QueryGroup {
 
-  private val planes = Vectors.hyperplanes(nbits = 8, dim = 64)
+  /** SRP generator parameters. The persisted-plane StableStore keys
+    * below are BUILT from these same constants, so key and generator
+    * cannot drift (ADVICE r14: hand-duplicated literals would serve
+    * stale planes to the oracle if a parameter changed). */
+  private val SrpDim = 64
+  private val TopkNbits = 4
+  private val TopkSeed = 42L
+  private val ThresholdBandCount = 8
+  private val ThresholdSeedBase = 101L
+
+  private val planes = Vectors.hyperplanes(nbits = 8, dim = SrpDim)
   // Coarser buckets for top-k recall (16 buckets ⇒ ~1/16 of the corpus
   // as candidates); the dedup path keeps 8 bits (exact copies always
   // collide, and smaller candidate sets are cheaper).
-  private val topkPlanes = Vectors.hyperplanes(nbits = 4, dim = 64)
+  private val topkPlanes =
+    Vectors.hyperplanes(nbits = TopkNbits, dim = SrpDim, seed = TopkSeed)
 
   private val lshPlanesDirs =
     new graft.core.BuildOnce[String, String]
@@ -46,7 +57,8 @@ object Similarity extends QueryGroup {
     * oracle agree on every bucket bit (VERDICT r13 next #6). */
   private[graft] def lshPlanesPath(s: SparkSession): String =
     lshPlanesDirs.getOrElseUpdate("topk",
-      graft.core.StableStore.getOrBuild("lsh_planes_v1", "4|64|42") { tmp =>
+      graft.core.StableStore.getOrBuild("lsh_planes_v1",
+          s"$TopkNbits|$SrpDim|$TopkSeed") { tmp =>
         s.createDataFrame(topkPlanes.zipWithIndex
             .map { case (p, i) => (i, p) }.toIndexedSeq)
           .toDF("plane_id", "plane")
@@ -442,18 +454,28 @@ object Similarity extends QueryGroup {
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     val entries = s.read.parquet(s"$root/entries")
-    var visited = score(q.select("query_id").crossJoin(broadcast(entries)))
-      .localCheckpoint()
-    var expanded = visited.select("query_id", "vec_id").filter(lit(false))
-      .localCheckpoint()
+    // Accumulators build as unions of PER-ROUND checkpointed pieces:
+    // re-checkpointing the whole accumulated relation every round
+    // (the pre-r15 form) materializes O(rounds²) rows — each round
+    // re-wrote everything the previous rounds already pinned. A union
+    // over already-checkpointed pieces has shallow lineage (each leaf
+    // is pinned blocks), so downstream rounds re-SCAN the pieces but
+    // never re-write them; plan depth grows only linearly in rounds.
+    var visitedPieces = Vector(
+      score(q.select("query_id").crossJoin(broadcast(entries)))
+        .localCheckpoint())
+    def visitedAll: DataFrame = visitedPieces.reduce(_ unionByName _)
+    var expandedPieces = Vector.empty[DataFrame]
     for (_ <- 1 to rounds) {
-      val frontier = visited
-        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
+      val visited = visitedAll
+      val frontier = (if (expandedPieces.isEmpty) visited
+        else visited.join(expandedPieces.reduce(_ unionByName _),
+          Seq("query_id", "vec_id"), "left_anti"))
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= beam)
         .select("query_id", "vec_id")
         .localCheckpoint()
-      expanded = expanded.unionByName(frontier).localCheckpoint()
+      expandedPieces = expandedPieces :+ frontier
       // Read path (few queries): frontier ids are ≤ beam×queries —
       // the same bounded driver state the budget bound already
       // carries — so collect them (cheap: the frontier is
@@ -474,13 +496,12 @@ object Similarity extends QueryGroup {
         .distinct()
         .join(visited.select("query_id", "vec_id"),
           Seq("query_id", "vec_id"), "left_anti")
-      val fresh = score(cand).localCheckpoint()
-      visited = visited.unionByName(fresh).localCheckpoint()
+      visitedPieces = visitedPieces :+ score(cand).localCheckpoint()
     }
     // every round's output is eagerly checkpointed, so nothing after
     // the loop re-reads the pinned edge list — release it now
     if (pinEdges) graph.unpersist(blocking = false)
-    val out = visited
+    val out = visitedAll
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "score", "rk")
@@ -488,7 +509,7 @@ object Similarity extends QueryGroup {
     // visited = every (query, candidate) the walk actually SCORED —
     // the budget relation the recall spec compares against the IVF
     // probe's candidate count
-    (out, visited)
+    (out, visitedAll)
   }
 
   /** Graph-ANN top-k over the same 5 probes the IVF faces serve.
@@ -509,6 +530,27 @@ object Similarity extends QueryGroup {
     * union, no rebuild, no retrain. The arriving batch is one
     * micro-batch of writes (bounded by definition); the walk's state
     * is (query, candidate) relations exactly as in the read path.
+    *
+    * Why the batch walk is NOT cohorted (VERDICT r13 next #5 / r14
+    * next #5 — the impossibility argument): the layout's buckets are
+    * id-mod partitions (`src_bucket = src_id % 64`), chosen so the
+    * READ path's small frontiers prune by row-group min/max inside a
+    * handful of directories. They are not spatial cells, so no
+    * partition of the insert batch — by nearest entry point, by IVF
+    * cell, by anything — can shrink a cohort's bucket span: a cohort
+    * whose walk touches more than ~64·ln 64 ≈ 266 distinct ids covers
+    * every id-mod bucket with high probability (coupon collection),
+    * and a beam-3×16 walk of even a 100-insert cohort does. Cohorting
+    * therefore keeps the full-span scans AND multiplies the
+    * fixed-round driver loop by the cohort count. What the re-scans
+    * share is the edge list itself, so the batch path pins it in
+    * cluster memory instead (`pinEdges` — the Pregel adjacency
+    * discipline) and skips the per-round frontier collect whose isin
+    * pushdown cannot prune (measured ×100: pruned 41.2 s vs unpruned
+    * 35.9 s). A spatial (cell-partitioned) SECOND layout would let
+    * cohorts prune, at the cost of maintaining two copies of the edge
+    * list; the read path — the latency-sensitive one — gains nothing
+    * from it, so the single-layout trade stands.
     * Declared no-oracle (the walk is engine-defined);
     * DedupSimilaritySpec plants EXACT copies as the delta batch and
     * pins that every insert links its twin at rank 1 with score 1.0,
@@ -574,7 +616,8 @@ object Similarity extends QueryGroup {
 
   private[graft] def bandsForNbits(nbits: Int): Seq[Seq[Seq[Float]]] =
     thresholdBandCache.getOrElseUpdate(nbits,
-      (0 until 8).map(b => Vectors.hyperplanes(nbits, dim = 64, seed = 101L + b)))
+      (0 until ThresholdBandCount).map(b =>
+        Vectors.hyperplanes(nbits, dim = SrpDim, seed = ThresholdSeedBase + b)))
 
   private[graft] def thresholdBands(n: Long, occupancy: Int): Seq[Seq[Seq[Float]]] =
     bandsForNbits(thresholdNbits(n, occupancy))
@@ -588,7 +631,8 @@ object Similarity extends QueryGroup {
     * band bucket computation of the threshold/knn LSH faces. */
   private[graft] def thresholdBandsPath(s: SparkSession, nbits: Int): String =
     thresholdBandsDirs.getOrElseUpdate(nbits,
-      graft.core.StableStore.getOrBuild("lsh_bands_v1", s"8|$nbits|64|101") { tmp =>
+      graft.core.StableStore.getOrBuild("lsh_bands_v1",
+          s"$ThresholdBandCount|$nbits|$SrpDim|$ThresholdSeedBase") { tmp =>
         val rows = bandsForNbits(nbits).zipWithIndex.flatMap {
           case (planes, b) => planes.zipWithIndex.map {
             case (p, i) => (b, i, p) }
@@ -852,17 +896,24 @@ object Similarity extends QueryGroup {
     * — no parquet schema inference, no per-file getFileStatus RPCs
     * (O(files) driver round trips on an object store; ADVICE r5 /
     * VERDICT r5 perf note on the +0.27 s sim_topk_ivf regression). */
-  private def ivfCacheKey(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stamped = fs.listStatus(p).collect {
-      case st if st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      } => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-    }.sorted
-    dir + "#" + stamped.mkString("|")
-  }
+  /** Governing parameters of the IVF/PQ kernel family, woven into
+    * [[ivfCacheKey]] — the ONE key every engine-consumed index
+    * artifact (ivf / ivf_delta / ivf_codes / pq_codes / pq_books /
+    * kmeans) derives from — so a parameter change invalidates the
+    * artifacts it governs instead of silently serving stale ones
+    * (ADVICE r14 medium: the DuckDB oracle reads the SAME artifact,
+    * so staleness is invisible to the hash check; the key must carry
+    * it). [[IndexKernelVer]] is the bump-on-code-change component:
+    * increment it whenever training/encoding ARITHMETIC changes in a
+    * way no parameter captures. */
+  private[graft] val IndexKernelVer = 1
+  private val IvfK = 16
+  private val IvfIters = 4
+  private val IndexSampleCap = 4096
+
+  private def ivfCacheKey(s: SparkSession, dir: String): String =
+    s"kv$IndexKernelVer|k=$IvfK|it=$IvfIters|cap=$IndexSampleCap|m=$PqM|" +
+      graft.core.StableStore.inputKey(s, dir, "embeddings.parquet")
 
   /** Builds the IVF index ONCE per (JVM, corpus) and PERSISTS it —
     * centroids + per-vector cell assignment written to RunId.scratch
@@ -917,15 +968,15 @@ object Similarity extends QueryGroup {
   private[graft] def trainCentroids(emb: DataFrame): IndexedSeq[Seq[Float]] = {
     val sample = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-      .orderBy("vec_id").limit(4096)
+      .orderBy("vec_id").limit(IndexSampleCap)
       .select("vec_id", "embedding")
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "IVF centroid training: sample is empty")
-    val k = 16
+    val k = IvfK
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
-    for (_ <- 0 until 4) {
+    for (_ <- 0 until IvfIters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
       sample.foreach { v =>
@@ -1197,7 +1248,7 @@ object Similarity extends QueryGroup {
       slicePred: Column): Array[Array[Double]] =
     Tables.embeddings(s, dir)
       .filter(slicePred && pmod(xxhash64(col("vec_id")), lit(2)) === 0)
-      .orderBy("vec_id").limit(4096)
+      .orderBy("vec_id").limit(IndexSampleCap)
       .select("embedding")
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -1538,11 +1589,14 @@ object Similarity extends QueryGroup {
     * ≈0.51, FIXTURES.md), so the query plants one exact copy per 100
     * vectors at +2^40 ids (the sim_threshold_lsh_tau08 planting —
     * scale-proportional, collision-proof at any corpus size); those
-    * copies, and only those, must be dropped. Declared no-oracle (the
-    * cell layout is engine-defined float k-means);
-    * DedupSimilaritySpec asserts the dropped set equals the
-    * within-cell brute-force rule and that every planted copy is
-    * dropped with max_prior_sim = 1.0. */
+    * copies, and only those, must be dropped. Hash-exact oracled
+    * since r15: cells come from the persisted IVF assignment parquet
+    * (planted copies inherit their source's cell — identical
+    * embedding, identical argmax) and bands from the persisted T08
+    * planes, so DuckDB replays candidate generation + verify over the
+    * SAME artifacts; DedupSimilaritySpec additionally asserts the
+    * dropped set equals the within-cell brute-force rule and that
+    * every planted copy is dropped with max_prior_sim = 1.0. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val tau = 0.96
     val (centPath, _) = ivfIndexPaths(s, dir)
@@ -1767,10 +1821,12 @@ object Similarity extends QueryGroup {
     * into one mega-plan. Pool = exact top-20 per query (the sim_topk
     * kernel); at scale the pool comes from the IVF probe and the MMR
     * cost stays pool-bounded regardless of corpus size. Scores ride
-    * round(fdot, 6) everywhere so ties are reproducible. Declared
-    * no-oracle (iterative); DedupSimilaritySpec replays the exact
-    * greedy objective over the same pool and pins the full pick
-    * sequence, and diversity > plain-top-k is asserted directly. */
+    * round(fdot, 6) everywhere so ties are reproducible. Hash-exact
+    * oracled since r15 (the FIXED 10-round loop unrolls into chained
+    * CTEs — [[simMmrOracleSql]]); DedupSimilaritySpec additionally
+    * replays the exact greedy objective over the same pool and pins
+    * the full pick sequence, and diversity > plain-top-k is asserted
+    * directly. */
   def simMmr(s: SparkSession, dir: String): DataFrame = {
     val (lam, poolK, outK) = (0.7, 20, 10)
     val emb = Tables.embeddings(s, dir)
@@ -1840,10 +1896,44 @@ object Similarity extends QueryGroup {
     * driver arithmetic (DedupSimilaritySpec asserts both the planted
     * component recovery and cross-layout equality).
     *
-    * Declared no-oracle: the iterative Jacobi eigensolver is not
-    * expressible in DuckDB SQL. */
-  def embeddingPca(s: SparkSession, dir: String): DataFrame =
-    pcaProject(Tables.embeddings(s, dir).select("vec_id", "embedding"), k = 8)
+    * The EIGENSOLVE stays spec-gated (iterative Jacobi is not DuckDB
+    * SQL; DedupSimilaritySpec holds planted-component recovery and
+    * cross-layout equality), but since r15 the fitted basis is a
+    * persisted [[graft.core.StableStore]] artifact and the PROJECTION
+    * is hash-exact oracled: DuckDB reads the same (comp, center) rows
+    * and replays the row-local fdot − center arithmetic — the
+    * text_quality_model train-vs-score split applied to PCA. */
+  def embeddingPca(s: SparkSession, dir: String): DataFrame = {
+    val basis = s.read.parquet(pcaBasisPath(s, dir)).orderBy("i").collect()
+    val projCols = basis.map { r =>
+      round(Vectors.fdot(col("embedding"), typedlit(r.getSeq[Float](1)))
+        .cast("double") - lit(r.getDouble(2)), 6).as(s"pc${r.getInt(0)}")
+    }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id") +: projCols.toIndexedSeq: _*).orderBy("vec_id")
+  }
+
+  private val pcaBasisDirs = new graft.core.BuildOnce[String, String]
+
+  /** The fitted k=8 PCA basis — (i, comp float[d], center double) —
+    * published write-once: comp is EXACTLY the float-cast literal the
+    * projection's [[Vectors.fdot]] consumes (parquet float round-trip
+    * is exact), center the double driver constant Σ compᵢ·μᵢ. */
+  private[graft] def pcaBasisPath(s: SparkSession, dir: String): String =
+    pcaBasisDirs.getOrElseUpdate(dir, {
+      val key = s"k=8|kv$IndexKernelVer|" +
+        graft.core.StableStore.inputKey(s, dir, "embeddings.parquet")
+      graft.core.StableStore.getOrBuild("pca_basis_v1", key) { tmp =>
+        val (mean, comps, _) = pcaFit(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"), k = 8)
+        val rows = comps.zipWithIndex.map { case (comp, i) =>
+          val center = comp.zip(mean).map { case (e, m) => e * m }.sum
+          (i, comp.map(_.toFloat).toSeq, center)
+        }
+        s.createDataFrame(rows.toIndexedSeq).toDF("i", "comp", "center")
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
 
   /** Fit on any (vec_id, embedding) relation and project to k dims —
     * exposed for the spec's planted-covariance assertions. */
@@ -1995,6 +2085,13 @@ object Similarity extends QueryGroup {
       s: SparkSession, dir: String): Map[String, String] = {
     val (ivfCent, ivfAssign) = ivfIndexPaths(s, dir)
     val (_, deltaAssign) = ivfDeltaPaths(s, dir)
+    // the same corpus counts the engine faces use, computed ONCE
+    // (ADVICE r14: raw for τ=0.35; +1% planted copies for τ=0.8 and
+    // the knn join)
+    val base = Tables.embeddings(s, dir)
+    val nRaw = base.count()
+    val nPlanted = nRaw +
+      base.filter(pmod(col("vec_id"), lit(100)) === 0).count()
     Map(
       "__IVF_CENTROIDS_PATH__" -> ivfCent,
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
@@ -2003,26 +2100,14 @@ object Similarity extends QueryGroup {
       "__PQ_CODES_PATH__" -> pqCodesPath(s, dir),
       "__PQ_BOOKS_PATH__" -> pqBooksPath(s, dir),
       "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5),
+      "__PCA_BASIS_PATH__" -> pcaBasisPath(s, dir),
       "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s),
-      "__LSH_BANDS_T35_PATH__" -> {
-        // the same corpus counts the engine faces use: raw for τ=0.35,
-        // +1% planted copies for τ=0.8 and the knn join
-        val base = Tables.embeddings(s, dir)
-        val n = base.count()
-        thresholdBandsPath(s, thresholdNbits(n, occupancy = 64))
-      },
-      "__LSH_BANDS_T08_PATH__" -> {
-        val base = Tables.embeddings(s, dir)
-        val n = base.count() +
-          base.filter(pmod(col("vec_id"), lit(100)) === 0).count()
-        thresholdBandsPath(s, thresholdNbits(n, occupancy = 4))
-      },
-      "__LSH_BANDS_KNN_PATH__" -> {
-        val base = Tables.embeddings(s, dir)
-        val n = base.count() +
-          base.filter(pmod(col("vec_id"), lit(100)) === 0).count()
-        thresholdBandsPath(s, thresholdNbits(n, occupancy = 8))
-      })
+      "__LSH_BANDS_T35_PATH__" ->
+        thresholdBandsPath(s, thresholdNbits(nRaw, occupancy = 64)),
+      "__LSH_BANDS_T08_PATH__" ->
+        thresholdBandsPath(s, thresholdNbits(nPlanted, occupancy = 4)),
+      "__LSH_BANDS_KNN_PATH__" ->
+        thresholdBandsPath(s, thresholdNbits(nPlanted, occupancy = 8)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2071,7 +2156,151 @@ object Similarity extends QueryGroup {
     * SAME artifact the engine serves from. The `__..._PATH__` tokens
     * are substituted with the concrete artifact paths by
     * [[graft.Verify]] at dump time ([[oracleArtifactSubs]]). */
+  /** The sim_mmr oracle, generated: the greedy loop has a FIXED round
+    * count (outK = 10), so it unrolls into 10 chained CTEs — round r
+    * re-ranks the pool against the union of rounds 1..r−1 — instead
+    * of a recursive CTE (whose recursive half cannot aggregate over
+    * the working table). Constants interpolate from the SAME Scala
+    * doubles the engine's lit()s carry (1 − 0.7 prints its full
+    * 0.30000000000000004, parsing back to the identical IEEE double),
+    * and every score is ROUND(…, 6) exactly where the engine rounds. */
+  private def simMmrOracleSql: String = {
+    val (lam, poolK, outK) = (0.7, 20, 10)
+    def selUnion(r: Int): String =
+      (1 until r).map(i => s"SELECT query_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+    val rounds = (2 to outK).map { r =>
+      s"""s$r AS MATERIALIZED (
+        SELECT query_id, vec_id, qsim, mmr FROM (
+          SELECT c.query_id, c.vec_id, c.qsim, c.mmr,
+            ROW_NUMBER() OVER (PARTITION BY c.query_id
+                               ORDER BY c.mmr DESC, c.vec_id ASC) AS rk
+          FROM (
+            SELECT p.query_id, p.vec_id, p.qsim,
+              ROUND($lam * p.qsim - ${1 - lam} * MAX(ps.ssim), 6) AS mmr
+            FROM pool p
+            JOIN (${selUnion(r)}) sel ON sel.query_id = p.query_id
+            JOIN psim ps ON ps.query_id = p.query_id
+              AND ps.ida = p.vec_id AND ps.idb = sel.vec_id
+            WHERE p.vec_id NOT IN (
+              SELECT vec_id FROM (${selUnion(r)}) x
+              WHERE x.query_id = p.query_id)
+            GROUP BY p.query_id, p.vec_id, p.qsim) c) WHERE rk = 1)"""
+    }.mkString(",\n")
+    val outUnion = (1 to outK).map(r =>
+      s"SELECT query_id, CAST($r AS INTEGER) AS mmr_rank, vec_id, qsim, " +
+        s"mmr AS mmr_score FROM s$r").mkString(" UNION ALL ")
+    s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5),
+      pool0 AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6) AS qsim
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      pool AS MATERIALIZED (
+        SELECT query_id, vec_id, qsim FROM (
+          SELECT query_id, vec_id, qsim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qsim DESC, vec_id ASC) AS prk
+          FROM pool0) WHERE prk <= $poolK),
+      pe AS (
+        SELECT p.query_id, p.vec_id, e.embedding
+        FROM pool p JOIN embeddings e ON p.vec_id = e.vec_id),
+      psim AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+          ROUND(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] * b.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS ssim
+        FROM pe a JOIN pe b ON a.query_id = b.query_id),
+      s1 AS MATERIALIZED (
+        SELECT query_id, vec_id, qsim, qsim AS mmr FROM (
+          SELECT query_id, vec_id, qsim,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qsim DESC, vec_id ASC) AS rk
+          FROM pool) WHERE rk = 1),
+      $rounds
+      SELECT query_id, mmr_rank, vec_id, qsim, mmr_score
+      FROM ($outUnion)
+      ORDER BY query_id, mmr_rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_mmr" -> simMmrOracleSql,
+    // SemDeDup over the engine's own persisted artifacts: cells come
+    // from the SAME IVF assignment parquet the engine serves (planted
+    // copies inherit their source's cell — identical embedding,
+    // identical argmax), bands from the same T08 plane parquet, and
+    // the keep rule is one candidate join + verify — the
+    // sim_threshold_lsh_tau08 mirror with the cell in the band key
+    "dedup_semantic" -> """
+      WITH asg AS (
+        SELECT vec_id, embedding, CAST(cell AS INTEGER) AS cell
+        FROM read_parquet('__IVF_ASSIGNED_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      v AS (
+        SELECT vec_id, embedding, cell FROM asg
+        UNION ALL
+        SELECT vec_id + 1099511627776 AS vec_id, embedding, cell
+        FROM asg WHERE vec_id % 100 = 0),
+      planes AS (
+        SELECT band, plane_id, plane
+        FROM read_parquet('__LSH_BANDS_T08_PATH__/*.parquet')),
+      b AS (
+        SELECT v.vec_id, v.cell, p.band,
+          CAST(SUM(CASE WHEN
+            list_aggregate(list_transform(range(1, len(v.embedding) + 1),
+              i -> CAST(v.embedding[i] * p.plane[i] AS DOUBLE)), 'sum') >= 0
+            THEN (1 << p.plane_id) ELSE 0 END) AS INTEGER) AS bucket
+        FROM v, planes p GROUP BY v.vec_id, v.cell, p.band),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c
+          ON a.cell = c.cell AND a.band = c.band AND a.bucket = c.bucket
+            AND a.vec_id < c.vec_id),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+          ROUND(list_aggregate(list_transform(range(1, len(ea.embedding) + 1),
+            i -> CAST(ea.embedding[i] * eb.embedding[i] AS DOUBLE)), 'sum'), 6)
+            AS score
+        FROM cand
+        JOIN v ea ON cand.id_a = ea.vec_id
+        JOIN v eb ON cand.id_b = eb.vec_id),
+      pri AS (
+        SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_prior_dups,
+          MAX(score) AS max_prior_sim
+        FROM scored WHERE score > 0.96 GROUP BY id_b)
+      SELECT v.vec_id, v.cell,
+        COALESCE(p.n_prior_dups, 0) AS n_prior_dups,
+        COALESCE(p.max_prior_sim, 0.0) AS max_prior_sim,
+        p.n_prior_dups IS NOT NULL AS dropped
+      FROM v LEFT JOIN pri p ON v.vec_id = p.vec_id
+      ORDER BY v.vec_id""",
+    // projection against the persisted basis: the same float-multiply
+    // / double-accumulate fdot mirror as sim_topk, minus the stored
+    // double center, ROUND(…, 6) on both sides; the Jacobi fit that
+    // PRODUCED the basis stays spec-gated
+    "embedding_pca" -> """
+      WITH basis AS (
+        SELECT i, comp, center
+        FROM read_parquet('__PCA_BASIS_PATH__/*.parquet')),
+      proj AS (
+        SELECT e.vec_id, b.i,
+          ROUND(list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+            j -> CAST(e.embedding[j] * b.comp[j] AS DOUBLE)), 'sum')
+            - b.center, 6) AS pc
+        FROM embeddings e, basis b)
+      SELECT vec_id,
+        MAX(CASE WHEN i = 0 THEN pc END) AS pc0,
+        MAX(CASE WHEN i = 1 THEN pc END) AS pc1,
+        MAX(CASE WHEN i = 2 THEN pc END) AS pc2,
+        MAX(CASE WHEN i = 3 THEN pc END) AS pc3,
+        MAX(CASE WHEN i = 4 THEN pc END) AS pc4,
+        MAX(CASE WHEN i = 5 THEN pc END) AS pc5,
+        MAX(CASE WHEN i = 6 THEN pc END) AS pc6,
+        MAX(CASE WHEN i = 7 THEN pc END) AS pc7
+      FROM proj GROUP BY vec_id ORDER BY vec_id""",
     "kmeans_fit" -> """
       WITH cents AS (
         SELECT cluster, cent,
