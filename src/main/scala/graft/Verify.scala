@@ -62,7 +62,8 @@ object Verify {
       graft.operators.Aggregates.oracleArtifactSubs(spark, sfDir) ++
       graft.operators.QualityModel.oracleArtifactSubs(spark, sfDir) ++
       graft.operators.Ring.oracleArtifactSubs(spark, sfDir) ++
-      graft.operators.Pipeline.oracleArtifactSubs(spark, sfDir)
+      graft.operators.Pipeline.oracleArtifactSubs(spark, sfDir) ++
+      graft.operators.Dedup.oracleArtifactSubs(spark, sfDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v0) =>
         val v = subs.foldLeft(v0) { case (acc, (tok, p)) => acc.replace(tok, p) }

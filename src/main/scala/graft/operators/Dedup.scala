@@ -761,23 +761,78 @@ object Dedup extends QueryGroup {
     new graft.core.BuildOnce[String, (String, String)]
   private def deltaNearIndexPaths(s: SparkSession, dir: String): (String, String) =
     deltaNearIndexDirs.getOrElseUpdate(dir, {
-      val base = Tables.documents(s, dir)
-        .filter(pmod(col("doc_id"), lit(10)) < 8)
-        .withColumn("w", Text.words(col("text")))
-        .withColumn("sh", Text.shingles(col("w"), 3))
-        .select("doc_id", "sh")
-        .localCheckpoint()
-      val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes)
-      val mh = (0 until NumHashes).map(j => col(s"mh$j"))
-      val bandPath = RunId.scratchKeyed("deltanear_bands", dir)
-      sig.withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
-        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-        .write.mode("overwrite").parquet(bandPath)
-      val shPath = RunId.scratchKeyed("deltanear_sh", dir)
-      base.withColumn("shd", array_distinct(col("sh"))).select("doc_id", "shd")
-        .write.mode("overwrite").parquet(shPath)
-      (bandPath, shPath)
+      // StableStore (not RunId scratch) since r15: the dedup_delta_near
+      // oracle reads these tables, so they must outlive the Verify JVM
+      // and never hit an overwrite window (the agg_quantile_merge
+      // lesson). The xxhash64 MinHash itself runs HERE, at build time —
+      // DuckDB cannot compute it, so the oracle's coverage starts at
+      // the persisted band/shingle relations and replays everything
+      // downstream (candidates, verify, admission).
+      val key = s"nh=$NumHashes|b=$Bands|" +
+        graft.core.StableStore.inputKey(s, dir, "documents.parquet")
+      val root = graft.core.StableStore.getOrBuild("neardup_idx_v1", key) { tmp =>
+        val base = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(10)) < 8)
+          .withColumn("w", Text.words(col("text")))
+          .withColumn("sh", Text.shingles(col("w"), 3))
+          .select("doc_id", "sh")
+          .localCheckpoint()
+        val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes)
+        val mh = (0 until NumHashes).map(j => col(s"mh$j"))
+        sig.withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
+          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+          .write.mode("overwrite").parquet(s"$tmp/bands")
+        base.withColumn("shd", array_distinct(col("sh"))).select("doc_id", "shd")
+          .write.mode("overwrite").parquet(s"$tmp/sh")
+      }
+      (s"$root/bands", s"$root/sh")
     })
+
+  /** The nightly shard's OWN signature tables (band rows + distinct
+    * shingles of the delta = novel slice ∪ planted mutants), persisted
+    * like the corpus index so the oracle consumes the same bytes the
+    * admission join does — in production this is the shard-signature
+    * step of the nightly job, a separate write the admission query
+    * then joins. */
+  private val deltaNearDeltaDirs =
+    new graft.core.BuildOnce[String, (String, String)]
+  private def deltaNearDeltaPaths(s: SparkSession, dir: String): (String, String) =
+    deltaNearDeltaDirs.getOrElseUpdate(dir, {
+      val key = s"nh=$NumHashes|b=$Bands|" +
+        graft.core.StableStore.inputKey(s, dir, "documents.parquet")
+      val root = graft.core.StableStore.getOrBuild("neardup_delta_v1", key) { tmp =>
+        val d = Tables.documents(s, dir).select("doc_id", "text")
+        val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+          .unionByName(d
+            .filter(pmod(col("doc_id"), lit(10)) < 8 && col("doc_id") < 20)
+            .select((col("doc_id") + (1L << 40)).as("doc_id"),
+              expr("substring(text, instr(text, ' ') + 1)").as("text")))
+        val base = delta
+          .withColumn("w", Text.words(col("text")))
+          .withColumn("sh", Text.shingles(col("w"), 3))
+          .select("doc_id", "sh")
+          .localCheckpoint()
+        val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes)
+        val mh = (0 until NumHashes).map(j => col(s"mh$j"))
+        sig.withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
+          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+          .write.mode("overwrite").parquet(s"$tmp/bands")
+        base.withColumn("sha", array_distinct(col("sh"))).select("doc_id", "sha")
+          .write.mode("overwrite").parquet(s"$tmp/sh")
+      }
+      (s"$root/bands", s"$root/sh")
+    })
+
+  /** Artifact-path substitutions for this group's oracles (merged by
+    * [[graft.Verify]] at dump time). */
+  private[graft] def oracleArtifactSubs(
+      s: SparkSession, dir: String): Map[String, String] = {
+    val (idxBands, idxSh) = deltaNearIndexPaths(s, dir)
+    val (dBands, dSh) = deltaNearDeltaPaths(s, dir)
+    Map(
+      "__ND_IDX_BANDS__" -> idxBands, "__ND_IDX_SH__" -> idxSh,
+      "__ND_DELTA_BANDS__" -> dBands, "__ND_DELTA_SH__" -> dSh)
+  }
 
   /** Incremental NEAR-dup admission — dedup_delta's sibling for the
     * fuzzy case: a nightly crawl shard is admitted doc-by-doc unless
@@ -801,28 +856,25 @@ object Dedup extends QueryGroup {
     * near-identical doc pairs across the id range (e.g. 8 ≈ 360 at
     * jaccard 0.99), so some novel-slice docs are correctly rejected
     * against the corpus too, exactly what a re-crawl admission sees.
-    * Declared no-oracle (MinHash bands are engine-defined);
-    * DedupSimilaritySpec asserts rejection precision (every reported
-    * match re-verifies exactly), planted-mutant recall, and
-    * must-reject recall for brute-force pairs ≥ 0.9. */
+    * Hash-exact oracled since r15: both signature tables (corpus
+    * index AND delta shard) are persisted StableStore artifacts, so
+    * DuckDB replays the candidate band join, the exact-Jaccard
+    * verify, and the admission left-join over the same bytes — only
+    * the xxhash64 MinHash build itself (no DuckDB equivalent) stays
+    * engine-side, spec-anchored. DedupSimilaritySpec additionally
+    * asserts rejection precision (every reported match re-verifies
+    * exactly), planted-mutant recall, and must-reject recall for
+    * brute-force pairs ≥ 0.9. */
   def dedupDeltaNear(s: SparkSession, dir: String): DataFrame = {
     val (bandPath, shPath) = deltaNearIndexPaths(s, dir)
+    val (dBandPath, dShPath) = deltaNearDeltaPaths(s, dir)
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
       .unionByName(d
         .filter(pmod(col("doc_id"), lit(10)) < 8 && col("doc_id") < 20)
         .select((col("doc_id") + (1L << 40)).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
-    val base = delta
-      .withColumn("w", Text.words(col("text")))
-      .withColumn("sh", Text.shingles(col("w"), 3))
-      .select("doc_id", "sh")
-      .localCheckpoint()
-    val sig = Text.minhashSignature(base, "doc_id", "sh", NumHashes)
-    val mh = (0 until NumHashes).map(j => col(s"mh$j"))
-    val deltaBands = sig
-      .withColumn("bands", array(Text.bandKeys(mh, Bands, NumHashes / Bands): _*))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val deltaBands = s.read.parquet(dBandPath)
     val idx = s.read.parquet(bandPath)
       .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_val"))
     val candidates = deltaBands
@@ -830,7 +882,7 @@ object Dedup extends QueryGroup {
       .select("doc_id", "corpus_id")
       .distinct()
     val matches = candidates
-      .join(base.withColumn("sha", array_distinct(col("sh"))).select("doc_id", "sha"), "doc_id")
+      .join(s.read.parquet(dShPath), "doc_id")
       .join(s.read.parquet(shPath)
         .select(col("doc_id").as("corpus_id"), col("shd").as("shb")), "corpus_id")
       .withColumn("jaccard", round(Text.jaccard(col("sha"), col("shb")), 6))
@@ -1330,8 +1382,52 @@ object Dedup extends QueryGroup {
         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
                            ORDER BY n.n_words DESC, l.doc_id ASC) = 1 AS is_survivor
       FROM lbl l JOIN n ON l.doc_id = n.doc_id
-      ORDER BY l.doc_id"""
+      ORDER BY l.doc_id""",
     // dedup_near and dedup_simhash ARE oracled above (md5-keyed
     // signatures, candidate generation mirrored bit-for-bit).
+    // dedup_delta_near: candidate band join + exact-Jaccard verify +
+    // admission left-join replayed over the persisted signature
+    // artifacts (corpus index AND delta shard); the delta's full id
+    // relation restates from documents, covering the no-shingle docs
+    // the band table cannot carry
+    "dedup_delta_near" -> """
+      WITH delta AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+        UNION ALL
+        SELECT doc_id + 1099511627776 AS doc_id FROM documents
+        WHERE doc_id % 10 < 8 AND doc_id < 20),
+      db AS (
+        SELECT doc_id, band_idx, band_val
+        FROM read_parquet('__ND_DELTA_BANDS__/*.parquet')),
+      idx AS (
+        SELECT doc_id AS corpus_id, band_idx, band_val
+        FROM read_parquet('__ND_IDX_BANDS__/*.parquet')),
+      cand AS (
+        SELECT DISTINCT db.doc_id, idx.corpus_id
+        FROM db JOIN idx USING (band_idx, band_val)),
+      sha AS (
+        SELECT doc_id, sha FROM read_parquet('__ND_DELTA_SH__/*.parquet')),
+      shb AS (
+        SELECT doc_id AS corpus_id, shd AS shb
+        FROM read_parquet('__ND_IDX_SH__/*.parquet')),
+      j AS (
+        SELECT c.doc_id, c.corpus_id,
+          ROUND(CAST(len(list_intersect(a.sha, b.shb)) AS DOUBLE) /
+            (len(a.sha) + len(b.shb) - len(list_intersect(a.sha, b.shb))),
+            6) AS jaccard
+        FROM cand c
+        JOIN sha a ON a.doc_id = c.doc_id
+        JOIN shb b ON b.corpus_id = c.corpus_id),
+      m AS (
+        SELECT doc_id, jaccard AS match_jaccard, corpus_id AS match_id
+        FROM (
+          SELECT doc_id, jaccard, corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, corpus_id ASC) AS rk
+          FROM j WHERE jaccard >= 0.6) WHERE rk = 1)
+      SELECT d.doc_id, m.match_jaccard IS NULL AS admitted,
+        m.match_id, m.match_jaccard
+      FROM delta d LEFT JOIN m ON d.doc_id = m.doc_id
+      ORDER BY d.doc_id"""
   )
 }
