@@ -143,7 +143,7 @@ object Bench {
       "sim_topk_graph", "scan_sai_ann_memtable",
       "compact_ann_purge", "scan_sai_ann_tombstone", "stream_ann_memtable",
       "agg_sketch_merge", "agg_sketch_intersect", "agg_quantile_merge",
-      "kmeans_fit", "sample_coreset",
+      "kmeans_fit", "sample_coreset", "embedding_pca",
       "compact_generations", "scan_snapshot", "batch_apply",
       "sink_shards", "text_quality_model", "pipeline_pretrain")
       .filter(SparkEntry.queries.contains)

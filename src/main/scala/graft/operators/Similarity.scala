@@ -290,7 +290,13 @@ object Similarity extends QueryGroup {
   private val graphAnnPaths = new graft.core.BuildOnce[String, String]
   private[graft] def graphAnnPath(s: SparkSession, dir: String): String =
     graphAnnPaths.getOrElseUpdate(dir, {
-      val root = RunId.scratchKeyed("graphann", dir)
+      // StableStore since r15 (was RunId scratch): the graph-walk
+      // oracles replay the beam search over this edge list in DuckDB,
+      // so it must outlive the Verify JVM. The build is deterministic
+      // (fixed band seeds, exact integer ranks, id tie-breaks).
+      val key = s"kv$IndexKernelVer|M=$GraphM|occ=32|" +
+        graft.core.StableStore.inputKey(s, dir, "embeddings.parquet")
+      graft.core.StableStore.getOrBuild("graphann_v1", key) { root =>
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
         .localCheckpoint()
       // occupancy 32, not the k-NN join's 8: graph EDGES are the index
@@ -365,7 +371,7 @@ object Similarity extends QueryGroup {
         .orderBy("vec_id").limit(16).select("vec_id")
       centEntries.unionByName(idEntries).distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$root/entries")
-      root
+      }
     })
 
   /** One walk round's edge scan: the persisted graph restricted to the
@@ -408,9 +414,12 @@ object Similarity extends QueryGroup {
     * checkpoints so round r+1's lineage does not replay round r (the
     * iterative-loop discipline the other fixed-point operators use).
     * Approximate by design (a hop budget can strand a query in a
-    * local neighborhood) — declared no-oracle; DedupSimilaritySpec
-    * measures recall vs brute force AND vs the IVF probe at a
-    * no-larger scored budget. */
+    * local neighborhood) — but DETERMINISTIC, so hash-exact oracled
+    * since r15: the fixed-round loop unrolls into per-round CTEs over
+    * the persisted edge list ([[graphWalkOracleSql]]), DuckDB
+    * replaying frontier selection, expansion, and exact rescoring
+    * bit-for-bit; DedupSimilaritySpec additionally measures recall vs
+    * brute force AND vs the IVF probe at a no-larger scored budget. */
   private[graft] def graphAnnSearch(s: SparkSession, dir: String,
       k: Int, beam: Int, rounds: Int,
       queries: Option[DataFrame] = None,
@@ -551,10 +560,12 @@ object Similarity extends QueryGroup {
     * cohorts prune, at the cost of maintaining two copies of the edge
     * list; the read path — the latency-sensitive one — gains nothing
     * from it, so the single-layout trade stands.
-    * Declared no-oracle (the walk is engine-defined);
-    * DedupSimilaritySpec plants EXACT copies as the delta batch and
-    * pins that every insert links its twin at rank 1 with score 1.0,
-    * and that a read over the merged graph returns the twin. */
+    * Hash-exact oracled since r15 (the fixed-round walk replays in
+    * DuckDB over the persisted edge list — [[graphWalkOracleSql]]);
+    * DedupSimilaritySpec additionally plants EXACT copies as the
+    * delta batch and pins that every insert links its twin at rank 1
+    * with score 1.0, and that a read over the merged graph returns
+    * the twin. */
   def simGraphDelta(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
     // the arriving batch: exact copies of a ~1% id slice at the
@@ -1448,27 +1459,31 @@ object Similarity extends QueryGroup {
   private[graft] def pqDeltaPaths(s: SparkSession, dir: String): (String, String) = {
     val cacheKey = ivfCacheKey(s, dir)
     pqDeltaDirs.getOrElseUpdate(cacheKey, {
-      val (centPath, assignPath) = ivfDeltaPaths(s, dir)
-      val booksPath = RunId.scratchKeyed("pq_delta_books", cacheKey)
-      val codesPath = RunId.scratchKeyed("pq_delta_codes", cacheKey)
-      val centsF = s.read.parquet(centPath)
-        .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
-      val books = trainPqBooks(centsF.map(_.map(_.toDouble).toArray).toArray,
-        pqSample(s, dir, pmod(col("vec_id"), lit(10)) < 8))
-      // persist the frozen artifact: (subspace, code, centroid) rows —
-      // what a nightly ingest job loads instead of retraining
-      s.createDataFrame(for { m <- 0 until PqM; j <- 0 until PqKs }
-          yield (m, j, books(m)(j)))
-        .toDF("m", "j", "cent")
-        .coalesce(1).write.mode("overwrite").parquet(booksPath)
-      val assigned = s.read.parquet(assignPath)
-      val standing = pmod(col("vec_id"), lit(10)) < 8
-      pqEncode(assigned.filter(standing), centsF, books)
-        .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
-      // the delta ingest: encode-only under the frozen artifacts
-      pqEncode(assigned.filter(!standing), centsF, books)
-        .write.mode("append").partitionBy("cell").parquet(codesPath)
-      (booksPath, codesPath)
+      // StableStore since r15 (was RunId scratch): the drift-audit
+      // oracle replays decode + error over these tables in DuckDB.
+      val root = graft.core.StableStore.getOrBuild("pq_delta_v1", cacheKey) { tmp =>
+        val (centPath, assignPath) = ivfDeltaPaths(s, dir)
+        val booksPath = s"$tmp/books"
+        val codesPath = s"$tmp/codes"
+        val centsF = s.read.parquet(centPath)
+          .orderBy("cent_cell").collect().map(_.getSeq[Float](1)).toSeq
+        val books = trainPqBooks(centsF.map(_.map(_.toDouble).toArray).toArray,
+          pqSample(s, dir, pmod(col("vec_id"), lit(10)) < 8))
+        // persist the frozen artifact: (subspace, code, centroid) rows —
+        // what a nightly ingest job loads instead of retraining
+        s.createDataFrame(for { m <- 0 until PqM; j <- 0 until PqKs }
+            yield (m, j, books(m)(j)))
+          .toDF("m", "j", "cent")
+          .coalesce(1).write.mode("overwrite").parquet(booksPath)
+        val assigned = s.read.parquet(assignPath)
+        val standing = pmod(col("vec_id"), lit(10)) < 8
+        pqEncode(assigned.filter(standing), centsF, books)
+          .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+        // the delta ingest: encode-only under the frozen artifacts
+        pqEncode(assigned.filter(!standing), centsF, books)
+          .write.mode("append").partitionBy("cell").parquet(codesPath)
+      }
+      (s"$root/books", s"$root/codes")
     })
   }
 
@@ -1479,10 +1494,12 @@ object Similarity extends QueryGroup {
     * quantity PQ training minimizes; a delta distribution the frozen
     * books no longer fit shows up as err_delta ≫ err_corpus and
     * triggers the nightly retrain). One scan of the code table joined
-    * to the float vectors, domain-sized output. Declared no-oracle
-    * (cells/codes are engine-defined, like every IVF face);
-    * DedupSimilaritySpec pins losslessness, encode idempotence under
-    * the persisted artifact, and the drift bound. */
+    * to the float vectors, domain-sized output. Hash-exact oracled
+    * since r15: books/codes persist through StableStore and DuckDB
+    * replays decode + squared error + the decimal-quantized means
+    * over the same bytes; DedupSimilaritySpec additionally pins
+    * losslessness, encode idempotence under the persisted artifact,
+    * and the drift bound. */
   def simPqDelta(s: SparkSession, dir: String): DataFrame = {
     val (booksPath, codesPath) = pqDeltaPaths(s, dir)
     val (centPath, assignPath) = ivfDeltaPaths(s, dir)
@@ -1507,14 +1524,28 @@ object Similarity extends QueryGroup {
     s.read.parquet(codesPath)
       .join(s.read.parquet(assignPath).select("vec_id", "embedding"), "vec_id")
       .withColumn("resid", resid)
-      .withColumn("err", errCols.reduce(_ + _))
+      // per-row error quantized to DECIMAL(38,9) BEFORE the group
+      // aggregate (the Num discipline, applied r15 when this face
+      // gained its oracle): a plain avg(double) sums in partition
+      // order and cannot hash-match a second engine; the decimal sum
+      // is exact and order-free, the final mean one double division
+      // of exact ingredients
+      .withColumn("err",
+        round(errCols.reduce(_ + _), 9).cast("decimal(38,9)"))
       .withColumn("is_delta", pmod(col("vec_id"), lit(10)) >= 8)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(
         sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_corpus"),
         sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
-        round(avg(when(!col("is_delta"), col("err"))), 6).as("err_corpus"),
-        round(avg(when(col("is_delta"), col("err"))), 6).as("err_delta"))
+        sum(when(!col("is_delta"), col("err"))).as("s_corpus"),
+        sum(when(col("is_delta"), col("err"))).as("s_delta"))
+      .select(col("cell"), col("n_corpus"), col("n_delta"),
+        when(col("n_corpus") === 0, lit(null).cast("double"))
+          .otherwise(round(col("s_corpus").cast("double") / col("n_corpus"), 6))
+          .as("err_corpus"),
+        when(col("n_delta") === 0, lit(null).cast("double"))
+          .otherwise(round(col("s_delta").cast("double") / col("n_delta"), 6))
+          .as("err_delta"))
       .orderBy("cell")
   }
 
@@ -2084,7 +2115,8 @@ object Similarity extends QueryGroup {
   private[graft] def oracleArtifactSubs(
       s: SparkSession, dir: String): Map[String, String] = {
     val (ivfCent, ivfAssign) = ivfIndexPaths(s, dir)
-    val (_, deltaAssign) = ivfDeltaPaths(s, dir)
+    val (deltaCent, deltaAssign) = ivfDeltaPaths(s, dir)
+    val (pqdBooks, pqdCodes) = pqDeltaPaths(s, dir)
     // the same corpus counts the engine faces use, computed ONCE
     // (ADVICE r14: raw for τ=0.35; +1% planted copies for τ=0.8 and
     // the knn join)
@@ -2096,11 +2128,16 @@ object Similarity extends QueryGroup {
       "__IVF_CENTROIDS_PATH__" -> ivfCent,
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
       "__IVF_DELTA_ASSIGNED_PATH__" -> deltaAssign,
+      "__IVF_DELTA_CENT_PATH__" -> deltaCent,
+      "__PQD_BOOKS__" -> pqdBooks,
+      "__PQD_CODES__" -> pqdCodes,
       "__IVF_CODES_PATH__" -> ivfCodesPath(s, dir),
       "__PQ_CODES_PATH__" -> pqCodesPath(s, dir),
       "__PQ_BOOKS_PATH__" -> pqBooksPath(s, dir),
       "__KMEANS_10_5_PATH__" -> kmeansModelPath(s, dir, k = 10, iters = 5),
       "__PCA_BASIS_PATH__" -> pcaBasisPath(s, dir),
+      "__GRAPH_PATH__" -> s"${graphAnnPath(s, dir)}/graph",
+      "__GRAPH_ENTRIES_PATH__" -> s"${graphAnnPath(s, dir)}/entries",
       "__LSH_TOPK_PLANES_PATH__" -> lshPlanesPath(s),
       "__LSH_BANDS_T35_PATH__" ->
         thresholdBandsPath(s, thresholdNbits(nRaw, occupancy = 64)),
@@ -2156,6 +2193,69 @@ object Similarity extends QueryGroup {
     * SAME artifact the engine serves from. The `__..._PATH__` tokens
     * are substituted with the concrete artifact paths by
     * [[graft.Verify]] at dump time ([[oracleArtifactSubs]]). */
+  /** The graph-walk oracles, generated: [[graphAnnSearch]] is a
+    * FIXED-round loop (the sim_mmr precedent), so it unrolls into
+    * per-round materialized CTE pairs — f_r = the best `beam` visited
+    * but unexpanded candidates per query, v_r = the exact scores of
+    * f_r's unvisited graph neighbors — over the persisted StableStore
+    * edge list and entry table, with the same fdot mirror, ROUND(…,6),
+    * and (score DESC, vec_id ASC) tie order as every exact face. The
+    * graph BUILD (band candidates → top-M → symmetrize) stays
+    * spec-gated; the walk replay is bit-for-bit. */
+  private def graphWalkOracleSql(qCte: String, k: Int, beam: Int,
+      rounds: Int, outSelect: String): String = {
+    def vAll(r: Int): String = (0 to r)
+      .map(i => s"SELECT query_id, vec_id, score FROM v$i")
+      .mkString(" UNION ALL ")
+    def eAll(r: Int): String = (1 to r)
+      .map(i => s"SELECT query_id, vec_id FROM f$i")
+      .mkString(" UNION ALL ")
+    val score = """ROUND(list_aggregate(list_transform(
+            range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] * q.qvec[i] AS DOUBLE)), 'sum'), 6)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val unexpanded = if (r == 1) s"(${vAll(r - 1)}) vp" else
+        s"""(SELECT vp.query_id, vp.vec_id, vp.score
+            FROM (${vAll(r - 1)}) vp
+            ANTI JOIN (${eAll(r - 1)}) ep
+              ON vp.query_id = ep.query_id AND vp.vec_id = ep.vec_id) vp"""
+      s"""f$r AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+          SELECT vp.query_id, vp.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY vp.query_id
+                               ORDER BY vp.score DESC, vp.vec_id ASC) AS rk
+          FROM $unexpanded) WHERE rk <= $beam),
+      v$r AS MATERIALIZED (
+        SELECT c.query_id, c.vec_id, $score AS score
+        FROM (
+          SELECT DISTINCT fr.query_id, g.dst_id AS vec_id
+          FROM f$r fr JOIN graph g ON fr.vec_id = g.src_id) c
+        ANTI JOIN (${vAll(r - 1)}) vp
+          ON c.query_id = vp.query_id AND c.vec_id = vp.vec_id
+        JOIN embeddings e ON c.vec_id = e.vec_id
+        JOIN q ON c.query_id = q.query_id
+        WHERE c.vec_id <> c.query_id)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH q AS MATERIALIZED ($qCte),
+      graph AS MATERIALIZED (
+        SELECT src_id, dst_id
+        FROM read_parquet('__GRAPH_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      entries AS (
+        SELECT vec_id FROM read_parquet('__GRAPH_ENTRIES_PATH__/*.parquet')),
+      v0 AS MATERIALIZED (
+        SELECT q.query_id, en.vec_id, $score AS score
+        FROM q, entries en
+        JOIN embeddings e ON en.vec_id = e.vec_id
+        WHERE en.vec_id <> q.query_id),
+      $roundCtes,
+      va AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rk
+        FROM (${vAll(rounds)}))
+      $outSelect"""
+  }
+
   /** The sim_mmr oracle, generated: the greedy loop has a FIXED round
     * count (outK = 10), so it unrolls into 10 chained CTEs — round r
     * re-ranks the pool against the union of rounds 1..r−1 — instead
@@ -2228,6 +2328,76 @@ object Similarity extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "sim_mmr" -> simMmrOracleSql,
+    "sim_topk_graph" -> graphWalkOracleSql(
+      qCte = """SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 5""",
+      k = 8, beam = 2, rounds = 12,
+      outSelect = """SELECT query_id, vec_id, score, rk FROM va
+        WHERE rk <= 8 ORDER BY query_id, rk"""),
+    "sim_graph_delta" -> graphWalkOracleSql(
+      qCte = """SELECT vec_id + 1099511627776 AS query_id,
+          embedding AS qvec
+        FROM embeddings WHERE vec_id % 97 = 13""",
+      k = GraphM, beam = 3, rounds = 16,
+      outSelect = s"""SELECT query_id AS vec_id, vec_id AS neighbor_id,
+          score, rk
+        FROM va WHERE rk <= $GraphM ORDER BY vec_id, rk"""),
+    // PQ drift audit replayed over the persisted (books, codes,
+    // delta-index) artifacts: residual, per-subspace decode, the
+    // float-multiply/double-accumulate squared error, the m-ordered
+    // fold, the DECIMAL(38,9) per-row quantization, exact group sums,
+    // one double division — every step the engine's
+    "sim_pq_delta" -> """
+      WITH books AS (
+        SELECT m, j, cent FROM read_parquet('__PQD_BOOKS__/*.parquet')),
+      cents AS (
+        SELECT cent_cell, cent
+        FROM read_parquet('__IVF_DELTA_CENT_PATH__/*.parquet')),
+      codes AS (
+        SELECT vec_id, CAST(cell AS BIGINT) AS cell, codes
+        FROM read_parquet('__PQD_CODES__/*/*.parquet',
+                          hive_partitioning = true)),
+      asg AS (
+        SELECT vec_id, embedding
+        FROM read_parquet('__IVF_DELTA_ASSIGNED_PATH__/*/*.parquet',
+                          hive_partitioning = true)),
+      r AS MATERIALIZED (
+        SELECT c.vec_id, c.cell, c.codes,
+          list_transform(range(1, len(a.embedding) + 1),
+            i -> a.embedding[i] - ct.cent[i]) AS resid
+        FROM codes c
+        JOIN asg a ON c.vec_id = a.vec_id
+        JOIN cents ct ON ct.cent_cell = c.cell),
+      pm AS MATERIALIZED (
+        SELECT r.vec_id, r.cell, mm.m,
+          list_aggregate(list_transform(range(1, 9),
+            i -> CAST((r.resid[mm.m * 8 + i] - b.cent[i]) *
+                      (r.resid[mm.m * 8 + i] - b.cent[i]) AS DOUBLE)),
+            'sum') AS errm
+        FROM r, range(0, 8) mm(m)
+        JOIN books b ON b.m = mm.m AND b.j = r.codes[mm.m + 1]),
+      e AS (
+        SELECT vec_id, cell,
+          CAST(ROUND(list_aggregate(list(errm ORDER BY m), 'sum'), 9)
+            AS DECIMAL(38,9)) AS err
+        FROM pm GROUP BY vec_id, cell),
+      g AS (
+        SELECT cell,
+          CAST(SUM(CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corpus,
+          CAST(SUM(CASE WHEN vec_id % 10 >= 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delta,
+          SUM(CASE WHEN vec_id % 10 < 8 THEN err END) AS s_corpus,
+          SUM(CASE WHEN vec_id % 10 >= 8 THEN err END) AS s_delta
+        FROM e GROUP BY cell)
+      SELECT cell, n_corpus, n_delta,
+        CASE WHEN n_corpus = 0 THEN NULL
+             ELSE ROUND(CAST(s_corpus AS DOUBLE) / n_corpus, 6)
+        END AS err_corpus,
+        CASE WHEN n_delta = 0 THEN NULL
+             ELSE ROUND(CAST(s_delta AS DOUBLE) / n_delta, 6)
+        END AS err_delta
+      FROM g ORDER BY cell""",
     // SemDeDup over the engine's own persisted artifacts: cells come
     // from the SAME IVF assignment parquet the engine serves (planted
     // copies inherit their source's cell — identical embedding,
