@@ -463,28 +463,27 @@ object Similarity extends QueryGroup {
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     val entries = s.read.parquet(s"$root/entries")
-    // Accumulators build as unions of PER-ROUND checkpointed pieces:
-    // re-checkpointing the whole accumulated relation every round
-    // (the pre-r15 form) materializes O(rounds²) rows — each round
-    // re-wrote everything the previous rounds already pinned. A union
-    // over already-checkpointed pieces has shallow lineage (each leaf
-    // is pinned blocks), so downstream rounds re-SCAN the pieces but
-    // never re-write them; plan depth grows only linearly in rounds.
-    var visitedPieces = Vector(
-      score(q.select("query_id").crossJoin(broadcast(entries)))
-        .localCheckpoint())
-    def visitedAll: DataFrame = visitedPieces.reduce(_ unionByName _)
-    var expandedPieces = Vector.empty[DataFrame]
+    // Accumulators re-checkpoint WHOLE each round, not as per-round
+    // union pieces: a piece-union variant (each round checkpointing
+    // only its fresh rows, downstream rounds scanning the union of
+    // pinned pieces) was tried in r15 and measured ~2× SLOWER at
+    // sf0.1 (24 s vs 9 s on the read walk) — per-round task-count
+    // overhead of rounds-many block scans beats the saved rewrite of
+    // a budget-bounded relation (≤ entries + rounds·beam·M rows per
+    // query, with FIXED rounds, so the O(rounds²) rewrite is a small
+    // constant, not a scale term).
+    var visited = score(q.select("query_id").crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    var expanded = visited.select("query_id", "vec_id").filter(lit(false))
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val visited = visitedAll
-      val frontier = (if (expandedPieces.isEmpty) visited
-        else visited.join(expandedPieces.reduce(_ unionByName _),
-          Seq("query_id", "vec_id"), "left_anti"))
+      val frontier = visited
+        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= beam)
         .select("query_id", "vec_id")
         .localCheckpoint()
-      expandedPieces = expandedPieces :+ frontier
+      expanded = expanded.unionByName(frontier).localCheckpoint()
       // Read path (few queries): frontier ids are ≤ beam×queries —
       // the same bounded driver state the budget bound already
       // carries — so collect them (cheap: the frontier is
@@ -505,12 +504,13 @@ object Similarity extends QueryGroup {
         .distinct()
         .join(visited.select("query_id", "vec_id"),
           Seq("query_id", "vec_id"), "left_anti")
-      visitedPieces = visitedPieces :+ score(cand).localCheckpoint()
+      val fresh = score(cand).localCheckpoint()
+      visited = visited.unionByName(fresh).localCheckpoint()
     }
     // every round's output is eagerly checkpointed, so nothing after
     // the loop re-reads the pinned edge list — release it now
     if (pinEdges) graph.unpersist(blocking = false)
-    val out = visitedAll
+    val out = visited
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "score", "rk")
@@ -518,7 +518,7 @@ object Similarity extends QueryGroup {
     // visited = every (query, candidate) the walk actually SCORED —
     // the budget relation the recall spec compares against the IVF
     // probe's candidate count
-    (out, visitedAll)
+    (out, visited)
   }
 
   /** Graph-ANN top-k over the same 5 probes the IVF faces serve.
