@@ -899,14 +899,23 @@ object Aggregates extends QueryGroup {
     val merged = samples
       .join(broadcast(offsets.toDF("b", "off")), "b")
       .withColumn("lrank", col("off") + sum("incr").over(byB))
-    val qt = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
-      .map(q => (q, math.ceil(q * n).toLong)).toDF("q", "target_rank")
+    // Float-free face (r16): after three rounds of rows ✓/schema ✓/
+    // hash ✗ with SHARED artifact bytes, the last standing suspect was
+    // the output's own float surface — `ceil(0.1 · n)` computed in
+    // IEEE double can land one rank apart across DuckDB versions
+    // (0.1·120000 = 12000.000000000002 → ceil 12001), shifting est by
+    // one sample. So: q as integer PERMILLE, target_rank as exact
+    // integer ceil ⌈p·n/1000⌉ = (p·n + 999) div 1000, est as integer
+    // CENTS — nothing in the row is float/decimal-rendered at all.
+    val qt = Seq(100L, 250L, 500L, 750L, 900L, 990L)
+      .map(p => (p, (p * n + 999L) / 1000L)).toDF("q_permille", "target_rank")
     merged.join(broadcast(qt), col("lrank") >= col("target_rank"))
-      .groupBy("q", "target_rank").agg(min("v").as("est"))
-      .select(col("q"), col("target_rank"), col("est"),
+      .groupBy("q_permille", "target_rank").agg(min("v").as("est"))
+      .select(col("q_permille"), col("target_rank"),
+        (col("est") * 100).cast("long").as("est_cents"),
         lit(n).as("n"), lit(nShards).as("n_shards"),
         lit((k - 1) * nShards).as("err_bound"))
-      .orderBy("q")
+      .orderBy("q_permille")
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC location
@@ -1452,7 +1461,10 @@ object Aggregates extends QueryGroup {
     // column (per-shard increments sum to the shard population), the
     // global cumulative over (v, shard, rn) equals the engine's
     // bucketed off(b)+within-b form because b = floor(v/1000) is
-    // monotone in v; every step is exact integer rank arithmetic
+    // monotone in v. r16: the face is FLOAT-FREE end to end — q as
+    // integer permille, target_rank as (p·n + 999) // 1000 (exact
+    // integer ceil, no IEEE anywhere), est as integer cents — so no
+    // DuckDB version can render any value differently.
     "agg_quantile_merge" -> """
       WITH samples AS (
         SELECT shard, rn, v, incr
@@ -1465,16 +1477,18 @@ object Aggregates extends QueryGroup {
       n AS (SELECT CAST(SUM(incr) AS BIGINT) AS n FROM samples),
       sh AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS ns
         FROM samples),
-      qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
-        AS DOUBLE) AS q),
-      qt AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS target_rank
+      qs AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 990])
+        AS BIGINT) AS q_permille),
+      qt AS (SELECT q_permille,
+        CAST((q_permille * n.n + 999) // 1000 AS BIGINT) AS target_rank
         FROM qs, n)
-      SELECT qt.q, qt.target_rank, MIN(lw.v) AS est,
+      SELECT qt.q_permille, qt.target_rank,
+        CAST(MIN(lw.v) * 100 AS BIGINT) AS est_cents,
         n.n AS n, sh.ns AS n_shards,
         CAST(49 * sh.ns AS BIGINT) AS err_bound
       FROM qt, lw, n, sh WHERE lw.lrank >= qt.target_rank
-      GROUP BY qt.q, qt.target_rank, n.n, sh.ns
-      ORDER BY qt.q""",
+      GROUP BY qt.q_permille, qt.target_rank, n.n, sh.ns
+      ORDER BY qt.q_permille""",
     // plain windowed CDF mirror of the two-phase bucketed rank: the
     // cumulative counts are identical integers, the ratios
     // integer-over-integer doubles, the sup location tie-broken to

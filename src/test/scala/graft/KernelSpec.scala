@@ -990,14 +990,16 @@ class KernelSpec extends SparkSpec {
     vals.cache()
     est.foreach { r =>
       val t = r.getAs[Long]("target_rank")
-      val e = r.getAs[java.math.BigDecimal]("est")
+      // est ships as integer cents (float-free face, r16) — rebuild
+      // the exact DECIMAL(18,2) value for the rank probes
+      val e = java.math.BigDecimal.valueOf(r.getAs[Long]("est_cents"), 2)
       val bound = r.getAs[Long]("err_bound")
       // two-sided guarantee against EXACT ranks: the estimate's true
       // rank reaches the target, and the count strictly below it
       // cannot overshoot the target by the advertised bound
       val le = vals.filter(col("v") <= lit(e)).count()
       val lt = vals.filter(col("v") < lit(e)).count()
-      assert(le >= t, s"rank(est)=$le below target $t at q=${r.getDouble(0)}")
+      assert(le >= t, s"rank(est)=$le below target $t at q_permille=${r.getLong(0)}")
       assert(lt < t + bound,
         s"est overshoots: $lt strictly-below vs target $t + bound $bound")
     }
