@@ -59,9 +59,23 @@ object StableStore {
     * dirs from JVMs that died mid-build are swept lazily — any
     * `.build_*` entry not owned by this run is fair game, because a
     * LIVE builder's rename either already happened (target exists) or
-    * will fail and fall through to the target-exists check. */
-  def getOrBuild(prefix: String, key: String)(build: String => Unit): String = {
-    val target = new java.io.File(s"$root/${prefix}_${md5(key)}")
+    * will fail and fall through to the target-exists check.
+    *
+    * `codeVersion` (ADVICE r15 medium): every kernel passes a
+    * bumpable constant declared NEXT TO its build code, folded into
+    * the key — so editing a kernel without changing its parameters
+    * can never serve a stale artifact that the oracle (which reads
+    * the SAME artifact) is structurally blind to: the edit's review
+    * checklist is "did the bytes this build writes change? then bump
+    * the constant". Version 1 maps to the legacy unversioned key so
+    * the standing artifact store — including the multi-hour ×100
+    * prewarmed layouts — stays valid; any bump re-keys exactly that
+    * kernel's artifacts and nothing else. */
+  def getOrBuild(prefix: String, key: String, codeVersion: Int = 1)(
+      build: String => Unit): String = {
+    require(codeVersion >= 1, s"codeVersion must be >= 1, got $codeVersion")
+    val vkey = if (codeVersion == 1) key else s"cv=$codeVersion|$key"
+    val target = new java.io.File(s"$root/${prefix}_${md5(vkey)}")
     if (new java.io.File(target, "_DONE").exists()) return target.getPath
     target.getParentFile.mkdirs()
     sweepStale()
@@ -78,15 +92,26 @@ object StableStore {
     target.getPath
   }
 
-  /** Remove `.build_*` temp dirs older than a day — long enough that
-    * no live builder (bench layouts build in minutes) can still own
-    * one; a dead JVM's partials are the only entries that old. */
+  /** Remove `.build_*` temp dirs whose NEWEST file is older than a
+    * day — long enough that no live builder (bench layouts build in
+    * minutes to hours) can still own one; a dead JVM's partials are
+    * the only entries that old. Staleness is judged on the newest
+    * mtime anywhere under the tree, not the root dir's (ADVICE r15:
+    * a directory's mtime only moves when DIRECT children change, so
+    * a long build writing deep subtrees — pretrain_shards at ×100 —
+    * could present a stale root while actively writing leaves and be
+    * deleted mid-build by a concurrent JVM). */
   private def sweepStale(): Unit = {
     val kids = new java.io.File(root).listFiles()
     if (kids == null) return
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    def newestMtime(f: java.io.File): Long = {
+      val sub = f.listFiles()
+      if (sub == null || sub.isEmpty) f.lastModified()
+      else math.max(f.lastModified(), sub.map(newestMtime).max)
+    }
     kids.foreach { f =>
-      if (f.getName.startsWith(".build_") && f.lastModified() < cutoff)
+      if (f.getName.startsWith(".build_") && newestMtime(f) < cutoff)
         rmRec(f)
     }
   }

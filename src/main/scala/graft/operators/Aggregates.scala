@@ -844,6 +844,10 @@ object Aggregates extends QueryGroup {
     * a k=25 build would silently halve the error bound). */
   private val QuantileSummaryK = 50
 
+  /** Bump when the summary-build arithmetic changes in a way k does
+    * not capture (oracle reads the same artifact; ADVICE r15). */
+  private val QsumKernelVer = 1
+
   /** The persisted per-shard summary table behind [[aggQuantileMerge]]
     * — published via [[graft.core.StableStore]] (write-once, atomic
     * rename, cross-JVM) so (a) no concurrently-alive JVM can rewrite
@@ -858,7 +862,8 @@ object Aggregates extends QueryGroup {
     quantileSummariesBuilt.getOrElseUpdate(dir, {
       val k = QuantileSummaryK
       val key = s"k=$k|" + graft.core.StableStore.inputKey(s, dir, "lineitem.parquet")
-      graft.core.StableStore.getOrBuild("qsum_v1", key) { tmp =>
+      graft.core.StableStore.getOrBuild("qsum_v1", key,
+          QsumKernelVer) { tmp =>
         val base = Tables.lineitem(s, dir).select(
           date_format(col("l_shipdate"), "yyyy-MM").as("shard"),
           Num.d2(col("l_extendedprice")).as("v"))

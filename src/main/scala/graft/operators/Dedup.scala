@@ -18,6 +18,12 @@ object Dedup extends QueryGroup {
 
   private[graft] val NumHashes = 16
   private[graft] val Bands = 4 // 4 rows per band
+  /** Bump when the MinHash/band index build arithmetic changes in a
+    * way no parameter captures — the delta/index artifacts feed
+    * artifact-replay oracles, so a stale serve is invisible to the
+    * hash check (ADVICE r15). Shared by idx + delta: the delta format
+    * is defined by the index kernel. */
+  private val NeardupKernelVer = 1
   /** Modulus of dedup_near's universal affine MinHash family — 2³¹−1
     * (prime), so a_j·h < 2⁶² stays BIGINT-exact in Spark AND DuckDB.
     * private[graft]: split_leakage_safe runs the SAME family (shared
@@ -770,7 +776,8 @@ object Dedup extends QueryGroup {
       // downstream (candidates, verify, admission).
       val key = s"nh=$NumHashes|b=$Bands|" +
         graft.core.StableStore.inputKey(s, dir, "documents.parquet")
-      val root = graft.core.StableStore.getOrBuild("neardup_idx_v1", key) { tmp =>
+      val root = graft.core.StableStore.getOrBuild("neardup_idx_v1", key,
+          NeardupKernelVer) { tmp =>
         val base = Tables.documents(s, dir)
           .filter(pmod(col("doc_id"), lit(10)) < 8)
           .withColumn("w", Text.words(col("text")))
@@ -800,7 +807,8 @@ object Dedup extends QueryGroup {
     deltaNearDeltaDirs.getOrElseUpdate(dir, {
       val key = s"nh=$NumHashes|b=$Bands|" +
         graft.core.StableStore.inputKey(s, dir, "documents.parquet")
-      val root = graft.core.StableStore.getOrBuild("neardup_delta_v1", key) { tmp =>
+      val root = graft.core.StableStore.getOrBuild("neardup_delta_v1", key,
+          NeardupKernelVer) { tmp =>
         val d = Tables.documents(s, dir).select("doc_id", "text")
         val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
           .unionByName(d

@@ -66,6 +66,10 @@ object Pipeline extends QueryGroup {
     * production scale this is the "~100-500 MB per shard" knob and
     * changes nothing structural. */
   private val ShardTokens = 16384L
+  /** Bump when the shard-build chain's arithmetic changes in a way no
+    * parameter captures — the oracle reads the same artifact, so a
+    * silent stale-serve is invisible to the hash (ADVICE r15). */
+  private val PretrainKernelVer = 1
 
   private val roots = new graft.core.BuildOnce[String, String]
 
@@ -105,7 +109,8 @@ object Pipeline extends QueryGroup {
       val key = s"seq=$SeqLen|shard=$ShardTokens|" +
         graft.core.StableStore.inputKey(s, dir, "documents.parquet") + "|" +
         graft.core.StableStore.inputKey(s, dir, "embeddings.parquet")
-      graft.core.StableStore.getOrBuild("pretrain_shards_v1", key) { tmp =>
+      graft.core.StableStore.getOrBuild("pretrain_shards_v1", key,
+          PretrainKernelVer) { tmp =>
         // pinned ONCE before the order pass: orderedFrom consumes its
         // input twice (bucket-count collect, then the rank join), and
         // unpinned each consumer would re-run perplexity + semantic

@@ -86,8 +86,12 @@ object QualityModel extends QueryGroup {
   private val docCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private val weightCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  /** Bump when featurization or training arithmetic changes in a way
+    * no parameter captures — the oracle scores the same persisted
+    * features/weights, so a stale serve is invisible to the hash
+    * check (ADVICE r15). Shared by qmfeat + qmw: the weights are a
+    * function of the feature bytes. */
+  private val QmKernelVer = 1
 
   /** Full-batch logistic GD over the train split; exact fixed-point
     * gradient sums make the result partition-layout-independent.
@@ -144,12 +148,18 @@ object QualityModel extends QueryGroup {
   private[graft] def modelPaths(s: SparkSession, dir: String): (String, String) = {
     val key = s"d=$Dim|it=$Iters|lr=$Lr|" +
       graft.core.StableStore.inputKey(s, dir, "documents.parquet")
-    val featPath = graft.core.StableStore.getOrBuild("qmfeat_v1", key) { tmp =>
+    val featPath = graft.core.StableStore.getOrBuild("qmfeat_v1", key,
+        QmKernelVer) { tmp =>
       featurized(s, dir).write.mode("overwrite").parquet(tmp)
     }
-    val wPath = graft.core.StableStore.getOrBuild("qmw_v1", key) { tmp =>
-      val wts = weightCache.getOrElseUpdate(dir,
-        train(s.read.parquet(featPath)))
+    // No in-JVM weight cache (ADVICE r15 low): a dir-keyed cache could
+    // pair weights trained on a REGENERATED fixture's old features
+    // with the new artifact key, publishing a permanently mismatched
+    // pair the shared-artifact oracle cannot catch. train() reads from
+    // featPath, and the write-once artifact IS the cross-call cache.
+    val wPath = graft.core.StableStore.getOrBuild("qmw_v1", key,
+        QmKernelVer) { tmp =>
+      val wts = train(s.read.parquet(featPath))
       s.createDataFrame(wts.toIndexedSeq.zipWithIndex
           .map { case (w, j) => (j, w) })
         .toDF("j", "w")

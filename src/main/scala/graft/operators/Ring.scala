@@ -218,6 +218,9 @@ object Ring extends QueryGroup {
     "ring_multidc" -> (ringMultidc _)
   )
 
+  /** Bump when the token-table build arithmetic changes in a way no
+    * parameter captures (oracle reads the same artifact; ADVICE r15). */
+  private val RingKernelVer = 1
   private val tokenDirs = new graft.core.BuildOnce[String, String]
 
   /** Persisted (key → Murmur3 token) relation — DuckDB has no
@@ -233,7 +236,8 @@ object Ring extends QueryGroup {
     tokenDirs.getOrElseUpdate(s"$dir|$table|$keyCol", {
       val key = s"$table|$keyCol|" +
         graft.core.StableStore.inputKey(s, dir, s"$table.parquet")
-      graft.core.StableStore.getOrBuild("cass_tokens_v1", key) { tmp =>
+      graft.core.StableStore.getOrBuild("cass_tokens_v1", key,
+          RingKernelVer) { tmp =>
         val t = table match {
           case "orders" => Tables.orders(s, dir)
           case "events" => Tables.events(s, dir)

@@ -55,10 +55,15 @@ object Similarity extends QueryGroup {
     * [[simTopkLshMultiprobe]] hash-exact oracled: DuckDB reads the
     * same plane floats and replays the sign test, so engine and
     * oracle agree on every bucket bit (VERDICT r13 next #6). */
+  /** Bump when the SRP plane/band GENERATOR arithmetic changes in a
+    * way no parameter captures (ADVICE r15: the oracle reads the same
+    * artifact, so a silent stale-serve is invisible to the hash). */
+  private[graft] val LshKernelVer = 1
+
   private[graft] def lshPlanesPath(s: SparkSession): String =
     lshPlanesDirs.getOrElseUpdate("topk",
       graft.core.StableStore.getOrBuild("lsh_planes_v1",
-          s"$TopkNbits|$SrpDim|$TopkSeed") { tmp =>
+          s"$TopkNbits|$SrpDim|$TopkSeed", LshKernelVer) { tmp =>
         s.createDataFrame(topkPlanes.zipWithIndex
             .map { case (p, i) => (i, p) }.toIndexedSeq)
           .toDF("plane_id", "plane")
@@ -643,7 +648,8 @@ object Similarity extends QueryGroup {
   private[graft] def thresholdBandsPath(s: SparkSession, nbits: Int): String =
     thresholdBandsDirs.getOrElseUpdate(nbits,
       graft.core.StableStore.getOrBuild("lsh_bands_v1",
-          s"$ThresholdBandCount|$nbits|$SrpDim|$ThresholdSeedBase") { tmp =>
+          s"$ThresholdBandCount|$nbits|$SrpDim|$ThresholdSeedBase",
+          LshKernelVer) { tmp =>
         val rows = bandsForNbits(nbits).zipWithIndex.flatMap {
           case (planes, b) => planes.zipWithIndex.map {
             case (p, i) => (b, i, p) }
@@ -2107,6 +2113,9 @@ object Similarity extends QueryGroup {
       .orderBy("nprobe")
   }
 
+  private val oracleCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
   /** Concrete artifact paths for the `__..._PATH__` tokens in
     * [[oracles]], for the dir a [[graft.Verify]] run just processed.
     * Calling the path functions also guarantees the artifacts exist
@@ -2117,13 +2126,16 @@ object Similarity extends QueryGroup {
     val (ivfCent, ivfAssign) = ivfIndexPaths(s, dir)
     val (deltaCent, deltaAssign) = ivfDeltaPaths(s, dir)
     val (pqdBooks, pqdCodes) = pqDeltaPaths(s, dir)
-    // the same corpus counts the engine faces use, computed ONCE
-    // (ADVICE r14: raw for τ=0.35; +1% planted copies for τ=0.8 and
-    // the knn join)
-    val base = Tables.embeddings(s, dir)
-    val nRaw = base.count()
-    val nPlanted = nRaw +
-      base.filter(pmod(col("vec_id"), lit(100)) === 0).count()
+    // the same corpus counts the engine faces use, computed ONCE per
+    // (JVM, dir) — oracle-dump-time only, but Verify calls this after
+    // every full run and the fixture is immutable for the JVM's life,
+    // so the two jobs need not repeat (ADVICE r15 low). Raw for
+    // τ=0.35; +1% planted copies for τ=0.8 and the knn join.
+    val (nRaw, nPlanted) = oracleCountCache.getOrElseUpdate(dir, {
+      val base = Tables.embeddings(s, dir)
+      val raw = base.count()
+      (raw, raw + base.filter(pmod(col("vec_id"), lit(100)) === 0).count())
+    })
     Map(
       "__IVF_CENTROIDS_PATH__" -> ivfCent,
       "__IVF_ASSIGNED_PATH__" -> ivfAssign,
