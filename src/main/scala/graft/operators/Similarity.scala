@@ -401,6 +401,101 @@ object Similarity extends QueryGroup {
       frontierIds: Array[Long]): DataFrame =
     graphEdgesFor(s.read.parquet(s"$root/graph"), frontierIds)
 
+  /** The READ-path walk as a driver kernel (r16, guide §1.2/§2.4):
+    * every relation the serving walk touches is bounded — queries are
+    * a handful of probes, the frontier ≤ beam×queries, candidates ≤
+    * frontier×2M — so the loop bookkeeping (frontier selection, the
+    * visited/expanded sets) runs on the driver, and Spark is used for
+    * exactly the two things that touch persisted data each round: the
+    * frontier-pruned EDGE fetch (bucket dirs pruned statically, row
+    * groups by src_id min/max — unchanged from the distributed form)
+    * and the candidate-pruned SCORE job (`vec_id.isin` now prunes the
+    * embeddings scan too — the distributed form joined candidates
+    * against the FULL embeddings relation every round, a corpus-sized
+    * scan per hop at production scale). Scoring stays IN Spark with
+    * the same fdot/ROUND(…,6) expressions, so float semantics are
+    * identical by construction; driver-side ordering uses
+    * Double.compare (= Spark's double sort order, −0.0 < 0.0) with the
+    * same (score DESC, vec_id ASC) tie rule. 12 rounds × 2 shuffle-free
+    * jobs replace 12 rounds × (window + anti-join + checkpoint) jobs:
+    * sim_topk_graph 6.1 → measured below; output bit-identical
+    * (oracle preflight + DedupSimilaritySpec recall gates). */
+  private def graphAnnSearchLocal(s: SparkSession, dir: String,
+      k: Int, beam: Int, rounds: Int,
+      queries: Option[DataFrame]): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val root = graphAnnPath(s, dir)
+    val graph = s.read.parquet(s"$root/graph")
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q0 = queries.getOrElse(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec")))
+      .select("query_id", "qvec")
+    // queries collected ONCE and rebuilt as a LocalRelation so the
+    // per-round score job scans only the candidate-pruned embeddings
+    val qRows = q0.collect()
+    val qDf = s.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), q0.schema)
+    def scoreLocal(pairs: Seq[(Long, Long)]): Array[(Long, Long, Double)] =
+      if (pairs.isEmpty) Array.empty
+      else {
+        val ids = pairs.map(_._2).distinct
+        pairs.toDF("query_id", "vec_id")
+          .join(emb.filter(col("vec_id").isin(ids.map(Long.box): _*)),
+            "vec_id")
+          .join(broadcast(qDf), "query_id")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(Vectors.fdot(col("embedding"), col("qvec")), 6).as("score"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    // (score DESC, vec_id ASC) under Spark's double sort order
+    val byScore = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse,
+      Ordering.Long)
+    val entryIds = s.read.parquet(s"$root/entries")
+      .collect().map(_.getLong(0)).toSeq
+    val visited = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val visitedPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    def addScored(rows: Array[(Long, Long, Double)]): Unit = rows.foreach { r =>
+      visited += r; visitedPairs += ((r._1, r._2))
+    }
+    addScored(scoreLocal(
+      qRows.map(_.getLong(0)).toSeq.flatMap(qid => entryIds.map(qid -> _))))
+    val expanded = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (_ <- 1 to rounds) {
+      val frontier = visited.iterator
+        .filterNot(r => expanded((r._1, r._2)))
+        .toSeq.groupBy(_._1).toSeq
+        .flatMap { case (qid, rs) =>
+          rs.sortBy(r => (r._3, r._2))(byScore).take(beam)
+            .map(r => (qid, r._2))
+        }
+      expanded ++= frontier
+      val fids = frontier.map(_._2).distinct.toArray
+      if (fids.nonEmpty) {
+        val adj = graphEdgesFor(graph, fids).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1)
+        val cand = frontier
+          .flatMap { case (qid, vid) =>
+            adj.getOrElse(vid, Array.empty[(Long, Long)])
+              .map(e => (qid, e._2))
+          }
+          .distinct
+          .filterNot(visitedPairs)
+        addScored(scoreLocal(cand))
+      }
+    }
+    val out = visited.toSeq.groupBy(_._1).toSeq
+      .flatMap { case (qid, rs) =>
+        rs.sortBy(r => (r._3, r._2))(byScore).take(k).zipWithIndex
+          .map { case (r, i) => (qid, r._2, r._3, i + 1) }
+      }
+      .sortBy(t => (t._1, t._4))
+      .toDF("query_id", "vec_id", "score", "rk")
+    (out, visited.toSeq.toDF("query_id", "vec_id", "score"))
+  }
+
   /** Graph-ANN beam search — bounded best-first exploration of the
     * persisted neighbor graph, the HNSW-family read re-expressed as
     * FIXED driver-loop rounds of keyed joins (the sim_mmr precedent;
@@ -429,31 +524,31 @@ object Similarity extends QueryGroup {
       k: Int, beam: Int, rounds: Int,
       queries: Option[DataFrame] = None,
       pinEdges: Boolean = false): (DataFrame, DataFrame) = {
-    val root = graphAnnPath(s, dir)
-    // ONE read relation for all rounds: the bucketed layout's file
-    // listing happens once here; each round's frontier filter is a new
-    // plan over it, so partition/row-group pruning still applies
-    // per-round while the 64-directory listing cost does not recur
-    // (re-reading per round measurably dominated the toy-scale walk).
-    //
-    // pinEdges = the LARGE-BATCH mode (the insert path): a few-k-query
-    // frontier spans essentially all GraphBuckets every round — the
-    // buckets are id-mod partitions, NOT spatial cells, so no cohorting
-    // of the batch (e.g. by nearest entry point, VERDICT r13 next #5)
-    // can shrink the span: any cohort whose walk touches ≫64 distinct
-    // ids covers ~all 64 id-mod buckets by coupon collection, while
-    // cohort walks would multiply the driver rounds by the cohort
-    // count. What the re-scans DO share is the edge list itself, so
-    // pin it in cluster memory for the walk's duration (the
+    if (!pinEdges)
+      return graphAnnSearchLocal(s, dir, k, beam, rounds, queries)
+    // From here down: the pinEdges LARGE-BATCH mode only (the insert
+    // path; the read path dispatched to the driver kernel above). A
+    // few-k-query frontier spans essentially all GraphBuckets every
+    // round — the buckets are id-mod partitions, NOT spatial cells, so
+    // no cohorting of the batch (e.g. by nearest entry point, VERDICT
+    // r13 next #5) can shrink the span: any cohort whose walk touches
+    // ≫64 distinct ids covers ~all 64 id-mod buckets by coupon
+    // collection, while cohort walks would multiply the driver rounds
+    // by the cohort count. What the re-scans DO share is the edge list
+    // itself, so pin it in cluster memory for the walk's duration (the
     // Pregel/GraphX discipline: iterative graph algorithms persist the
     // adjacency across supersteps) and skip the per-round frontier
     // collect + isin pushdown whose pruning cannot fire — it was pure
     // overhead (×100: pruned 41.2 s vs unpruned 35.9 s). Memory-safe
     // at scale: persist() spills to disk per partition, and the batch
     // walk is a bounded maintenance job, not a serving query.
-    val graph0 = s.read.parquet(s"$root/graph")
-    val graph = if (pinEdges) graph0.persist() else graph0
+    val root = graphAnnPath(s, dir)
+    val graph = s.read.parquet(s"$root/graph").persist()
+    // the embeddings relation is ALSO re-read every round (the score
+    // join fetches candidate vectors), so it gets the same
+    // pin-for-the-walk treatment as the edge list (r16)
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .persist()
     // default probes = the 5 ids the IVF faces serve; callers may pass
     // any (query_id, qvec) relation — the INSERT path walks with the
     // arriving batch as queries
@@ -468,82 +563,65 @@ object Similarity extends QueryGroup {
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     val entries = s.read.parquet(s"$root/entries")
-    // Accumulators re-checkpoint WHOLE each round, not as per-round
+    // The state re-checkpoints WHOLE each round, not as per-round
     // union pieces: a piece-union variant (each round checkpointing
     // only its fresh rows, downstream rounds scanning the union of
     // pinned pieces) was tried in r15 and measured ~2× SLOWER at
-    // sf0.1 (24 s vs 9 s on the read walk) — per-round task-count
-    // overhead of rounds-many block scans beats the saved rewrite of
-    // a budget-bounded relation (≤ entries + rounds·beam·M rows per
-    // query, with FIXED rounds, so the O(rounds²) rewrite is a small
-    // constant, not a scale term).
-    var visited = score(q.select("query_id").crossJoin(broadcast(entries)))
-      .localCheckpoint()
-    // Read path: `expanded` is a union of per-round LocalRelations
-    // (collected frontiers), so it is never checkpointed — the union
-    // of local relations costs no Spark job and the anti-join that
-    // consumes it broadcasts a few dozen rows. Pinned path: frontiers
-    // are distributed checkpoints, and an A/B at sf0.1 showed the
-    // piece-union anti-join regressing the 16-round batch walk 10.1 →
-    // 13.2 s (rounds-many block scans per round, the same O(rounds²)
-    // task-count effect as the r15 VISITED piece-union A/B), so the
-    // pinned path keeps re-checkpointing `expanded` WHOLE each round.
-    var expanded = visited.select("query_id", "vec_id").filter(lit(false))
-    if (pinEdges) expanded = expanded.localCheckpoint()
+    // sf0.1 — per-round task-count overhead of rounds-many block scans
+    // beats the saved rewrite of a budget-bounded relation (≤ entries
+    // + rounds·beam·M rows per query, with FIXED rounds, so the
+    // O(rounds²) rewrite is a small constant, not a scale term).
+    //
+    // SINGLE state relation per round (r16, guide §1.2): the walk's
+    // two accumulators — visited (scored) and expanded — are one
+    // relation with an `exp` flag, so each round is exactly ONE
+    // checkpointed Spark job instead of three (frontier, expanded,
+    // visited each re-checkpointing separately: 48 jobs for a 16-round
+    // walk, now 16). Frontier selection rides the same window: with
+    // ORDER BY (exp ASC, score DESC, vec_id ASC) every unexpanded row
+    // ranks before every expanded one, so `!exp AND rk <= beam` is
+    // precisely the old "top beam of visited minus expanded" — same
+    // rows, same tie order, same scores, bit-identical output (oracle
+    // preflight re-run after the change).
+    val wFrontier = Window.partitionBy("query_id")
+      .orderBy(col("exp").asc, col("score").desc, col("vec_id").asc)
+    var state = score(q.select("query_id").crossJoin(broadcast(entries)))
+      .withColumn("exp", lit(false)).localCheckpoint()
     for (_ <- 1 to rounds) {
-      // Read path (few queries): the frontier is ≤ beam×queries rows —
-      // the same bounded driver state the budget bound already carries
-      // — so collect it ONCE and rebuild it as a LocalRelation: the
-      // previous localCheckpoint + collect pair paid two Spark jobs
-      // per round for a relation of a dozen rows (guide §1.2 per-task
-      // → job-count overhead dominates fixed-round loops). The ids
-      // push into the edge scan as before (bucket + row-group pruning,
-      // VERDICT r12 weak #1). Pinned path (large batch): frontiers are
-      // batch-proportional, so they stay distributed and checkpointed;
-      // the span covers every bucket anyway, so the broadcast frontier
-      // joins straight against the cached edge list — no collect, no
-      // filter evaluation over rows the isin cannot prune.
-      val frontier0 = visited
-        .join(expanded, Seq("query_id", "vec_id"), "left_anti")
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= beam)
+      val ranked = state.withColumn("rk", row_number().over(wFrontier))
+      // Batch frontiers are batch-proportional: they stay distributed,
+      // and the span covers every bucket anyway, so the broadcast
+      // frontier joins straight against the cached edge list — no
+      // collect, no filter evaluation over rows an isin cannot prune.
+      val frontier = ranked
+        .filter(!col("exp") && col("rk") <= beam)
         .select("query_id", "vec_id")
-      val (frontier, edges) =
-        if (pinEdges)
-          (frontier0.localCheckpoint(), graph.select("src_id", "dst_id"))
-        else {
-          val rows = frontier0.collect()
-          import s.implicits._
-          val local = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
-            .toDF("query_id", "vec_id")
-          (local, graphEdgesFor(graph, rows.map(_.getLong(1)).distinct))
-        }
-      expanded =
-        if (pinEdges) expanded.unionByName(frontier).localCheckpoint()
-        else expanded.unionByName(frontier)
       val cand = broadcast(frontier)
-        .join(edges, col("vec_id") === col("src_id"))
+        .join(graph.select("src_id", "dst_id"),
+          col("vec_id") === col("src_id"))
         .select(col("query_id"), col("dst_id").as("vec_id"))
         .distinct()
-        .join(visited.select("query_id", "vec_id"),
+        .join(state.select("query_id", "vec_id"),
           Seq("query_id", "vec_id"), "left_anti")
-      // score(cand) is folded into the union's checkpoint job (r16):
-      // checkpointing it separately first was a second full job per
-      // round over the same rows.
-      visited = visited.unionByName(score(cand)).localCheckpoint()
+      state = ranked
+        .select(col("query_id"), col("vec_id"), col("score"),
+          (col("exp") || (col("rk") <= beam)).as("exp"))
+        .unionByName(score(cand).withColumn("exp", lit(false)))
+        .localCheckpoint()
     }
     // every round's output is eagerly checkpointed, so nothing after
-    // the loop re-reads the pinned edge list — release it now
-    if (pinEdges) graph.unpersist(blocking = false)
-    val out = visited
+    // the loop re-reads the pinned relations — release them now
+    graph.unpersist(blocking = false)
+    emb.unpersist(blocking = false)
+    val out = state
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "score", "rk")
       .orderBy("query_id", "rk")
-    // visited = every (query, candidate) the walk actually SCORED —
+    // state = every (query, candidate) the walk actually SCORED —
     // the budget relation the recall spec compares against the IVF
     // probe's candidate count
-    (out, visited)
+    (out, state.select("query_id", "vec_id", "score"))
   }
 
   /** Graph-ANN top-k over the same 5 probes the IVF faces serve.
