@@ -796,16 +796,21 @@ object Aggregates extends QueryGroup {
       .withColumn("k2", col("off2") + sum("c2").over(byB))
       .withColumn("dv", abs(col("k1").cast("double") / n1 -
         col("k2").cast("double") / n2))
-    val m = d.agg(max("dv").as("dmax"))
-    d.join(m, col("dv") === col("dmax"))
-      .agg(min("v").as("at_value"), max("dmax").as("dm"))
+    // argmax in ONE aggregate pass (r16, guide §2.2): the old
+    // max-then-self-join evaluated the window relation `d` twice (once
+    // for dmax, once for the equality join) plus a join stage.
+    // max(struct(dv, -v)) is lexicographic: max dv, and among dv ties
+    // max(-v) = min v — exactly the old (dv = dmax, min v) row. dv is
+    // abs(...), so the double never carries a -0.0 that could order
+    // differently than the old `===` tie.
+    d.agg(max(struct(col("dv"), (-col("v")).as("nv"))).as("m"))
       .select(
         lit(n1.toLong).as("n1"), lit(n2.toLong).as("n2"),
-        round(col("dm"), 6).as("d_stat"),
-        col("at_value"),
-        round(col("dm") * sqrt(lit(n1) * n2 / (n1 + n2)), 6).as("ks_lambda"),
+        round(col("m.dv"), 6).as("d_stat"),
+        (-col("m.nv")).as("at_value"),
+        round(col("m.dv") * sqrt(lit(n1) * n2 / (n1 + n2)), 6).as("ks_lambda"),
         round(lit(1.358) * sqrt(lit(n1 + n2) / (n1 * n2)), 6).as("crit_05"),
-        (col("dm") > lit(1.358) * sqrt(lit(n1 + n2) / (n1 * n2))).as("reject_05"))
+        (col("m.dv") > lit(1.358) * sqrt(lit(n1 + n2) / (n1 * n2))).as("reject_05"))
   }
 
   /** Mergeable DETERMINISTIC quantile summaries — the quantile face

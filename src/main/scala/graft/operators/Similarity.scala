@@ -1963,6 +1963,7 @@ object Similarity extends QueryGroup {
     * the full pick sequence, and diversity > plain-top-k is asserted
     * directly. */
   def simMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val (lam, poolK, outK) = (0.7, 20, 10)
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < 5)
@@ -1976,41 +1977,59 @@ object Similarity extends QueryGroup {
       .filter(col("prk") <= poolK)
       .select("query_id", "vec_id", "qsim", "embedding")
       .localCheckpoint()
-    // round 1: plain argmax of qsim (no selected set yet)
-    var selected = pool
-      .groupBy("query_id")
-      .agg(max_by(
-        struct(col("vec_id"), col("qsim"), col("embedding")),
-        struct(col("qsim"), (-col("vec_id")).as("nv"))).as("p"))
-      .select(col("query_id"), lit(1).as("mmr_rank"),
-        col("p.vec_id").as("vec_id"), col("p.qsim").as("qsim"),
-        col("p.qsim").as("mmr_score"), col("p.embedding").as("embedding"))
-      .localCheckpoint()
-    for (r <- 2 to outK) {
-      val sel = selected.select(col("query_id"),
-        col("vec_id").as("sel_id"), col("embedding").as("sel_emb"))
-      val next = pool
-        .join(sel, "query_id")
-        .withColumn("ssim",
-          round(Vectors.fdot(col("embedding"), col("sel_emb")), 6))
-        .groupBy("query_id", "vec_id", "qsim")
-        .agg(max("ssim").as("max_sel"), first("embedding").as("embedding"),
-          max(when(col("vec_id") === col("sel_id"), 1).otherwise(0)).as("taken"))
-        .filter(col("taken") === 0)
-        .withColumn("mmr",
-          round(lit(lam) * col("qsim") - lit(1 - lam) * col("max_sel"), 6))
-        .groupBy("query_id")
-        .agg(max_by(
-          struct(col("vec_id"), col("qsim"), col("mmr"), col("embedding")),
-          struct(col("mmr"), (-col("vec_id")).as("nv"))).as("p"))
-        .select(col("query_id"), lit(r).as("mmr_rank"),
-          col("p.vec_id").as("vec_id"), col("p.qsim").as("qsim"),
-          col("p.mmr").as("mmr_score"), col("p.embedding").as("embedding"))
-      selected = selected.unionByName(next).localCheckpoint()
-    }
-    selected
-      .select("query_id", "mmr_rank", "vec_id", "qsim", "mmr_score")
-      .orderBy("query_id", "mmr_rank")
+    // Greedy loop as a driver kernel (r16, guide §1.2): the pool is
+    // BOUNDED by construction (queries × poolK = 100 rows), so the 10
+    // argmax rounds — previously 10 checkpointed join+aggregate jobs
+    // (35 jobs total) — run on the driver over two collected
+    // relations. Every FLOAT the loop consumes is still computed by
+    // Spark codegen: qsim from the pool pass above, and the pairwise
+    // pool×pool similarities from ONE self-join job below (the same
+    // round(fdot, 6) expression the per-round joins evaluated — the
+    // same values, computed once instead of once per round). Driver
+    // arithmetic is limited to the MMR combine, mirrored bit-for-bit:
+    // lam·qsim − (1−lam)·maxSel in IEEE doubles with the identical
+    // Scala constants, rounded via the same BigDecimal.valueOf /
+    // HALF_UP path Spark's ROUND uses. round() never emits -0.0, so
+    // plain Double comparisons reproduce the struct-max tie order
+    // (mmr DESC, vec_id ASC). Oracle (simMmrOracleSql) and the spec's
+    // greedy replay pin the full pick sequence.
+    val poolRows = pool.select("query_id", "vec_id", "qsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ssim = pool.as("a")
+      .join(pool.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        round(Vectors.fdot(col("a.embedding"), col("b.embedding")), 6)
+          .as("ssim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = poolRows.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      val cands = rs.map { case (_, vid, qs2) => (vid, qs2) }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      for (r <- 1 to outK) {
+        val remaining = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = remaining.map { case (vid, qs2) =>
+          val m =
+            if (r == 1) qs2
+            else rnd6(lam * qs2 - (1 - lam) *
+              sel.map(sl => ssim((qid, vid, sl._1))).max)
+          (vid, qs2, m)
+        }
+        if (scored.nonEmpty) {
+          val best = scored.maxBy { case (vid, _, m) => (m, -vid) }(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+          sel += ((best._1, best._2, best._3))
+        }
+      }
+      sel.toSeq.zipWithIndex.map { case ((vid, qs2, m), i) =>
+        (qid, i + 1, vid, qs2, m)
+      }
+    }.sortBy(t => (t._1, t._2))
+    out.toDF("query_id", "mmr_rank", "vec_id", "qsim", "mmr_score")
   }
 
   /** Distributed PCA over the embedding corpus (whitening /

@@ -155,9 +155,15 @@ object Windows extends QueryGroup {
     val base = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), Num.d2(col("value")).as("cv"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
+    // cache: FOUR consumers (dayCum, cum, probes, probeDays) and the
+    // optimizer was NOT reusing the exchange — the r16 before-plan
+    // shows 16 separate event scans / 18 Exchanges, 0 ReusedExchange;
+    // pinning the per-µs aggregate computes the corpus pass once
+    // (guide §1.3/§5.2 — multi-consumer relation worth materializing)
     val perUs = base.groupBy("event_type", "us")
       .agg(sum("cv").as("s_us"), count(lit(1)).as("c_us"))
       .withColumn("day", floor(col("us") / X))
+      .cache()
     // day totals → cumulative through each day's END: types × days
     // rows, the only event_type-keyed window in the plan
     val wDayCum = Window.partitionBy("event_type").orderBy("day")
@@ -184,6 +190,7 @@ object Windows extends QueryGroup {
       .select(col("event_type"), col("day"), col("us"),
         (col("s_in") + coalesce(col("ci_s"), lit(0))).as("s_cum"),
         (col("c_in") + coalesce(col("ci_c"), lit(0L))).as("c_cum"))
+      .cache() // two consumers: the data arm and the trail join
     // bucketed as-of union: data rows (kind 1) carry their global
     // cumulative; probe rows (kind 0) sit at us − X IN THAT KEY'S
     // BUCKET and, sorting BEFORE any data row at the same key, pick up
