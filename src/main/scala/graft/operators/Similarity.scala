@@ -2220,13 +2220,20 @@ object Similarity extends QueryGroup {
       .join(broadcast(probed), Seq("query_id", "cell"))
       .write.mode("overwrite").parquet(rankedPath)
     val ranked = s.read.parquet(rankedPath)
-    Seq(1, 2, 4, 8, 16).map { np =>
-      ranked.agg(
+    // ONE grouped aggregate instead of five separate 1-row aggs over
+    // the same tiny relation (r16, guide §1.2): cross the ≤500-row
+    // ranked table with the 5-value nprobe domain and group — same
+    // counts, same arithmetic, 5 jobs → 1.
+    val sp = s; import sp.implicits._
+    ranked
+      .crossJoin(broadcast(Seq(1, 2, 4, 8, 16).toDF("nprobe")))
+      .groupBy("nprobe")
+      .agg(
         count(lit(1)).cast("long").as("n_truth"),
-        sum(when(col("cell_rk") <= np, 1L).otherwise(0L)).cast("long").as("hits"))
-        .select(lit(np).as("nprobe"), col("n_truth"), col("hits"),
-          round(col("hits").cast("double") / col("n_truth"), 6).as("recall"))
-    }.reduce(_ unionByName _)
+        sum(when(col("cell_rk") <= col("nprobe"), 1L).otherwise(0L))
+          .cast("long").as("hits"))
+      .select(col("nprobe"), col("n_truth"), col("hits"),
+        round(col("hits").cast("double") / col("n_truth"), 6).as("recall"))
       .orderBy("nprobe")
   }
 
