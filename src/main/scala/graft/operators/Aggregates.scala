@@ -490,26 +490,22 @@ object Aggregates extends QueryGroup {
       "l_quantity" -> col("l_quantity"),
       "l_returnflag" -> col("l_returnflag"),
       "l_shipdate" -> to_date(col("l_shipdate")))
-    // ONE scan for all four columns (r16, guide §2.2): the per-column
-    // union ran four full-table aggregates; a single multi-aggregate
-    // pass (Spark plans the four countDistincts as one Expand) computes
-    // the same 17 measures, then stack() reshapes the 1-row result to
-    // the per-column rows. Same expressions per column ⇒ same values.
-    val aggd = li.agg(
-      count(lit(1)).cast("long").as("n_rows"),
-      cols.zipWithIndex.flatMap { case ((n, v), i) => Seq(
-        countDistinct(col(n)).cast("long").as(s"ndv_$i"),
-        sum(col(n).isNull.cast("long")).cast("long").as(s"nn_$i"),
-        min(v).cast("string").as(s"mn_$i"),
-        max(v).cast("string").as(s"mx_$i"))
-      }: _*)
-    val stackArgs = cols.zipWithIndex.map { case ((n, _), i) =>
-      s"'$n', ndv_$i, nn_$i, mn_$i, mx_$i"
-    }.mkString(", ")
-    aggd.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, ndv, n_null, min_v, max_v)")
-      .select(col("col_name"), col("n_rows"), col("ndv"),
-        col("n_null"), col("min_v"), col("max_v"))
+    // NOTE (r16): a fused single-pass variant (all four countDistincts
+    // in one aggregate, stack() reshape) was tried and MEASURED 6.0 s
+    // steady vs ~1.0 s for this union at sf0.1 — Spark plans the four
+    // distincts as a ×5 Expand, and the expanded row volume costs more
+    // than the three extra column-pruned scans save. Reverted; the
+    // per-column union stands.
+    cols.map { case (n, v) =>
+      li.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col(n)).cast("long").as("ndv"),
+        sum(col(n).isNull.cast("long")).cast("long").as("n_null"),
+        min(v).cast("string").as("min_v"),
+        max(v).cast("string").as("max_v"))
+        .select(lit(n).as("col_name"), col("n_rows"), col("ndv"),
+          col("n_null"), col("min_v"), col("max_v"))
+    }.reduce(_ unionByName _)
       .orderBy("col_name")
   }
 
