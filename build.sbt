@@ -35,5 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dlog4j2.configurationFile=file:log4j2.properties",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (r16, guide §5): local[32] runs 32 concurrent tasks'
+  // sort/agg/join buffers plus cached blocks in ONE JVM; at 8g the
+  // full 316-query bench ran GC-bound (measured A/B, same session,
+  // comparable canaries: 286.8 s at 8g vs 257.6 s at 24g, median
+  // per-query ratio 0.853). The box has 128 GiB; SPARK_DRIVER_MEM
+  // still overrides for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -19,6 +19,6 @@ exec java $ADDOPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dlog4j2.configurationFile=file:log4j2.properties \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Bench "$@"
