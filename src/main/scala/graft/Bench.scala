@@ -196,6 +196,9 @@ object Bench {
     // bogus denominator (ADVICE r14).
     def timeCanary(): Double =
       if (SparkEntry.queries.contains("stats_ks")) {
+        // Own label: canary jobs must not inherit the last suite
+        // query's description in event logs (ADVICE r16).
+        spark.sparkContext.setJobDescription("bench: canary stats_ks")
         val t0 = System.nanoTime()
         val ok = try {
           materialize(SparkEntry.queries("stats_ks")(spark, sfDir)); true
@@ -227,10 +230,18 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
-        if (!txt.contains("\"sf\":\"" + dir + "\"")) return Map.empty
-        val q = txt.indexOf("\"queries\":{")
-        if (q < 0) return Map.empty
-        val body = txt.substring(q + 11, txt.indexOf('}', q))
+        // sf gate and the queries-block locator are whitespace-tolerant
+        // (r17 measurement-bug fix, disclosed in OPTIMIZATION_r17.md):
+        // the r16 snapshot was regenerated by a JSON library that emits
+        // `"queries": {` with a space, the exact-substring indexOf found
+        // nothing, and the stall gate silently DISABLED itself — the
+        // driver's r16 receipt kept a 34.4 s fn_string host stall (25×
+        // its 1.36 s snapshot line) that the gate exists to re-time.
+        val sfGate = ("\"sf\"\\s*:\\s*\"" + java.util.regex.Pattern.quote(dir) + "\"").r
+        if (sfGate.findFirstIn(txt).isEmpty) return Map.empty
+        val qm = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(txt)
+        if (qm.isEmpty) return Map.empty
+        val body = txt.substring(qm.get.end, txt.indexOf('}', qm.get.end))
         // Anchor the parse to the writer's exact format ("name":num per
         // entry) instead of naive split-on-','/':' — a snapshot with
         // nested values or a ':' inside a name would silently yield a
@@ -288,6 +299,7 @@ object Bench {
     val results = if (epochDegraded) results0 else results0 ++ stalled.keys.flatMap { name =>
       System.err.println(s"[bench] re-timing stalled line $name " +
         s"(${results0(name)._1} s vs snapshot ${snap(name)} s)")
+      spark.sparkContext.setJobDescription(s"bench: re-time $name @ $sfDir")
       val t0 = System.nanoTime()
       val n = try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => -1L }

@@ -35,16 +35,30 @@ object JobStats {
         tasks.incrementAndGet()
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Listener events post asynchronously; a fixed sleep is a race for
+    // queries with large task counts (ADVICE r16). listenerBus is
+    // private[spark], so settle by polling the counters until they stop
+    // moving (two consecutive 100 ms windows with no change, 5 s cap).
+    def settle(): Unit = {
+      var prev = (jobs.get, stages.get, tasks.get)
+      var still = 0
+      var waited = 0
+      while (still < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = (jobs.get, stages.get, tasks.get)
+        if (cur == prev) still += 1 else { still = 0; prev = cur }
+      }
+    }
     args.foreach { name =>
       // settle listener counts from the previous query
-      Thread.sleep(300)
+      settle()
       val (j0, s0, t0c) = (jobs.get, stages.get, tasks.get)
       val t0 = System.nanoTime()
       val n = BenchKit.materialize(SparkEntry.queries(name)(spark, sfDir))
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      Thread.sleep(300)
+      settle()
       println(f"[jobstats] $name ${dt}%.3f s jobs=${jobs.get - j0} " +
         f"stages=${stages.get - s0} tasks=${tasks.get - t0c} ($n rows)")
     }

@@ -13,7 +13,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregates.q1Pricing(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Harness-sweep contract (ADVICE r16): a handful of operators pin
+    * multi-consumer mid-plan relations with `.cache()`/`localCheckpoint`
+    * and do NOT unpersist them before returning (the final consumer
+    * runs only when the caller materializes the DataFrame). Every
+    * harness main (Bench, TimeQuery, JobStats, Verify, PlanDump,
+    * Explain) therefore unpersists `getPersistentRDDs` after each
+    * query. Any other long-lived embedder of this map must do the
+    * same, or cached blocks accumulate across queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Registry.queries
 

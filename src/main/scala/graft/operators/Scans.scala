@@ -975,6 +975,22 @@ object Scans extends QueryGroup {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/cents")
   }
 
+  /** Per-(JVM, layout-root) memo of the collected 16-row centroid
+    * table (r17, VERDICT r16 next #4). Safe by construction: the root
+    * is RunId-scoped (unique per JVM) and `cents` is written exactly
+    * once per root by [[buildAnnLayout]] — [[annFlush]] appends
+    * generations but NEVER retrains, so the file is immutable for the
+    * JVM's life. Saves one collect job per probe across the 6 SAI-ANN
+    * faces and every annFlush batch. gens/stats stay UNCACHED — those
+    * grow mid-suite. */
+  private val centsCache =
+    new graft.core.BuildOnce[String, Array[(Int, Seq[Float], Double)]]
+  private[graft] def readCents(s: SparkSession,
+      root: String): Array[(Int, Seq[Float], Double)] =
+    centsCache.getOrElseUpdate(root,
+      s.read.parquet(s"$root/cents").orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2))))
+
   private val saiAnnPaths = new graft.core.BuildOnce[String, String]
   private[graft] def saiAnnPath(s: SparkSession, dir: String): String =
     saiAnnPaths.getOrElseUpdate(dir, {
@@ -1017,8 +1033,8 @@ object Scans extends QueryGroup {
     // Bounded planning relations (collect is the AQE-stats move, never
     // row ids): centroids, per-leaf radii, candidate generations, the
     // 5 query vectors.
-    val cents = s.read.parquet(s"$root/cents").orderBy("cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = readCents(s, root)
+      .map { case (c, v, _) => (c, v.map(_.toDouble).toArray) }
     // stats/postings of generations flushed AFTER the base build
     // ([[annFlush]] writes each as its own _gen=<g> partition) join the
     // planning relations only when LISTED — the saiFlushProbe contract:
@@ -1305,9 +1321,9 @@ object Scans extends QueryGroup {
   private[graft] def annFlush(s: SparkSession, root: String,
       batch: DataFrame, batchId: Long): Unit = {
     val gen = AnnFlushGenBase + batchId
-    val cr = s.read.parquet(s"$root/cents").orderBy("cell").collect()
-    val cents: IndexedSeq[Seq[Float]] = cr.map(_.getSeq[Float](1)).toIndexedSeq
-    val cnorm2 = cr.map(_.getDouble(2)).toSeq
+    val cr = readCents(s, root)
+    val cents: IndexedSeq[Seq[Float]] = cr.map(_._2).toIndexedSeq
+    val cnorm2 = cr.map(_._3).toSeq
     val a = Similarity.cellArgmax(cents)
     val b = batch
       .withColumn("cell", -a.getField("negcell"))

@@ -272,8 +272,8 @@ object Search extends QueryGroup {
     }
     // post-filter branch: the two-phase exact IVF probe
     val margin = 1e-5
-    val cents = s.read.parquet(s"$root/cents").orderBy("cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = Scans.readCents(s, root)
+      .map { case (c, v, _) => (c, v.map(_.toDouble).toArray) }
     val radius: Map[(Long, Int), Double] =
       s.read.parquet(s"$root/stats").collect()
         .map(r => (r.getLong(0), r.getInt(1)) ->

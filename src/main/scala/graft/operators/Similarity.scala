@@ -2016,7 +2016,12 @@ object Similarity extends QueryGroup {
           val m =
             if (r == 1) qs2
             else rnd6(lam * qs2 - (1 - lam) *
-              sel.map(sl => ssim((qid, vid, sl._1))).max)
+              // TotalOrdering = Spark's double max (NaN greatest), the
+              // same ordering byScore uses in graphAnnSearchLocal — the
+              // implicit IEEE max would diverge on a NaN ssim
+              // (ADVICE r16).
+              sel.map(sl => ssim((qid, vid, sl._1)))
+                .max(Ordering.Double.TotalOrdering))
           (vid, qs2, m)
         }
         if (scored.nonEmpty) {
