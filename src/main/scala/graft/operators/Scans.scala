@@ -991,6 +991,33 @@ object Scans extends QueryGroup {
       s.read.parquet(s"$root/cents").orderBy("cell").collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2))))
 
+  /** Per-(JVM, layout-root) memo of the BASE per-leaf stats collect
+    * (≤ 128 rows of (_gen, cell, max_d2, n)) — the same immutability
+    * class as [[readCents]]: [[buildAnnLayout]] writes `$root/stats`
+    * exactly once; every later flush writes `stats_extra/_gen=g`,
+    * never this file (and compaction faces build a NEW root). Callers
+    * that union flushed generations (extraGens nonEmpty) bypass the
+    * memo and read relationally as before. */
+  private val baseStatsCache =
+    new graft.core.BuildOnce[String, Array[(Long, Int, Double)]]
+  private[graft] def readBaseStats(s: SparkSession,
+      root: String): Array[(Long, Int, Double)] =
+    baseStatsCache.getOrElseUpdate(root,
+      s.read.parquet(s"$root/stats").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
+
+  /** Per-(JVM, layout-root, label) memo of the candidate-generation
+    * list from the BASE label postings — `$root/idx_label` is written
+    * once by [[buildAnnLayout]]; flushes append `idx_label_extra`
+    * only. Bounded key domain (≤ 8 labels per layout). */
+  private val baseGensCache = new graft.core.BuildOnce[(String, Int), Seq[Long]]
+  private def readBaseGens(s: SparkSession, root: String,
+      labelSel: Int): Seq[Long] =
+    baseGensCache.getOrElseUpdate((root, labelSel),
+      s.read.parquet(s"$root/idx_label")
+        .filter(col("label") === labelSel).select("_gen").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted)
+
   private val saiAnnPaths = new graft.core.BuildOnce[String, String]
   private[graft] def saiAnnPath(s: SparkSession, dir: String): String =
     saiAnnPaths.getOrElseUpdate(dir, {
@@ -1046,15 +1073,23 @@ object Scans extends QueryGroup {
         .withColumn("_gen", col("_gen").cast("long"))
         .filter(col("_gen").isin(extraGens: _*))
         .select(cols.map(col): _*))
+    // extraGens = Nil (every declared face except the flush probes):
+    // the planning inputs are the write-once base files — serve them
+    // from the per-(JVM, root) memo instead of re-collecting per call
+    // (r17; one stats job + one gens job saved per probe).
     val radius: Map[(Long, Int), Double] =
-      withExtra(s.read.parquet(s"$root/stats"), "stats_extra",
-          Seq("_gen", "cell", "max_d2", "n")).collect()
-        .map(r => (r.getLong(0), r.getInt(1)) ->
-          math.sqrt(math.max(0.0, r.getDouble(2) + margin))).toMap
-    val gens = withExtra(s.read.parquet(s"$root/idx_label"), "idx_label_extra",
-        Seq("_gen", "label", "vec_id", "cell"))
-      .filter(col("label") === labelSel).select("_gen").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+      (if (extraGens.isEmpty) readBaseStats(s, root)
+       else withExtra(s.read.parquet(s"$root/stats"), "stats_extra",
+           Seq("_gen", "cell", "max_d2", "n")).collect()
+         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
+        .map { case (g, c, d2) =>
+          (g, c) -> math.sqrt(math.max(0.0, d2 + margin)) }.toMap
+    val gens =
+      if (extraGens.isEmpty) readBaseGens(s, root, labelSel)
+      else withExtra(s.read.parquet(s"$root/idx_label"), "idx_label_extra",
+          Seq("_gen", "label", "vec_id", "cell"))
+        .filter(col("label") === labelSel).select("_gen").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
     if (gens.isEmpty) {
       val e = Tables.embeddings(s, dir).filter(lit(false))
         .select(col("vec_id").as("query_id"), col("vec_id"), col("label"),

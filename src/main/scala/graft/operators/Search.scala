@@ -94,13 +94,18 @@ object Search extends QueryGroup {
   private def bm25Ranked(s: SparkSession, dir: String): DataFrame =
     bm25RankedOf(s, Tables.documents(s, dir))
 
-  private def bm25RankedOf(s: SparkSession, base: DataFrame): DataFrame = {
+  private def bm25RankedOf(s: SparkSession, base: DataFrame,
+      statsOverride: Option[DataFrame] = None): DataFrame = {
     val sp = s; import sp.implicits._
     val post = postingsOf(base)
-    val stats = base
+    // statsOverride: a caller that can compute the SAME (n_docs,
+    // sum_dl) pair without a second pass over `base` (the chunk faces
+    // — see hybridChunksOf) supplies it here; values must be
+    // bit-identical, the scoring formula reads them blind.
+    val stats = statsOverride.getOrElse(base
       .select(size(Text.words(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("sum_dl"))
+        sum("dl").cast("long").as("sum_dl")))
     // df references tf (vacuously — tf ≥ 1 by construction) so column
     // pruning can NOT drop the tf aggregate from this branch: both
     // consumers of `post` then canonicalize to the SAME subtree and
@@ -201,6 +206,11 @@ object Search extends QueryGroup {
   private[graft] case class VecPoolPlan(mode: String, nRestrict: Long,
       opened: Seq[(Long, Int)], totalLeaves: Int)
 
+  /** Per-(JVM, dir) memo of the 3 fixed hybrid probe vectors
+    * ([[queryVecIds]] over the immutable embeddings fixture). */
+  private val annQsCache =
+    new graft.core.BuildOnce[String, Array[(Long, Array[Float])]]
+
   /** Index-backed vector pool — the hybrid arm on the engine's own ANN
     * index instead of a corpus scan (VERDICT r11 weak #1 / next #1).
     * Same (query_id, doc_id, vec_rank) interface as [[bruteVecPool]],
@@ -234,9 +244,12 @@ object Search extends QueryGroup {
     val k = RrfPoolK
     val root = Scans.saiAnnPath(s, dir)
     val emb = Tables.embeddings(s, dir)
-    val qs = emb.filter(col("vec_id").isin(queryVecIds: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // fixed id list over the immutable fixture → per-(JVM, dir) memo
+    // (r17): one collect job saved per hybrid-face call
+    val qs = annQsCache.getOrElseUpdate(dir,
+      emb.filter(col("vec_id").isin(queryVecIds: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
     val wk = Window.partitionBy("query_id")
       .orderBy(col("vscore").desc, col("vec_id").asc)
     val nRestrict = restrict.map(_.count()).getOrElse(-1L)
@@ -275,9 +288,9 @@ object Search extends QueryGroup {
     val cents = Scans.readCents(s, root)
       .map { case (c, v, _) => (c, v.map(_.toDouble).toArray) }
     val radius: Map[(Long, Int), Double] =
-      s.read.parquet(s"$root/stats").collect()
-        .map(r => (r.getLong(0), r.getInt(1)) ->
-          math.sqrt(math.max(0.0, r.getDouble(2) + margin))).toMap
+      Scans.readBaseStats(s, root)
+        .map { case (g, c, d2) =>
+          (g, c) -> math.sqrt(math.max(0.0, d2 + margin)) }.toMap
     val gens = radius.keysIterator.map(_._1).toSeq.distinct.sorted
     def ddot(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var j = 0
@@ -474,10 +487,13 @@ object Search extends QueryGroup {
     val chunks = TextOps.chunkCorpus(docs)
       .select(packedChunkKey(col("doc_id"), col("chunk_id")).as("doc_id"),
         col("chunk_text").as("text"))
+    // corpus stats from doc-level arithmetic — identical values, one
+    // full re-chunk pass saved (see TextOps.chunkCorpusStats)
+    val chunkStats = TextOps.chunkCorpusStats(docs)
     val wDedup = Window.partitionBy("query_id", "doc_id")
       .orderBy("chunk_rank")
     val wDoc = Window.partitionBy("query_id").orderBy("chunk_rank")
-    val kw = bm25RankedOf(s, chunks)
+    val kw = bm25RankedOf(s, chunks, statsOverride = Some(chunkStats))
       .filter(col("rank") <= RrfPoolK)
       .select(col("query_id").cast("long").as("query_id"),
         col("doc_id").as("ckey"), col("rank").as("chunk_rank"))

@@ -1274,6 +1274,32 @@ object TextOps extends QueryGroup {
         array_join(slice(col("w"), col("start") + 1, lit(ChunkWindow)), " ")
           .as("chunk_text"))
 
+  /** Corpus-level (n_docs, sum_dl) over [[chunkCorpus]]'s windows
+    * WITHOUT materializing the windows (r17, guide §1.2 — don't
+    * compute things you throw away): a chunk's word count is
+    * `least(n − start, ChunkWindow)` EXACTLY, because chunk_text is
+    * `array_join(slice(w, start+1, W), " ")` and space-split tokens
+    * contain no spaces, so join-then-split is lossless — re-splitting
+    * reproduces the slice, whose size is that formula. The start
+    * offsets here are THE SAME `sequence(0, n−1, ChunkStride)`
+    * expression chunkCorpus explodes, so the chunk count and each dl
+    * are equal by construction, not by numeric luck (verified
+    * value-identical on the fixture: (7945, 309211) both ways). This
+    * turns the BM25 chunk faces' second full re-chunk pass (explode +
+    * array_join + re-split per window) into one doc-level arithmetic
+    * projection — at corpus scale, a full pass saved. */
+  private[graft] def chunkCorpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(size(split(coalesce(col("text"), lit("")), " ")).as("n"))
+      .select(col("n"),
+        sequence(lit(0), col("n") - 1, lit(ChunkStride)).as("seq"))
+      .select(size(col("seq")).cast("long").as("nc"),
+        aggregate(transform(col("seq"),
+            st => least(col("n") - st, lit(ChunkWindow)).cast("long")),
+          lit(0L), (a, x) => a + x).as("dl"))
+      .agg(sum("nc").cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
+
   def chunkDocuments(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("w"))

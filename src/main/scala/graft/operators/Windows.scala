@@ -155,15 +155,22 @@ object Windows extends QueryGroup {
     val base = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"), Num.d2(col("value")).as("cv"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
-    // cache: FOUR consumers (dayCum, cum, probes, probeDays) and the
-    // optimizer was NOT reusing the exchange — the r16 before-plan
-    // shows 16 separate event scans / 18 Exchanges, 0 ReusedExchange;
-    // pinning the per-µs aggregate computes the corpus pass once
-    // (guide §1.3/§5.2 — multi-consumer relation worth materializing)
+    // r16 pinned perUs and cum with .cache() (FOUR consumers, 16
+    // event scans / 18 Exchanges, 0 ReusedExchange in the plan) — but
+    // the r17 prove-or-revert A/B (VERDICT r16 next #3) measured the
+    // caches FLAT at both fixtures: paired 5-rep TimeQuery steady,
+    // sf0.1 cached 2.27–2.56 s vs uncached 2.07–2.78 s; ×10 cached
+    // 2.80–3.30 s vs uncached 2.98–3.69 s (first-in-JVM runs FAVOR
+    // uncached: 12.5 s vs 16.5–21.6 s). At this shape the scan is
+    // cheap relative to the window chain, so materialization +
+    // eviction pressure buy back exactly what the saved scans save.
+    // Caches REMOVED per the r16 verdict's own done-criterion (≥15 %
+    // win or revert); at a true 100 TB corpus the multi-consumer
+    // argument returns, but that is a deployment-tuning decision, not
+    // this fixture's.
     val perUs = base.groupBy("event_type", "us")
       .agg(sum("cv").as("s_us"), count(lit(1)).as("c_us"))
       .withColumn("day", floor(col("us") / X))
-      .cache()
     // day totals → cumulative through each day's END: types × days
     // rows, the only event_type-keyed window in the plan
     val wDayCum = Window.partitionBy("event_type").orderBy("day")
@@ -190,7 +197,6 @@ object Windows extends QueryGroup {
       .select(col("event_type"), col("day"), col("us"),
         (col("s_in") + coalesce(col("ci_s"), lit(0))).as("s_cum"),
         (col("c_in") + coalesce(col("ci_c"), lit(0L))).as("c_cum"))
-      .cache() // two consumers: the data arm and the trail join
     // bucketed as-of union: data rows (kind 1) carry their global
     // cumulative; probe rows (kind 0) sit at us − X IN THAT KEY'S
     // BUCKET and, sorting BEFORE any data row at the same key, pick up
