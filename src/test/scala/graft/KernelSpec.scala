@@ -651,6 +651,31 @@ class KernelSpec extends SparkSpec {
         md5hex((0 until 10).map(i => s"u$i").mkString(" "))))), got.toString)
   }
 
+  test("chunkCorpusStats: doc-level arithmetic == explode-computed chunk stats on edge shapes") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial shapes: null text, empty text (split -> [""], n=1),
+    // double spaces (empty tokens count), exact stride multiple (49
+    // tokens -> starts 0/48, tail len 1), single window, long doc
+    val docs = Seq(
+      (1L, (0 until 100).map(i => s"t$i").mkString(" ")),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "a  b   c"),
+      (5L, (0 until 49).map(i => s"u$i").mkString(" ")),
+      (6L, (0 until 200).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // reference = the materialized chunk corpus re-split, the exact
+    // pass bm25RankedOf used to run over the chunk faces
+    val ref = graft.operators.TextOps.chunkCorpus(docs)
+      .select(size(split(col("chunk_text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
+      .collect()(0)
+    val got = graft.operators.TextOps.chunkCorpusStats(docs).collect()(0)
+    assert(got == ref, s"arith $got vs explode $ref")
+  }
+
   test("hilbertCol matches the driver xy2d reference: 64x64 bijection + unit-step adjacency") {
     val s = spark; import s.implicits._
     val order = 6
