@@ -208,6 +208,9 @@ object Bench {
         }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // clear the label so the next unlabeled phase (prewarm's
+        // layout-build jobs) is not attributed to the canary
+        spark.sparkContext.setJobDescription(null)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       } else -1.0
     val canarySec: Double = if (args.isEmpty) timeCanary() else -1.0
@@ -253,7 +256,12 @@ object Bench {
             "nested values - not this writer's format, ignoring snapshot")
           return Map.empty
         }
-        val entry = """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+        // exponent part accepted: a foreign JSON writer may emit
+        // doubles as 1.36E1/6.3e-05, and a mantissa-only parse would
+        // yield a silently WRONG map (1.36 for 13.6) — worse than the
+        // disabled-gate failure the whitespace fix addressed
+        val entry =
+          """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
         entry.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }
@@ -327,6 +335,8 @@ object Bench {
         None
       } else Some(name -> ((System.nanoTime() - t0) / 1e9, n))
     }
+    // clear the last re-time label before the x10 chain's prewarm
+    spark.sparkContext.setJobDescription(null)
     // Second total at the ×10 fixture (VERDICT r4 #7 / r6 #5): the 2×
     // budget at sf0.1 no longer discriminates — the scale-up ratio is
     // the number that does. Gated on the dir existing (ScaleGen writes

@@ -49,9 +49,11 @@ object JobStats {
         if (cur == prev) still += 1 else { still = 0; prev = cur }
       }
     }
+    // one settle after the warmup job; inside the loop the pre-print
+    // settle doubles as the next query's pre-read settle (no jobs run
+    // between a print and the next iteration's counter read)
+    settle()
     args.foreach { name =>
-      // settle listener counts from the previous query
-      settle()
       val (j0, s0, t0c) = (jobs.get, stages.get, tasks.get)
       val t0 = System.nanoTime()
       val n = BenchKit.materialize(SparkEntry.queries(name)(spark, sfDir))
